@@ -1,0 +1,55 @@
+"""PNG codec roundtrip, determinism, phash and PSNR invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scrapy_spark.functions.imagefn import (
+    decode_image,
+    decode_png,
+    encode_png,
+    phash64,
+    psnr,
+    synth_pixels,
+)
+
+
+def test_png_roundtrip_exact():
+    px = synth_pixels("img-0001", 64, 48)
+    data = encode_png(px)
+    back = decode_png(data)
+    assert back.shape == (48, 64, 3)
+    assert np.array_equal(px, back)  # lossless => PSNR = inf >= 40dB
+    assert psnr(px, back) == float("inf")
+
+
+def test_synth_pixels_deterministic():
+    a = synth_pixels("img-42", 32, 32)
+    b = synth_pixels("img-42", 32, 32)
+    c = synth_pixels("img-43", 32, 32)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_phash_properties():
+    px = synth_pixels("img-7", 64, 64)
+    h1 = phash64(px)
+    h2 = phash64(px.copy())
+    assert h1 == h2
+    assert -(2**63) <= h1 < 2**63
+    other = phash64(synth_pixels("img-8", 64, 64))
+    assert h1 != other
+
+
+def test_psnr_degrades():
+    px = synth_pixels("img-9", 64, 64)
+    noisy = px.copy()
+    noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 128) % 256
+    val = psnr(px, noisy)
+    assert 0 < val < float("inf")
+
+
+def test_non_png_fmt_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg")
