@@ -1,0 +1,119 @@
+"""spark-submit entrypoint for the crawl engine.
+
+Usage (local sandbox; on a cluster swap --master and add --py-files app.zip):
+
+  spark-submit --master local[8] main.py crawl \
+      --workdir /tmp/crawl1 --seed 42 --hosts 12 --pages 300 --images 120 \
+      --generations 4 --per-host-budget 10 [--resume] [--bloom]
+
+  spark-submit main.py report --workdir /tmp/crawl1
+
+Mirrors the reference's orchestrator CLI
+(``Scraping_project/src/orchestrator/main.py:317-370`` --stage sequencing);
+stages here are frontier generations, not processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scrapy_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run (or resume) a generation-loop crawl")
+    c.add_argument("--workdir", required=True, help="snapshot catalog directory")
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--hosts", type=int, default=12)
+    c.add_argument("--pages", type=int, default=300)
+    c.add_argument("--images", type=int, default=120)
+    c.add_argument("--generations", type=int, default=4)
+    c.add_argument("--per-host-budget", type=int, default=10)
+    c.add_argument("--gen-cap", type=int, default=10_000)
+    c.add_argument("--salt-buckets", type=int, default=8)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--bloom", action="store_true", help="Bloom-prefiltered dedup")
+    c.add_argument("--master", default=None, help="override spark master")
+
+    r = sub.add_parser("report", help="print per-generation metrics/lineage")
+    r.add_argument("--workdir", required=True)
+    r.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from scrapy_spark.plans.crawl import CrawlJob
+    from scrapy_spark.plans.oracle import CrawlParams
+    from scrapy_spark.session import get_spark
+    from scrapy_spark.sources.catalog import SnapshotCatalog
+    from scrapy_spark.sources.synth import SynthConfig
+
+    spark = get_spark("scrapy_spark_cli", master=args.master)
+    try:
+        if args.cmd == "crawl":
+            cfg = SynthConfig(
+                seed=args.seed, n_hosts=args.hosts, n_pages=args.pages, n_images=args.images
+            )
+            params = CrawlParams(
+                max_generations=args.generations,
+                per_host_budget=args.per_host_budget,
+                gen_cap=args.gen_cap,
+            )
+            job = CrawlJob(
+                spark,
+                cfg,
+                params,
+                args.workdir,
+                salt_buckets=args.salt_buckets,
+                use_bloom=args.bloom,
+            )
+            stats = job.run(resume=args.resume)
+            for s in stats:
+                print(
+                    json.dumps(
+                        {
+                            "generation": s.generation,
+                            "candidates": s.candidates,
+                            "scheduled": s.scheduled,
+                            "seconds": round(s.seconds, 2),
+                            "urls_per_sec": round(s.scheduled / s.seconds, 1)
+                            if s.seconds > 0
+                            else 0.0,
+                        }
+                    )
+                )
+            total = sum(s.scheduled for s in stats)
+            secs = sum(s.seconds for s in stats)
+            print(
+                json.dumps(
+                    {
+                        "total_scheduled_fetched": total,
+                        "seconds": round(secs, 2),
+                        "urls_per_sec": round(total / secs, 1) if secs else 0.0,
+                    }
+                )
+            )
+        elif args.cmd == "report":
+            cat = SnapshotCatalog(args.workdir)
+            if cat.committed_generation() < 0:
+                print("no committed generations in " + args.workdir, file=sys.stderr)
+                return 2
+            m = cat.read(spark, "metrics")
+            if m is not None:
+                m.orderBy("generation").show(100, truncate=False)
+            lin = cat.read(spark, "lineage")
+            if lin is not None:
+                lin.groupBy("generation").sum("scheduled", "fetched", "failed", "images").orderBy(
+                    "generation"
+                ).show(100, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

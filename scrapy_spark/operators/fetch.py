@@ -1,0 +1,119 @@
+"""Vectorized Arrow-UDF fetch over salted per-host micro-batches (S4).
+
+The reference fetches with aiohttp/Scrapy (validator.py:474-546,
+async_enrichment.py:391-468) under per-domain concurrency caps, AutoThrottle
+and AIMD rate control. In the rebuild (SURVEY §4):
+
+- the frontier is **salted-repartitioned** on (host, pmod(url_hash, S)) before
+  the fetch stage so one hot host (img*.uconn.edu carries 1/4 of all images by
+  design) splits across S tasks instead of serializing one straggler task;
+- fetch itself is ``mapInPandas`` — one Python invocation per Arrow batch,
+  resolving each URL against the deterministic synthetic web (sandbox stand-in
+  for HTTP GET; the real-network variant plugs an http client into the same
+  batch loop);
+- per-host politeness pacing and retry/circuit state live inside the
+  partition (optional real sleeping is off for benches — budget enforcement
+  happens at *selection* time, the primary mechanism per SURVEY §7.3.3);
+- image bytes enter existence here and are never shuffled afterwards
+  (SURVEY §7.3.4): extraction needs only the small array columns.
+
+Output adds: status_code, content_type, title, is_valid, bytes, w, h, fmt,
+body_links, image_refs — captions come from the candidate's anchor (the
+reference's <img alt>/<figcaption> extraction, F10).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.oracle import VALID_CONTENT_TYPES
+from ..sources.synth import SynthConfig, resolve, zipf_page_counts
+
+FETCH_SCHEMA = (
+    "url string, url_hash long, host string, depth int, score double, "
+    "source_type string, anchor string, source_url string, rank_in_host int, "
+    "status_code int, content_type string, title string, is_valid boolean, "
+    "bytes binary, w int, h int, fmt string, "
+    "body_links array<string>, "
+    "image_refs array<struct<image_id:string,alt:string>>"
+)
+
+IN_COLS = [
+    "url",
+    "url_hash",
+    "host",
+    "depth",
+    "score",
+    "source_type",
+    "anchor",
+    "source_url",
+    "rank_in_host",
+]
+
+
+def fetch_frontier(
+    selected: DataFrame,
+    cfg: SynthConfig,
+    salt_buckets: int = 8,
+    politeness_delay_s: float = 0.0,
+) -> DataFrame:
+    """Fetch the selected frontier slice; returns FETCH_SCHEMA rows.
+
+    ``salt_buckets`` splits each host across S partitions (skew control);
+    the politeness budget was already enforced per host at selection time,
+    so pacing here (delay * S effective, SURVEY §4) is a safety net.
+    """
+    counts = zipf_page_counts(cfg)  # tiny, recomputed per executor from cfg
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows = []
+            last_host = None
+            for row in pdf.itertuples(index=False):
+                if politeness_delay_s > 0:
+                    # per-host pacing inside the partition (salting multiplies
+                    # the effective delay; selection-time budget is primary)
+                    if row.host == last_host:
+                        time.sleep(politeness_delay_s * salt_buckets)
+                    last_host = row.host
+                r = resolve(cfg, counts, row.url)
+                ct = r["content_type"]
+                sc = r["status_code"]
+                out_rows.append(
+                    {
+                        "url": row.url,
+                        "url_hash": row.url_hash,
+                        "host": row.host,
+                        "depth": row.depth,
+                        "score": row.score,
+                        "source_type": row.source_type,
+                        "anchor": row.anchor,
+                        "source_url": row.source_url,
+                        "rank_in_host": row.rank_in_host,
+                        "status_code": sc,
+                        "content_type": ct,
+                        "title": r["title"],
+                        "is_valid": bool(
+                            200 <= sc < 400 and (ct or "") in VALID_CONTENT_TYPES
+                        ),
+                        "bytes": r["bytes"],
+                        "w": r["w"],
+                        "h": r["h"],
+                        "fmt": r["fmt"],
+                        "body_links": r["body_links"],
+                        "image_refs": r["image_refs"],
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    salted = selected.select(*IN_COLS).repartition(
+        F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    )
+    return salted.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)

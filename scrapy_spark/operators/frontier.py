@@ -1,0 +1,160 @@
+"""Frontier candidate pipeline: canonicalize → filter → score → dedup → select.
+
+Spark-first mapping of the reference's per-candidate processing chain
+(``_process_candidate_url``, discovery_spider.py:611-625) and batch ordering
+(priority_queue.py:78-148):
+
+- canonicalization is the ONLY Python step, as an Arrow-vectorized pandas UDF
+  (SURVEY §2.9); keys are JVM-side ``F.xxhash64``
+- scheme/domain/extension filters are pure column predicates (F2-F4) that
+  Catalyst pushes below the UDF where possible
+- robots enforcement (J7) is a broadcast equi-join on host + an
+  ``exists(disallow, p -> startswith(path, p))`` predicate
+- within-generation dedup (D2) is a row_number window with the deterministic
+  first-writer tie-break (depth, -score, source_url, source_type) —
+  order-independent, so the parallel result equals sequential insertion
+- cross-generation dedup (D1) is a left_anti join against url_seen on
+  url_hash (bucketable at scale; Bloom prefilter in operators/dedup.py)
+- frontier selection (W1) is rank-and-take per host under the politeness
+  budget, with the 10k-queue backpressure cap (pipeline.py:36) as a global
+  re-ranked limit
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scoring import spark_score
+from ..functions.urls import DENY_EXTENSIONS, canonicalize, clean_seed_url
+
+# Arrow-vectorized canonicalization (one Python invocation per ~10k-row batch;
+# DataType objects, not DDL strings, so import needs no active session)
+canonicalize_udf = F.pandas_udf(lambda s: s.map(canonicalize), T.StringType())
+clean_seed_udf = F.pandas_udf(lambda s: s.map(clean_seed_url), T.StringType())
+
+_DENY_RLIKE = r"(?i)\.(" + "|".join(DENY_EXTENSIONS) + r")$"
+
+CANDIDATE_COLS = ["raw_url", "source_url", "source_type", "anchor", "depth"]
+
+
+def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
+    """Seed CSV scan + cleaning (S1, discovery_spider.py:199-245,927-992)."""
+    return seeds.select(
+        clean_seed_udf(F.col("url")).alias("raw_url"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.lit("seed").alias("source_type"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(0).alias("depth"),
+    ).filter(F.col("raw_url").isNotNull())
+
+
+def _host_col(url: Column) -> Column:
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def _path_col(url: Column) -> Column:
+    p = F.parse_url(url, F.lit("PATH"))
+    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+
+
+def canonicalize_candidates(cands: DataFrame, domain: str = "uconn.edu") -> DataFrame:
+    """raw candidates -> canonical, keyed, filtered, scored candidates.
+
+    Filters F1-F4: canonical parse, http(s)-only (inside canonicalize),
+    domain allow-list, extension deny-list for recursion candidates
+    (image candidates exempt — they ARE the payload, SURVEY F4 note).
+    """
+    df = cands.withColumn("url", canonicalize_udf(F.col("raw_url")))
+    df = df.filter(F.col("url").isNotNull())
+    df = df.withColumn("host", _host_col(F.col("url"))).withColumn(
+        "path", _path_col(F.col("url"))
+    )
+    df = df.filter(
+        (F.col("host") == domain) | F.col("host").endswith("." + domain)
+    )
+    df = df.filter(
+        ~(
+            F.col("source_type").isin("seed", "html_link")
+            & F.col("url").rlike(_DENY_RLIKE)
+        )
+    )
+    df = df.withColumn(
+        "score", spark_score(F.col("source_type"), F.col("path"), F.col("anchor"))
+    )
+    return df.withColumn("url_hash", F.xxhash64(F.col("url"))).select(
+        "url",
+        "url_hash",
+        "host",
+        "path",
+        "depth",
+        "source_type",
+        "anchor",
+        "source_url",
+        "score",
+    )
+
+
+def apply_robots(cands: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast join frontier ⋈ robots_rules(host, disallow) + prefix filter (J7)."""
+    r = F.broadcast(robots.select("host", "disallow"))
+    joined = cands.join(r, "host", "left")
+    return joined.filter(
+        F.col("disallow").isNull()
+        | ~F.exists(F.col("disallow"), lambda p: F.col("path").startswith(p))
+    ).drop("disallow")
+
+
+def dedup_within_generation(cands: DataFrame) -> DataFrame:
+    """First-writer-wins inside one generation, deterministic winner (D2)."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("depth").asc(),
+        F.col("score").desc(),
+        F.col("source_url").asc_nulls_first(),
+        F.col("source_type").asc(),
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(cands: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """Cross-generation dedup: candidates − url_seen (D1/SO2).
+
+    At 10^10 scale this is a bucketed storage-partition join on
+    bucket(url_hash, N); Bloom prefilter (operators/dedup.py) cuts the probe
+    side first. At test scale Catalyst/AQE picks the strategy.
+    """
+    if seen is None:
+        return cands
+    return cands.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+
+def select_frontier(
+    deduped: DataFrame, per_host_budget: int, gen_cap: int
+) -> DataFrame:
+    """Per-host rank-and-take under the politeness budget (W1) + global cap.
+
+    Rank key (depth asc, score desc, url asc) — the reference's priority
+    ordering (priority_queue.py:112-138) with a total-order tie-break.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()
+    )
+    sel = deduped.withColumn("rank_in_host", F.row_number().over(w)).filter(
+        F.col("rank_in_host") <= per_host_budget
+    )
+    n = sel.count()
+    if n > gen_cap:
+        # backpressure cap (reference queue cap 10k, pipeline.py:36):
+        # keep globally-best rows, then re-rank within host
+        capped = (
+            sel.orderBy(F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
+            .limit(gen_cap)
+            .drop("rank_in_host")
+        )
+        sel = capped.withColumn("rank_in_host", F.row_number().over(w))
+    return sel

@@ -1,0 +1,218 @@
+"""The generation-loop crawl driver (SURVEY §3.1 rebuild lifecycle).
+
+Replaces the reference's three-stage orchestrator
+(``SP/src/orchestrator/main.py:317-370``, ``pipeline.py:155-415`` — asyncio
+queues, checkpoints, resume-from-file-offset) with a driver-side loop issuing
+DataFrame jobs; each iteration is:
+
+  candidates(g) → canonicalize/filter/robots → within-gen dedup
+                → anti-join url_seen → per-host rank-and-take
+                → salted Arrow-UDF fetch → explode-extraction
+                → ONE atomic snapshot commit of
+                  {fetch_results, url_seen, lineage, metrics, candidates(g+1)}
+
+Resume (the reference's BatchCheckpoint role): a killed run restarts from the
+last committed generation and — because every stage is deterministic
+(tie-breaks are total orders, the synthetic web is a pure function, no
+wall-clock values in parity tables) — produces bit-identical final tables.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators.extract import extract_candidates
+from ..operators.fetch import fetch_frontier
+from ..operators.frontier import (
+    anti_join_seen,
+    apply_robots,
+    canonicalize_candidates,
+    dedup_within_generation,
+    seeds_to_candidates,
+    select_frontier,
+)
+from ..sources import synth
+from ..sources.catalog import SnapshotCatalog
+from ..sources.synth import SynthConfig
+from .oracle import CrawlParams
+
+RESULT_COLS = [
+    "generation",
+    "host",
+    "rank_in_host",
+    "url",
+    "url_hash",
+    "depth",
+    "score",
+    "source_type",
+    "source_url",
+    "status_code",
+    "content_type",
+    "is_valid",
+    "title",
+    "bytes",
+    "caption",
+]
+
+
+@dataclass
+class GenStats:
+    generation: int
+    candidates: int
+    deduped: int
+    scheduled: int
+    seconds: float
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: SynthConfig,
+        params: CrawlParams,
+        workdir: str,
+        salt_buckets: int = 8,
+        use_bloom: bool = False,
+        politeness_delay_s: float = 0.0,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.params = params
+        self.catalog = SnapshotCatalog(workdir)
+        self.salt_buckets = salt_buckets
+        self.use_bloom = use_bloom
+        self.politeness_delay_s = politeness_delay_s
+        self._robots = None
+
+    def robots_df(self) -> DataFrame:
+        if self._robots is None:
+            pdf = synth.robots_table(self.cfg)
+            self._robots = self.spark.createDataFrame(pdf).cache()
+        return self._robots
+
+    def _gen0_candidates(self) -> DataFrame:
+        seeds = self.spark.createDataFrame(synth.build_seeds(self.cfg))
+        return seeds_to_candidates(seeds)
+
+    def run(self, resume: bool = False) -> list[GenStats]:
+        start = self.catalog.committed_generation() + 1 if resume else 0
+        if not resume and self.catalog.committed_generation() >= 0:
+            raise ValueError("workdir already has a crawl; pass resume=True")
+        stats: list[GenStats] = []
+        for gen in range(start, self.params.max_generations):
+            st = self._run_generation(gen)
+            stats.append(st)
+            if st.scheduled == 0:
+                break
+        return stats
+
+    def _run_generation(self, gen: int) -> GenStats:
+        t0 = time.time()
+        spark, params = self.spark, self.params
+
+        if gen == 0:
+            raw = self._gen0_candidates()
+        else:
+            all_cands = self.catalog.read(spark, "candidates")
+            raw = (
+                all_cands.filter(F.col("generation") == gen).drop("generation")
+                if all_cands is not None
+                else None
+            )
+            if raw is None:
+                return GenStats(gen, 0, 0, 0, 0.0)
+
+        cands = canonicalize_candidates(raw, params.domain)
+        cands = apply_robots(cands, self.robots_df())
+        cands = dedup_within_generation(cands).persist()
+        n_cands = cands.count()
+
+        seen = self.catalog.read(spark, "url_seen")
+        if self.use_bloom and seen is not None:
+            new = dedup_ops.bloom_anti_join(spark, cands, seen, self.catalog)
+        else:
+            new = anti_join_seen(cands, seen)
+
+        selected = select_frontier(new, params.per_host_budget, params.gen_cap).persist()
+        n_sel = selected.count()
+        cands.unpersist()
+
+        if n_sel == 0:
+            self.catalog.commit(gen, {}, stats={"generation": gen, "scheduled": 0})
+            return GenStats(gen, n_cands, 0, 0, time.time() - t0)
+
+        fetched = fetch_frontier(
+            selected, self.cfg, self.salt_buckets, self.politeness_delay_s
+        ).persist()
+
+        results = fetched.withColumn("generation", F.lit(gen)).withColumn(
+            "caption",
+            F.when(F.col("bytes").isNotNull(), F.col("anchor")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        staged: dict[str, list[str]] = {}
+        staged["fetch_results"] = self.catalog.stage(
+            results.select(*RESULT_COLS), "fetch_results", gen
+        )
+        staged["url_seen"] = self.catalog.stage(
+            selected.select(
+                "url_hash",
+                "url",
+                "host",
+                F.lit(gen).alias("generation"),
+                F.pmod(F.col("url_hash"), F.lit(dedup_ops.N_SHARDS)).alias("shard"),
+            ),
+            "url_seen",
+            gen,
+        )
+        # per-partition lineage: (generation, host_shard=host, stage counts)
+        lineage = (
+            fetched.groupBy("host")
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("fetched"),
+                F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("failed"),
+                F.sum(F.when(F.col("bytes").isNotNull(), 1).otherwise(0)).alias("images"),
+            )
+            .withColumn("generation", F.lit(gen))
+        )
+        staged["lineage"] = self.catalog.stage(lineage, "lineage", gen)
+
+        nxt = extract_candidates(fetched).withColumn("generation", F.lit(gen + 1))
+        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen)
+
+        if self.use_bloom:
+            staged["bloom"] = dedup_ops.stage_bloom_delta(
+                spark, self.catalog, selected, gen
+            )
+
+        elapsed = time.time() - t0
+        metrics = spark.createDataFrame(
+            [
+                (
+                    gen,
+                    "crawl_generation",
+                    n_sel,
+                    float(n_sel) / elapsed if elapsed > 0 else 0.0,
+                    float(elapsed),
+                )
+            ],
+            "generation int, stage string, items_processed long, "
+            "items_per_second double, elapsed_seconds double",
+        )
+        staged["metrics"] = self.catalog.stage(metrics, "metrics", gen)
+
+        self.catalog.commit(
+            gen,
+            staged,
+            stats={"generation": gen, "candidates": n_cands, "scheduled": n_sel},
+        )
+        fetched.unpersist()
+        selected.unpersist()
+        return GenStats(gen, n_cands, n_sel, n_sel, elapsed)

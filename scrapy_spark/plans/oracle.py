@@ -1,0 +1,196 @@
+"""Sequential reference oracle — obviously-correct single-process crawler.
+
+This is the parity target for the Spark engine (SURVEY §5): a faithful,
+sequential reimplementation of the reference crawler's *decision semantics*
+under the rebuild's generation-batch model:
+
+- canonicalize (reference urls.py:28-79) -> xxhash64 key
+- domain / scheme / extension / robots filters
+  (discovery_spider.py:554-557,720-726,274-285; ROBOTSTXT_OBEY settings.py:39)
+- first-writer-wins dedup across generations
+  (url_deduplication.py:91-129 add_if_new) with a deterministic within-batch
+  tie-break so the outcome is order-independent (SURVEY §7.3.2)
+- per-host rank-and-take frontier selection under a politeness budget
+  (priority_queue.py:78-148 + per-domain caps discovery_spider.py:349-357)
+- fetch via the deterministic synthetic web (sources/synth.resolve)
+- extraction of html links + image refs with importance scoring
+  (discovery_spider.py:253-528,629-701)
+
+The Spark crawl (plans/crawl.py) must reproduce: the URL-seen set, the
+scheduled set with per-(generation, host) ordering, captions, and image bytes
+(PSNR >= 40 dB; exact for PNG).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.hashing import spark_xxhash64_str
+from ..functions.scoring import py_score
+from ..functions.urls import (
+    canonicalize,
+    clean_seed_url,
+    is_allowed_domain,
+    is_denied_extension,
+    url_host,
+    url_path,
+)
+from ..sources import synth
+from ..sources.synth import SynthConfig
+
+VALID_CONTENT_TYPES = ("text/html", "image/png", "image/jpeg", "image/gif", "image/webp")
+
+
+@dataclass
+class CrawlParams:
+    max_generations: int = 4
+    per_host_budget: int = 20
+    gen_cap: int = 10_000  # backpressure analog (reference queue cap 10k)
+    domain: str = "uconn.edu"
+
+
+@dataclass
+class OracleResult:
+    scheduled: list[dict] = field(default_factory=list)  # one row per fetched URL
+    seen: dict[str, int] = field(default_factory=dict)  # canonical -> generation
+    gen_counts: list[dict] = field(default_factory=list)  # lineage-ish per gen
+
+
+def _candidate(raw_url, source_url, source_type, anchor, depth, domain):
+    cu = canonicalize(raw_url)
+    if cu is None:
+        return None
+    host = url_host(cu)
+    if not is_allowed_domain(host, domain):
+        return None
+    if source_type in ("seed", "html_link") and is_denied_extension(cu):
+        return None
+    path = url_path(cu)
+    return {
+        "url": cu,
+        "url_hash": spark_xxhash64_str(cu),
+        "host": host,
+        "path": path,
+        "depth": depth,
+        "source_type": source_type,
+        "anchor": anchor,
+        "source_url": source_url,
+        "score": py_score(source_type, path, anchor),
+    }
+
+
+def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
+    counts = synth.zipf_page_counts(cfg)
+    res = OracleResult()
+    robots: dict[str, list[str]] = {}
+
+    def blocked(host: str, path: str) -> bool:
+        if host not in robots:
+            robots[host] = synth.robots_for_host(cfg, host)
+        return any(path.startswith(p) for p in robots[host])
+
+    # generation 0 candidates: cleaned seeds (discovery_spider.py:199-245,927-992)
+    seeds_df = synth.build_seeds(cfg)
+    cands = []
+    for raw in seeds_df["url"]:
+        cleaned = clean_seed_url(raw)
+        if cleaned is None:
+            continue
+        c = _candidate(cleaned, None, "seed", None, 0, params.domain)
+        if c is not None:
+            cands.append(c)
+
+    for gen in range(params.max_generations):
+        # robots filter (J7) before scheduling
+        cands = [c for c in cands if not blocked(c["host"], c["path"])]
+
+        # within-generation first-writer-wins with deterministic tie-break
+        # (SURVEY §7.3.2): winner = min(depth, -score, source_url, source_type)
+        best: dict[str, dict] = {}
+        for c in cands:
+            k = c["url"]
+            cur = best.get(k)
+            ck = (c["depth"], -c["score"], c["source_url"] or "", c["source_type"])
+            if cur is None or ck < (
+                cur["depth"],
+                -cur["score"],
+                cur["source_url"] or "",
+                cur["source_type"],
+            ):
+                best[k] = c
+        deduped = [c for c in best.values() if c["url"] not in res.seen]
+
+        # per-host rank-and-take (W1) under politeness budget
+        by_host: dict[str, list[dict]] = {}
+        for c in deduped:
+            by_host.setdefault(c["host"], []).append(c)
+        selected = []
+        for host, group in by_host.items():
+            group.sort(key=lambda c: (c["depth"], -c["score"], c["url"]))
+            for rank, c in enumerate(group[: params.per_host_budget], start=1):
+                c = dict(c)
+                c["rank_in_host"] = rank
+                selected.append(c)
+        if len(selected) > params.gen_cap:  # backpressure cap (pipeline.py:36)
+            selected.sort(key=lambda c: (c["depth"], -c["score"], c["url"]))
+            selected = selected[: params.gen_cap]
+            # re-rank within host after the cap
+            by_host2: dict[str, int] = {}
+            selected.sort(key=lambda c: (c["host"], c["depth"], -c["score"], c["url"]))
+            for c in selected:
+                by_host2[c["host"]] = by_host2.get(c["host"], 0) + 1
+                c["rank_in_host"] = by_host2[c["host"]]
+
+        if not selected:
+            res.gen_counts.append(
+                {"generation": gen, "candidates": len(cands), "deduped": len(deduped), "scheduled": 0}
+            )
+            break
+
+        # fetch + record + mark seen
+        next_cands = []
+        for c in selected:
+            res.seen[c["url"]] = gen
+            r = synth.resolve(cfg, counts, c["url"])
+            sc = r["status_code"]
+            ct = r["content_type"]
+            is_valid = 200 <= sc < 400 and (ct or "") in VALID_CONTENT_TYPES
+            row = {
+                "generation": gen,
+                "host": c["host"],
+                "rank_in_host": c["rank_in_host"],
+                "url": c["url"],
+                "url_hash": c["url_hash"],
+                "depth": c["depth"],
+                "score": c["score"],
+                "source_type": c["source_type"],
+                "source_url": c["source_url"],
+                "status_code": sc,
+                "content_type": ct,
+                "is_valid": is_valid,
+                "title": r["title"],
+                "bytes": r["bytes"],
+                "caption": c["anchor"] if r["bytes"] is not None else None,
+            }
+            res.scheduled.append(row)
+            # extraction (only valid 200 html pages recurse)
+            if sc == 200 and ct == "text/html":
+                for link in r["body_links"]:
+                    nc = _candidate(link, c["url"], "html_link", None, c["depth"] + 1, params.domain)
+                    if nc is not None:
+                        next_cands.append(nc)
+                for ref in r["image_refs"]:
+                    iu = synth.image_url(cfg, ref["image_id"])
+                    nc = _candidate(iu, c["url"], "img_tag", ref["alt"], c["depth"] + 1, params.domain)
+                    if nc is not None:
+                        next_cands.append(nc)
+        res.gen_counts.append(
+            {
+                "generation": gen,
+                "candidates": len(cands),
+                "deduped": len(deduped),
+                "scheduled": len(selected),
+            }
+        )
+        cands = next_cands
+    return res

@@ -1,0 +1,106 @@
+"""Snapshot-committed parquet table store (Iceberg-semantics, local files).
+
+Iceberg jars are not in this image, so this module provides the subset of
+Iceberg semantics the crawl needs, over plain parquet + an atomically-swapped
+JSON manifest:
+
+- **snapshot isolation**: readers see only files listed in the manifest;
+  writers stage files first, then swap the manifest with ``os.replace``
+  (atomic on POSIX). A crash mid-generation leaves orphan staged files that
+  no reader ever sees — exactly Iceberg's optimistic-commit model.
+- **one commit per frontier generation** (SURVEY §2.1 S5/S6, §3.1): all
+  tables touched by a generation become visible together, so a killed run
+  resumes from the last committed generation bit-identically (the reference's
+  BatchCheckpoint/EnhancedCheckpoint role, checkpoints.py:16-213).
+- **table layout**: append-only file lists per table; `bucket_by` metadata is
+  recorded so readers know the layout (the cuckoo-style bucketed url_seen).
+
+On a real cluster this class is replaced 1:1 by an Iceberg catalog
+(``df.writeTo(tbl).append()`` inside a single transaction); the crawl driver
+only uses the four methods below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"tables": {}, "committed_generation": -1, "snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def committed_generation(self) -> int:
+        return self._load()["committed_generation"]
+
+    def stage(self, df: DataFrame, table: str, generation: int) -> list[str]:
+        """Write df to staged parquet files for `table`; not yet visible."""
+        tmp = os.path.join(self.root, f"_stage-{table}-{generation}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        out = []
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(tdir, f"g{generation:05d}-{uuid.uuid4().hex}.parquet")
+            shutil.move(os.path.join(tmp, name), dst)
+            out.append(os.path.relpath(dst, self.root))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    def commit(self, generation: int, staged: dict[str, list[str]], stats: dict | None = None) -> None:
+        """Atomically publish all staged files for one generation."""
+        m = self._load()
+        if generation != m["committed_generation"] + 1:
+            raise ValueError(
+                f"non-monotonic commit: have {m['committed_generation']}, got {generation}"
+            )
+        for table, files in staged.items():
+            m["tables"].setdefault(table, [])
+            m["tables"][table] = [
+                f for f in m["tables"][table] if not os.path.basename(f).startswith(f"g{generation:05d}-")
+            ] + files
+        m["committed_generation"] = generation
+        m["snapshots"].append({"generation": generation, "stats": stats or {}})
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic swap = the snapshot commit
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        m = self._load()
+        files = m["tables"].get(table, [])
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def read_upto(self, spark: SparkSession, table: str, generation: int) -> DataFrame | None:
+        """Time-travel read: only files committed at generations <= g."""
+        m = self._load()
+        files = [
+            f
+            for f in m["tables"].get(table, [])
+            if int(os.path.basename(f)[1:6]) <= generation
+        ]
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]

@@ -1,0 +1,382 @@
+"""Deterministic synthetic uconn.edu-style web (host graph + images + seeds).
+
+Models the reference's test fixtures — a tiny synthetic web of canned
+responses (``Scraping_project/tests/fixtures/sample_responses.json``: url,
+status_code, content_type, title, links) and the seed CSV
+(``Scraping_project/data/raw/uconn_urls.csv``) — scaled up with a Zipf host
+distribution so hot subdomains exercise skew/salting (FIXTURES.md §3).
+
+Determinism rule (FIXTURES.md): every value derives from
+``xxh64(f"{seed}:{entity}")`` — no sequential RNG state — so the same seed
+yields byte-identical tables regardless of generation order or parallelism,
+and any slice of the universe can be regenerated independently (this is what
+lets the synthetic "fetch" UDF run distributed without shipping the corpus).
+
+Tables produced (written as parquet via pyarrow):
+  host_graph(url, host, status_code, content_type, title, body_links,
+             image_refs(image_id, alt), robots_disallow, last_modified)
+  images(image_id, bytes, w, h, fmt, caption, phash)   [BASELINE.json shape]
+  seeds(url)                                            [incl. malformed rows]
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import xxh64
+from ..functions.imagefn import encode_png, phash64, synth_pixels
+
+SECTIONS = ["news", "academics", "research", "events", "private"]
+WORDS = (
+    "campus huskies research library science student union storrs hall "
+    "engineering arts lecture spring autumn commencement lab data river"
+).split()
+
+N_IMG_HOSTS = 4  # few image hosts => deliberately hot (skew/salting fixture)
+
+
+def _h(seed: int, *parts: object) -> int:
+    return xxh64((":".join(str(p) for p in (seed, *parts))).encode("utf-8"))
+
+
+@dataclass
+class SynthConfig:
+    seed: int = 42
+    n_hosts: int = 40
+    n_pages: int = 2000
+    n_images: int = 600
+    links_per_page: int = 8
+    images_per_page: int = 2
+    img_w: int = 48
+    img_h: int = 32
+    host_names: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.host_names:
+            base = [
+                "www", "admissions", "uconntoday", "lib", "engineering", "clas",
+                "business", "pharmacy", "nursing", "law", "med", "sports",
+            ]
+            names = list(base)
+            i = 0
+            while len(names) < self.n_hosts:
+                names.append(f"dept{i:03d}")
+                i += 1
+            self.host_names = names[: self.n_hosts]
+
+
+def host_of(cfg: SynthConfig, hidx: int) -> str:
+    return f"{cfg.host_names[hidx]}.uconn.edu"
+
+
+def zipf_page_counts(cfg: SynthConfig) -> list[int]:
+    """Zipf-distributed pages per host (hot head), deterministic, sums to n_pages."""
+    w = np.array([1.0 / (i + 1) for i in range(cfg.n_hosts)])
+    w /= w.sum()
+    counts = np.floor(w * cfg.n_pages).astype(int)
+    counts[0] += cfg.n_pages - counts.sum()
+    return [max(1, int(c)) for c in counts]
+
+
+def page_url(cfg: SynthConfig, hidx: int, j: int) -> str:
+    sec = SECTIONS[_h(cfg.seed, "sec", hidx, j) % len(SECTIONS)]
+    return f"https://{host_of(cfg, hidx)}/{sec}/p{j}"
+
+
+def image_id_at(cfg: SynthConfig, gidx: int) -> str:
+    return f"img{gidx:06d}"
+
+
+def image_url(cfg: SynthConfig, image_id: str) -> str:
+    gidx = int(image_id[3:])
+    return f"https://img{gidx % N_IMG_HOSTS}.uconn.edu/i/{image_id}.png"
+
+
+def image_dims(cfg: SynthConfig, image_id: str) -> tuple[int, int]:
+    w = cfg.img_w + (_h(cfg.seed, "imw", image_id) % 4) * 16
+    h = cfg.img_h + (_h(cfg.seed, "imh", image_id) % 4) * 16
+    return w, h
+
+
+def image_caption(cfg: SynthConfig, image_id: str) -> str:
+    k = _h(cfg.seed, "cap", image_id)
+    ws = [WORDS[(k >> (8 * i)) % len(WORDS)] for i in range(4)]
+    return f"{image_id}: " + " ".join(ws)
+
+
+def page_status(cfg: SynthConfig, hidx: int, j: int) -> int:
+    r = _h(cfg.seed, "status", hidx, j) % 100
+    if r < 2:
+        return 404
+    if r < 5:
+        return 301
+    return 200
+
+
+def page_links(cfg: SynthConfig, counts: list[int], hidx: int, j: int) -> list[str]:
+    """Raw (pre-canonicalization) outlinks — include messy duplicate forms,
+    cross-host edges, off-domain and denied-extension links."""
+    n_in_host = counts[hidx]
+    out: list[str] = []
+    for c in range(cfg.links_per_page):
+        k = _h(cfg.seed, "lnk", hidx, j, c)
+        kind = k % 10
+        if kind < 6:  # same-host link, sometimes in messy form
+            tj = (j * 7 + c * 13 + 1) % n_in_host
+            u = page_url(cfg, hidx, tj)
+            form = k % 3
+            if form == 1:
+                u = u.replace("https://", "https://") + "#frag"  # fragment noise
+            elif form == 2:
+                u = u.replace(".uconn.edu/", ".uconn.edu:443/")  # default port noise
+            out.append(u)
+        elif kind < 8:  # cross-host link
+            th = (hidx + 1 + k % max(1, cfg.n_hosts - 1)) % cfg.n_hosts
+            tj = k % counts[th]
+            out.append(page_url(cfg, th, tj))
+        elif kind == 8:  # off-domain (filtered by F3)
+            out.append(f"https://example.com/ext/{k % 1000}")
+        else:  # denied extension (filtered by F4 for recursion)
+            out.append(f"https://{host_of(cfg, hidx)}/files/doc{k % 50}.pdf")
+    # deliberate exact duplicate inside the page (within-batch dedup, D2)
+    if out:
+        out.append(out[0])
+    return out
+
+
+def page_image_refs(cfg: SynthConfig, hidx: int, j: int) -> list[dict]:
+    refs = []
+    for m in range(cfg.images_per_page):
+        gidx = _h(cfg.seed, "imgref", hidx, j, m) % cfg.n_images
+        iid = image_id_at(cfg, gidx)
+        refs.append({"image_id": iid, "alt": image_caption(cfg, iid)})
+    return refs
+
+
+def host_robots(cfg: SynthConfig, hidx: int) -> list[str]:
+    rules = ["/private/"]
+    if _h(cfg.seed, "rob", hidx) % 3 == 0:
+        rules.append("/events/")
+    return rules
+
+
+def build_host_graph(cfg: SynthConfig) -> pd.DataFrame:
+    counts = zipf_page_counts(cfg)
+    rows = []
+    for hidx in range(cfg.n_hosts):
+        host = host_of(cfg, hidx)
+        robots = host_robots(cfg, hidx)
+        for j in range(counts[hidx]):
+            url = page_url(cfg, hidx, j)
+            rows.append(
+                {
+                    "url": url,
+                    "host": host,
+                    "status_code": page_status(cfg, hidx, j),
+                    "content_type": "text/html",
+                    "title": f"{host} page {j}",
+                    "body_links": page_links(cfg, counts, hidx, j),
+                    "image_refs": page_image_refs(cfg, hidx, j),
+                    "robots_disallow": robots,
+                    "last_modified": "Mon, 01 Jan 2024 00:00:00 GMT",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def build_images(cfg: SynthConfig) -> pd.DataFrame:
+    rows = []
+    for gidx in range(cfg.n_images):
+        iid = image_id_at(cfg, gidx)
+        w, h = image_dims(cfg, iid)
+        px = synth_pixels(iid, w, h)
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": encode_png(px),
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": "png",
+                "caption": image_caption(cfg, iid),
+                "phash": np.int64(phash64(px)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_seeds(cfg: SynthConfig) -> pd.DataFrame:
+    """Seed list incl. malformed rows exercising clean_seed_url (FIXTURES §2)."""
+    urls = [page_url(cfg, hidx, 0) for hidx in range(min(10, cfg.n_hosts))]
+    mangled = [
+        f'"{urls[0]}"',
+        "https:" + urls[1],
+        urls[2].replace("https://", ""),
+        urls[3] + "\\",
+        "C:\\Users\\crawler\\seeds.txt",
+        "",
+        urls[0],  # duplicate seed (dedup fixture)
+    ]
+    return pd.DataFrame({"url": urls + mangled})
+
+
+# ---------------------------------------------------------------------------
+# Pure-function URL resolver — the synthetic "HTTP server".
+#
+# Every page/image is a pure function of (cfg, url), so the distributed fetch
+# UDF needs only the ~1 KB SynthConfig on executors (no corpus broadcast):
+# "fetching" a URL is a deterministic computation. The oracle and the Spark
+# fetch UDF share this resolver, so byte-level parity is by construction.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_PAGE_RE = _re.compile(r"^https://([a-z0-9.-]+)/([a-z]+)/p(\d+)$")
+_IMG_RE = _re.compile(r"^https://img(\d)\.uconn\.edu/i/(img\d{6})\.png$")
+
+
+def parse_image_url(cfg: SynthConfig, url: str) -> str | None:
+    m = _IMG_RE.match(url)
+    if not m:
+        return None
+    iid = m.group(2)
+    gidx = int(iid[3:])
+    if gidx >= cfg.n_images or int(m.group(1)) != gidx % N_IMG_HOSTS:
+        return None
+    return iid
+
+
+def parse_page_url(cfg: SynthConfig, counts: list[int], url: str) -> tuple[int, int] | None:
+    m = _PAGE_RE.match(url)
+    if not m:
+        return None
+    host, sec, j_s = m.groups()
+    name = host.split(".uconn.edu")[0] if host.endswith(".uconn.edu") else None
+    if name is None or name not in cfg.host_names:
+        return None
+    hidx = cfg.host_names.index(name)
+    j = int(j_s)
+    if j >= counts[hidx]:
+        return None
+    if SECTIONS[_h(cfg.seed, "sec", hidx, j) % len(SECTIONS)] != sec:
+        return None
+    return hidx, j
+
+
+def resolve(cfg: SynthConfig, counts: list[int], url: str) -> dict:
+    """Simulated HTTP GET. Returns a fetch-result dict (status_code,
+    content_type, title, body_links, image_refs, bytes, w, h, fmt)."""
+    iid = parse_image_url(cfg, url)
+    if iid is not None:
+        w, h = image_dims(cfg, iid)
+        px = synth_pixels(iid, w, h)
+        return {
+            "status_code": 200,
+            "content_type": "image/png",
+            "title": None,
+            "body_links": [],
+            "image_refs": [],
+            "bytes": encode_png(px),
+            "w": w,
+            "h": h,
+            "fmt": "png",
+        }
+    pj = parse_page_url(cfg, counts, url)
+    if pj is not None:
+        hidx, j = pj
+        status = page_status(cfg, hidx, j)
+        return {
+            "status_code": status,
+            "content_type": "text/html",
+            "title": f"{host_of(cfg, hidx)} page {j}",
+            # 200 pages expose links/images; 301/404 yield nothing to extract
+            "body_links": page_links(cfg, counts, hidx, j) if status == 200 else [],
+            "image_refs": page_image_refs(cfg, hidx, j) if status == 200 else [],
+            "bytes": None,
+            "w": None,
+            "h": None,
+            "fmt": None,
+        }
+    return {
+        "status_code": 404,
+        "content_type": None,
+        "title": None,
+        "body_links": [],
+        "image_refs": [],
+        "bytes": None,
+        "w": None,
+        "h": None,
+        "fmt": None,
+    }
+
+
+def robots_for_host(cfg: SynthConfig, host: str) -> list[str]:
+    """robots.txt disallow prefixes per host (pages hosts only; image hosts open)."""
+    name = host.split(".uconn.edu")[0] if host.endswith(".uconn.edu") else None
+    if name in cfg.host_names:
+        return host_robots(cfg, cfg.host_names.index(name))
+    return []
+
+
+def robots_table(cfg: SynthConfig) -> pd.DataFrame:
+    rows = [
+        {"host": host_of(cfg, hidx), "disallow": host_robots(cfg, hidx)}
+        for hidx in range(cfg.n_hosts)
+    ]
+    return pd.DataFrame(rows)
+
+
+IMAGE_REF_TYPE = pa.list_(
+    pa.struct([pa.field("image_id", pa.string()), pa.field("alt", pa.string())])
+)
+
+HOST_GRAPH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("status_code", pa.int32()),
+        ("content_type", pa.string()),
+        ("title", pa.string()),
+        ("body_links", pa.list_(pa.string())),
+        ("image_refs", IMAGE_REF_TYPE),
+        ("robots_disallow", pa.list_(pa.string())),
+        ("last_modified", pa.string()),
+    ]
+)
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def generate(cfg: SynthConfig, out_dir: str) -> dict[str, str]:
+    """Write host_graph/images/seeds parquet under ``out_dir``; return paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    hg = build_host_graph(cfg)
+    t = pa.Table.from_pandas(hg, schema=HOST_GRAPH_SCHEMA, preserve_index=False)
+    paths["host_graph"] = os.path.join(out_dir, "host_graph.parquet")
+    pq.write_table(t, paths["host_graph"])
+
+    im = build_images(cfg)
+    t = pa.Table.from_pandas(im, schema=IMAGES_SCHEMA, preserve_index=False)
+    paths["images"] = os.path.join(out_dir, "images.parquet")
+    pq.write_table(t, paths["images"])
+
+    sd = build_seeds(cfg)
+    paths["seeds"] = os.path.join(out_dir, "seeds.parquet")
+    pq.write_table(pa.Table.from_pandas(sd, preserve_index=False), paths["seeds"])
+    return paths

@@ -1,0 +1,126 @@
+"""Parity: the distributed Spark crawl must reproduce the sequential oracle's
+dedup decisions, crawl ordering, captions and image bytes (SURVEY §5 rebuild
+test plan; correctness gates in BASELINE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scrapy_spark.functions.imagefn import decode_png, psnr
+from scrapy_spark.plans.crawl import CrawlJob
+from scrapy_spark.plans.oracle import CrawlParams, run_oracle
+from scrapy_spark.sources.synth import SynthConfig
+
+CFG = SynthConfig(seed=42, n_hosts=12, n_pages=300, n_images=120)
+PARAMS = CrawlParams(max_generations=4, per_host_budget=10)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return run_oracle(CFG, PARAMS)
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    job = CrawlJob(spark, CFG, PARAMS, wd, salt_buckets=4)
+    stats = job.run()
+    results = job.catalog.read(spark, "fetch_results").collect()
+    seen = job.catalog.read(spark, "url_seen").collect()
+    return {"stats": stats, "results": results, "seen": seen, "job": job}
+
+
+def test_seen_set_parity(oracle, spark_run):
+    ours = {(r["url"], r["generation"]) for r in spark_run["seen"]}
+    theirs = {(u, g) for u, g in oracle.seen.items()}
+    assert ours == theirs
+
+
+def test_crawl_ordering_parity(oracle, spark_run):
+    """Per-(generation, host) scheduled order must match the oracle exactly."""
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in spark_run["results"]
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+
+
+def test_fetch_row_parity(oracle, spark_run):
+    ours = {
+        r["url"]: (r["status_code"], r["content_type"], r["is_valid"], r["depth"], r["score"])
+        for r in spark_run["results"]
+    }
+    for o in oracle.scheduled:
+        assert ours[o["url"]] == (
+            o["status_code"],
+            o["content_type"],
+            o["is_valid"],
+            o["depth"],
+            o["score"],
+        ), o["url"]
+
+
+def test_caption_and_bytes_parity(oracle, spark_run):
+    """Per-row invariant vs reference: caption equality + PSNR >= 40 dB
+    (exact for lossless PNG) — BASELINE.json input_hint."""
+    ours = {r["url"]: (r["bytes"], r["caption"]) for r in spark_run["results"]}
+    n_images = 0
+    for o in oracle.scheduled:
+        b, cap = ours[o["url"]]
+        assert cap == o["caption"], o["url"]
+        if o["bytes"] is None:
+            assert b is None
+        else:
+            n_images += 1
+            assert bytes(b) == o["bytes"]  # byte-identical (lossless)
+            p = psnr(decode_png(bytes(b)), decode_png(o["bytes"]))
+            assert p == float("inf") and p >= 40.0
+    assert n_images > 10
+
+
+def test_lineage_counts(oracle, spark_run):
+    spark = spark_run["job"].spark
+    lin = spark_run["job"].catalog.read(spark, "lineage")
+    per_gen = {
+        r["generation"]: r["n"]
+        for r in lin.groupBy("generation").sum("scheduled").withColumnRenamed("sum(scheduled)", "n").collect()
+    }
+    oracle_per_gen = {}
+    for r in oracle.scheduled:
+        oracle_per_gen[r["generation"]] = oracle_per_gen.get(r["generation"], 0) + 1
+    assert per_gen == oracle_per_gen
+
+
+def test_bloom_path_equivalent(spark, oracle, tmp_path_factory):
+    """Bloom-prefiltered dedup must yield identical decisions to exact-only."""
+    wd = str(tmp_path_factory.mktemp("crawl_bloom"))
+    job = CrawlJob(spark, CFG, PARAMS, wd, salt_buckets=4, use_bloom=True)
+    job.run()
+    seen = {(r["url"], r["generation"]) for r in job.catalog.read(spark, "url_seen").collect()}
+    assert seen == {(u, g) for u, g in oracle.seen.items()}
+
+
+def test_resume_bit_identical(spark, oracle, tmp_path_factory):
+    """Kill after generation 1, resume, final tables bit-identical (M4)."""
+    wd = str(tmp_path_factory.mktemp("crawl_resume"))
+    # phase 1: run only generations 0..1 (simulated kill)
+    p1 = CrawlParams(max_generations=2, per_host_budget=PARAMS.per_host_budget)
+    CrawlJob(spark, CFG, p1, wd, salt_buckets=4).run()
+    # phase 2: resume to the full horizon
+    job2 = CrawlJob(spark, CFG, PARAMS, wd, salt_buckets=4)
+    job2.run(resume=True)
+    rows = job2.catalog.read(spark, "fetch_results").collect()
+    got = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"], r["caption"], r["bytes"] is None)
+        for r in rows
+    )
+    want = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"], r["caption"], r["bytes"] is None)
+        for r in oracle.scheduled
+    )
+    assert got == want
