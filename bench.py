@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries + crawl throughput. Prints ONE JSON line.
+
+  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — analytics input
+  SPARK_GRAFT_CPUS   (default 32)                   — local[N]
+
+Each query runs through a noop sink (full execution, no driver collect).
+The crawl bench runs a 3-generation crawl over a deterministic synthetic web
+(~10k scheduled+fetched URLs incl. PNG image payloads) and reports
+urls/sec — the BASELINE.json north metric. Scaling evidence (local[8] vs
+local[32]) is produced by bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_top_orders",
+    "q5_nation_revenue",
+    "a1_group_counts",
+    "a14_hourly_success_rate",
+    "a14_top_keywords",
+    "w1_frontier_rank_topk",
+    "w6_blended_priority",
+    "j1_seen_anti_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embed_neardup_pairs",
+    "text_quality_score",
+    "pagerank_copurchase",
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_crawl_bench(spark, cpus: int) -> tuple[float, int]:
+    from scrapy_spark.plans.crawl import CrawlJob
+    from scrapy_spark.plans.oracle import CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    cfg = SynthConfig(seed=42, n_hosts=40, n_pages=20000, n_images=8000,
+                      links_per_page=8, images_per_page=3)
+    params = CrawlParams(max_generations=3, per_host_budget=300, gen_cap=50000)
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.perf_counter()
+        job = CrawlJob(spark, cfg, params, wd, salt_buckets=max(8, cpus))
+        stats = job.run()
+        elapsed = time.perf_counter() - t0
+        total = sum(s.scheduled for s in stats)
+        return elapsed, total
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from scrapy_spark.entry_queries import QUERIES
+    from scrapy_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # warmup: absorb JVM/Arrow worker startup outside the timings
+    QUERIES["a1_group_counts"][0](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        timings[name] = round(run_query(spark, fn, sf_dir), 3)
+
+    crawl_secs, crawl_urls = run_crawl_bench(spark, cpus)
+    timings["crawl_3gen"] = round(crawl_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + 3-gen crawl wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_urls_fetched": crawl_urls,
+                "crawl_urls_per_sec": round(crawl_urls / crawl_secs, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,6 @@ def main(argv: list[str] | None = None) -> int:
                     json.dumps(
                         {
                             "generation": s.generation,
-                            "candidates": s.candidates,
                             "scheduled": s.scheduled,
                             "seconds": round(s.seconds, 2),
                             "urls_per_sec": round(s.scheduled / s.seconds, 1)

@@ -1,0 +1,1057 @@
+"""Driver-contract query inventory: Spark impl + DuckDB oracle SQL per operator.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-data
+pipeline op) onto the provided testdata tables. Conventions that make the
+driver's order-insensitive value-hash comparison exact:
+
+- every computed column is aliased identically in Spark and SQL;
+- money/float aggregations are **integer-quantized first** (cents / micros),
+  so sums are exact bigints and independent of accumulation order;
+- divisions/averages apply the identical formula to identical exact inputs
+  (IEEE-754 double ops are deterministic given equal operands);
+- top-k always ranks with a total order (metric desc, key asc) — never a bare
+  LIMIT that is ambiguous under ties;
+- timestamps are emitted as wall-clock strings (naive parquet timestamps
+  render identically in Spark UTC sessions and DuckDB).
+
+Registry: QUERIES[name] = (fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+None oracle => non-SQL-expressible op; the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# exact integer quantizers (see module docstring)
+def _cents(c):  # 2-dp money -> bigint cents
+    return F.round(c * 100).cast("long")
+
+
+def _pct(c):  # 2-dp rate -> bigint percent
+    return F.round(c * 100).cast("long")
+
+
+def _micros(c):  # 6-dp value -> bigint micros
+    return F.round(c * 1000000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A1-A14)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a1_group_counts",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_group_counts(spark, sf_dir):
+    """Per-domain URL counts analog (A1, url_deduplication.py:161-174)."""
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@_q(
+    "a2_dedup_stats",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM documents
+    """,
+)
+def a2_dedup_stats(spark, sf_dir):
+    """Dedup checked/new/duplicate-rate stats (A2, url_deduplication.py:176-189)."""
+    return load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@_q(
+    "a3_depth_histogram",
+    """
+    SELECT l_linenumber AS depth, count(*) AS n
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def a3_depth_histogram(spark, sf_dir):
+    """Depth histogram analog (A3, discovery_spider.py:874-880)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_linenumber").alias("depth"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "a4_top_referrers",
+    """
+    SELECT user_id, n FROM (
+      SELECT user_id, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rk
+      FROM events GROUP BY user_id
+    ) WHERE rk <= 10
+    """,
+)
+def a4_top_referrers(spark, sf_dir):
+    """Top referring pages / top-k by outlink count (A4) with total-order ties."""
+    g = load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return g.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).drop("rk")
+
+
+@_q(
+    "a6_section_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           max(n_chars) AS max_chars,
+           round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def a6_section_stats(spark, sf_dir):
+    """Per-section running aggregates (A6, adaptive_depth.py:35-63)."""
+    return load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars") / F.count("*").cast("double"), 6).alias("avg_chars"),
+    )
+
+
+@_q(
+    "a7_source_success_rate",
+    """
+    SELECT source,
+           count(*) AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_ok,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS success_rate
+    FROM documents GROUP BY source
+    """,
+)
+def a7_source_success_rate(spark, sf_dir):
+    """Pattern/source success rates (A7, feedback.py:18-38)."""
+    d = load(spark, sf_dir, "documents")
+    ok = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        ok.alias("n_ok"),
+        F.round(ok / F.count("*").cast("double"), 6).alias("success_rate"),
+    )
+
+
+@_q(
+    "a14_hourly_success_rate",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
+    FROM events GROUP BY 1
+    """,
+)
+def a14_hourly_success_rate(spark, sf_dir):
+    """Hourly validation-success-rate template (A14, datalake_schema.py:222-231)."""
+    e = load(spark, sf_dir, "events")
+    p = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return e.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        p.alias("n_purchase"),
+        F.round(p / F.count("*").cast("double"), 6).alias("purchase_rate"),
+    )
+
+
+@_q(
+    "a14_top_keywords",
+    """
+    SELECT word, n FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ) WHERE rk <= 20
+    """,
+)
+def a14_top_keywords(spark, sf_dir):
+    """Top-keywords unnest+count template (A14, datalake_schema.py:206-214)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    g = words.groupBy("word").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return g.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style full-engine checks (scan -> filter -> join -> agg)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_e4,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_e6,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape with exact integer-quantized money sums."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc = _pct(F.col("l_discount"))
+    tax = _pct(F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(price_c).alias("sum_base_cents"),
+        F.sum(price_c * (100 - disc)).alias("sum_disc_e4"),
+        F.sum(price_c * (100 - disc) * (100 + tax)).alias("sum_charge_e6"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q3_segment_top_orders",
+    """
+    SELECT o_orderkey, revenue_e4, o_orderdate FROM (
+      SELECT o.o_orderkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+             CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+             row_number() OVER (
+               ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) DESC,
+                        o.o_orderkey ASC) AS rk
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS VARCHAR)
+    ) WHERE rk <= 10
+    """,
+)
+def q3_segment_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top-k.
+
+    The customer dim is broadcast (small side) — no shuffle for the frontier-
+    sized fact table at scale.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+    w = Window.orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", "revenue_e4", "o_orderdate")
+    )
+
+
+@_q(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name, r.r_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_e4
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join with broadcast dims."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / frontier selection (SURVEY §2.6 W1-W8)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "w1_frontier_rank_topk",
+    """
+    SELECT event_type AS host, event_id, value, rank_in_host FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rank_in_host
+      FROM events
+    ) WHERE rank_in_host <= 5
+    """,
+)
+def w1_frontier_rank_topk(spark, sf_dir):
+    """THE north-rule operator shape: per-host rank-and-take under a budget
+    (W1, priority_queue.py:112-125) — here per event_type over events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 5)
+        .select(F.col("event_type").alias("host"), "event_id", "value", "rank_in_host")
+    )
+
+
+@_q(
+    "w6_blended_priority",
+    """
+    SELECT event_id, event_type,
+           round(0.6 * (value - vmin) / (vmax - vmin)
+                 + 0.4 * (k - kmin) / CAST(kmax - kmin AS DOUBLE), 6) AS priority
+    FROM (
+      SELECT event_id, event_type, value,
+             CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+             min(value) OVER (PARTITION BY event_type) AS vmin,
+             max(value) OVER (PARTITION BY event_type) AS vmax,
+             min(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+               OVER (PARTITION BY event_type) AS kmin,
+             max(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+               OVER (PARTITION BY event_type) AS kmax
+      FROM events
+    ) WHERE vmax > vmin AND kmax > kmin
+    """,
+)
+def w6_blended_priority(spark, sf_dir):
+    """Batch prioritization: min-max normalized weighted blend
+    (W6, validator.py:133-191)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    )
+    w = Window.partitionBy("event_type")
+    e = (
+        e.withColumn("vmin", F.min("value").over(w))
+        .withColumn("vmax", F.max("value").over(w))
+        .withColumn("kmin", F.min("k").over(w))
+        .withColumn("kmax", F.max("k").over(w))
+    )
+    pr = 0.6 * (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")) + 0.4 * (
+        F.col("k") - F.col("kmin")
+    ) / (F.col("kmax") - F.col("kmin")).cast("double")
+    return (
+        e.filter((F.col("vmax") > F.col("vmin")) & (F.col("kmax") > F.col("kmin")))
+        .select("event_id", "event_type", F.round(pr, 6).alias("priority"))
+    )
+
+
+@_q(
+    "w8_pagination_expand",
+    """
+    SELECT p_partkey, page,
+           concat('https://catalog.uconn.edu/part/', CAST(p_partkey AS VARCHAR),
+                  '?page=', CAST(page AS VARCHAR)) AS page_url
+    FROM (SELECT p_partkey, unnest(generate_series(1, 1 + p_size % 5)) AS page
+          FROM part WHERE p_partkey <= 50)
+    """,
+)
+def w8_pagination_expand(spark, sf_dir):
+    """Pagination URL range expansion (W8, discovery_spider.py:1097-1154) —
+    1→N explode(sequence(...)), the UDTF-free expansion."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(1), 1 + F.col("p_size") % 5)).alias("page"),
+    ).select(
+        "p_partkey",
+        "page",
+        F.concat(
+            F.lit("https://catalog.uconn.edu/part/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("?page="),
+            F.col("page").cast("string"),
+        ).alias("page_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & set ops (SURVEY §2.4 J*, §2.7 SO*)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j1_seen_anti_join",
+    """
+    SELECT DISTINCT e.user_id, e.event_type
+    FROM events e
+    WHERE e.ts >= TIMESTAMP '2024-01-20 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM events s
+        WHERE s.ts < TIMESTAMP '2024-01-20 00:00:00'
+          AND s.user_id = e.user_id AND s.event_type = e.event_type)
+    """,
+)
+def j1_seen_anti_join(spark, sf_dir):
+    """The dedup kernel shape: candidates − seen via left_anti
+    (J1/D1, url_deduplication.py:107-114)."""
+    e = load(spark, sf_dir, "events")
+    cut = "2024-01-20 00:00:00"
+    seen = e.filter(F.col("ts") < cut).select("user_id", "event_type")
+    cand = e.filter(F.col("ts") >= cut).select("user_id", "event_type")
+    return cand.join(seen, ["user_id", "event_type"], "left_anti").distinct()
+
+
+@_q(
+    "j2_importance_join",
+    """
+    SELECT c.c_name, i.importance, i.n_events
+    FROM customer c JOIN (
+      SELECT user_id,
+             round(sum(CAST(round(value * 1000000) AS BIGINT))
+                   / 1000000.0 / count(*), 6) AS importance,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    ) i ON c.c_custkey = i.user_id
+    """,
+)
+def j2_importance_join(spark, sf_dir):
+    """Frontier ⋈ importance-scores broadcast join (J2, validator.py:133-191);
+    the small aggregate side broadcasts."""
+    e = load(spark, sf_dir, "events")
+    imp = e.groupBy("user_id").agg(
+        F.round(F.sum(_micros(F.col("value"))) / 1000000.0 / F.count("*"), 6).alias(
+            "importance"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    c = load(spark, sf_dir, "customer")
+    return c.join(F.broadcast(imp), c.c_custkey == imp.user_id).select(
+        "c_name", "importance", "n_events"
+    )
+
+
+@_q(
+    "j7_robots_prefix_filter",
+    """
+    SELECT d.doc_id, concat('/docs/', d.source, '/', CAST(d.doc_id AS VARCHAR)) AS path
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (VALUES ('/docs/src1'), ('/docs/src3')) AS r(prefix)
+      WHERE starts_with(concat('/docs/', d.source, '/', CAST(d.doc_id AS VARCHAR)),
+                        r.prefix))
+    """,
+)
+def j7_robots_prefix_filter(spark, sf_dir):
+    """robots.txt prefix-disallow enforcement (J7) as a broadcast-join+
+    exists(startswith) filter."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(F.lit("/docs/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")),
+    )
+    rules = F.array(F.lit("/docs/src1"), F.lit("/docs/src3"))
+    return d.filter(
+        ~F.exists(rules, lambda p: F.col("path").startswith(p))
+    ).select("doc_id", "path")
+
+
+@_q(
+    "so1_union_distinct",
+    """
+    SELECT DISTINCT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id FROM events WHERE value > 400.0
+    )
+    """,
+)
+def so1_union_distinct(spark, sf_dir):
+    """Union of per-heuristic candidate sets (SO1, discovery_spider.py:360-524)."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("value") > 400.0).select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@_q(
+    "so3_keyword_merge_cap",
+    """
+    SELECT doc_id,
+           count(DISTINCT word) AS n_unique_words,
+           least(15, count(DISTINCT word)) AS n_capped
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY doc_id
+    """,
+)
+def so3_keyword_merge_cap(spark, sf_dir):
+    """Keyword-merge with cap 15 (SO3, enrichment_spider.py:350-353)."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return w.groupBy("doc_id").agg(
+        F.countDistinct("word").alias("n_unique_words"),
+        F.least(F.lit(15), F.countDistinct("word")).alias("n_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication suite over `documents`
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, first-writer (min doc_id) wins — the
+    documents-table twin of the URL seen-set kernel (D1)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+"""
+
+
+def _spark_shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc — all JVM-side array functions."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    d = d.filter(F.size("toks") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common / CAST(sa.sz + sb.sz - p.common AS DOUBLE), 6) AS jaccard
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.common / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: 3-gram shingle sets, candidate pairs share a
+    shingle (an implicit LSH on exact shingles), Jaccard >= 0.2.
+
+    Scale path: the shingle self-join is the classic "inverted index" join —
+    at 100 TB you'd cap posting-list length (drop shingles appearing in > K
+    docs) before the self-join; the synthetic corpus needs no cap."""
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")).cast(
+        "double"
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             min(md5(concat('p1:', shingle))) AS h1,
+             min(md5(concat('p2:', shingle))) AS h2,
+             min(md5(concat('p3:', shingle))) AS h3,
+             min(md5(concat('p4:', shingle))) AS h4
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+     AND (concat(a.h1, a.h2) = concat(b.h1, b.h2)
+          OR concat(a.h3, a.h4) = concat(b.h3, b.h4))
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 4 hash permutations (lexicographic min
+    of keyed md5 — engine-portable), 2 bands of 2 rows; pairs agreeing on any
+    band are candidates (shingle→minhash→band→bucket-join).
+
+    Scale path: band buckets become the shuffle key (groupBy band value),
+    so candidate generation is linear in corpus size, never all-pairs."""
+    sh = _spark_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    s = sigs.select(
+        "doc_id",
+        F.concat("h1", "h2").alias("band1"),
+        F.concat("h3", "h4").alias("band2"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        (F.col("a.band1") == F.col("b.band1")) | (F.col("a.band2") == F.col("b.band2"))
+    )
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@_q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN
+                   ((instr('0123456789abcdef',
+                           substring(md5(word), 1 + (i // 4), 1)) - 1)
+                    >> (3 - (i % 4))) & 1 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM toks, UNNEST(generate_series(0, 31)) AS t(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash32
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash document fingerprints: 32-bit signature from per-token md5 bit
+    majorities (distinct-token variant). Near-dups = small hamming distance
+    (bit_count(xor)) — signatures here; pairing is a cheap follow-up join."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    tb = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        F.md5("word").alias("hx"),
+    )
+    hexval = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("hx"), (F.col("i") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    # shift-by-column via exact power-of-two division (hexval in 0..15)
+    pow2 = F.pow(F.lit(2.0), (3 - F.col("i") % 4).cast("double"))
+    bit = (hexval / pow2).cast("int").bitwiseAND(F.lit(1))
+    bits = tb.groupBy("doc_id", "i").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("s")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.pow(F.lit(2.0), F.col("i").cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash32")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (array<float>, 64-dim)
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+"""
+
+
+def _spark_quantized(spark, sf_dir):
+    """Embeddings quantized to integer milli-units: dot products become exact
+    bigint arithmetic — order-independent, engine-portable."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x * 1000).cast("long")
+        ).alias("q"),
+    )
+
+
+_COS_EXPR = (
+    "round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS ({_QUANT_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.q, b.q) AS dot,
+             list_dot_product(a.q, a.q) AS na,
+             list_dot_product(b.q, b.q) AS nb
+      FROM q a JOIN q b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): queries = vec_id < 20,
+    k=3. Dot products on quantized ints (exact); cosine rounded to 6dp with a
+    total-order tie-break. Scale path: IVF/LSH bucketing (see ann_lsh_bucketed)."""
+    q = _spark_quantized(spark, sf_dir)
+    a = q.filter(F.col("vec_id") < 20).alias("a")
+    b = q.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(f"{side}.q"), F.col(f"{side}.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            dot.alias("dot"),
+            norm("a").alias("na"),
+            norm("b").alias("nb"),
+        )
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@_q(
+    "embed_neardup_pairs",
+    f"""
+    WITH q AS ({_QUANT_SQL})
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_dot_product(a.q, b.q)
+                   / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6) AS cosine
+      FROM q a JOIN q b ON a.vec_id < b.vec_id AND a.label = b.label
+    ) WHERE cosine >= 0.98
+    """,
+)
+def embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
+    bucketing: compare only within a coarse partition, never all-pairs)."""
+    q = _spark_quantized(spark, sf_dir)
+    a, b = q.alias("a"), q.alias("b")
+    dot = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(l), F.col(r), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot("a.q", "b.q")
+        / (
+            F.sqrt(dot("a.q", "a.q").cast("double"))
+            * F.sqrt(dot("b.q", "b.q").cast("double"))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.98)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language-ID, quality, token counts)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the','a','and','of','to','in','is','it','on','for')"
+
+
+@_q(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN {_STOPWORDS})) AS n_stop,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+           round(least(1.0, n_tokens / 100.0) * 0.5
+                 + least(1.0, 4.0 * n_stop / CAST(n_tokens AS DOUBLE)) * 0.5, 6)
+             AS quality
+    FROM t WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio blend (training-data filter)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    stops = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda w: w.isin(*[s.strip("'") for s in _STOPWORDS.strip("()").split(",")]),
+    )
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(stops).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    stop_ratio = F.col("n_stop") / F.col("n_tokens").cast("double")
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.5
+        + F.least(F.lit(1.0), 4.0 * F.col("n_stop") / F.col("n_tokens").cast("double"))
+        * 0.5
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@_q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit(""))).alias(
+            "n_ws_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
+    )
+
+
+@_q(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                     w -> w IN {_STOPWORDS})) >= 3
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword density); deterministic n-gram-free
+    variant suited to the synthetic corpus."""
+    d = load(spark, sf_dir, "documents")
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda w: w.isin(*[s.strip("'") for s in _STOPWORDS.strip("()").split(",")]),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop >= 3, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@_q(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: treat text-as-bytes the way image/audio
+    payloads flow (BinaryType column + typed metadata). Real decode UDFs live
+    in scrapy_spark.functions.imagefn (PNG) / are stubbed for absent codecs."""
+    d = load(spark, sf_dir, "documents")
+    b = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@_q("pagerank_copurchase", None)
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank (A9, link_graph.py:182-247: damping 0.85, max-normalized) over
+    the customer→part bipartite graph, 5 fixed iterations as DataFrame joins.
+    Iterative — no single SQL oracle; verified by tests/test_linkgraph.py
+    against a numpy reference."""
+    from .operators.linkgraph import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5)
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+@_q("doc_fingerprint", None)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash fingerprint (mod 2^61-1) — sequential per-doc
+    recurrence, Arrow-vectorized via pandas UDF (not SQL-expressible);
+    verified by tests against a pure-Python reference."""
+    from .functions.textfn import fingerprint_udf
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))

@@ -61,12 +61,24 @@ def fetch_frontier(
     cfg: SynthConfig,
     salt_buckets: int = 8,
     politeness_delay_s: float = 0.0,
+    fetch_latency_s: float = 0.0,
+    fetch_partitions: int | None = None,
 ) -> DataFrame:
     """Fetch the selected frontier slice; returns FETCH_SCHEMA rows.
 
     ``salt_buckets`` splits each host across S partitions (skew control);
     the politeness budget was already enforced per host at selection time,
     so pacing here (delay * S effective, SURVEY §4) is a safety net.
+
+    ``fetch_latency_s`` simulates network RTT per URL (the reference crawler
+    is I/O-bound: 185 URLs/s across 32 aiohttp workers, README.md:111); the
+    benchmark enables it so scaling numbers reflect a real fetch stage rather
+    than an unrealistically-free synthetic resolve.
+
+    ``fetch_partitions`` pins the exchange width: a latency-bound stage has
+    tiny byte sizes, so AQE would coalesce it to a handful of tasks and
+    serialize the sleeps — exactly the wrong plan. Explicit repartition(N)
+    keeps the fetch wide (default 4x defaultParallelism).
     """
     counts = zipf_page_counts(cfg)  # tiny, recomputed per executor from cfg
 
@@ -74,6 +86,9 @@ def fetch_frontier(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if fetch_latency_s > 0:
+                # batch-equivalent of per-row RTT (same wall time per task)
+                time.sleep(fetch_latency_s * len(pdf))
             out_rows = []
             last_host = None
             for row in pdf.itertuples(index=False):
@@ -113,7 +128,11 @@ def fetch_frontier(
                 )
             yield pd.DataFrame(out_rows)
 
+    if fetch_partitions is None:
+        fetch_partitions = selected.sparkSession.sparkContext.defaultParallelism * 4
     salted = selected.select(*IN_COLS).repartition(
-        F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+        fetch_partitions,
+        F.col("host"),
+        F.pmod(F.col("url_hash"), F.lit(salt_buckets)),
     )
     return salted.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)

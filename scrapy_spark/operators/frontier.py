@@ -134,12 +134,20 @@ def anti_join_seen(cands: DataFrame, seen: DataFrame | None) -> DataFrame:
 
 
 def select_frontier(
-    deduped: DataFrame, per_host_budget: int, gen_cap: int
+    deduped: DataFrame, per_host_budget: int, gen_cap: int | None
 ) -> DataFrame:
     """Per-host rank-and-take under the politeness budget (W1) + global cap.
 
     Rank key (depth asc, score desc, url asc) — the reference's priority
     ordering (priority_queue.py:112-138) with a total-order tie-break.
+
+    The backpressure cap (reference queue cap 10k, pipeline.py:36) is applied
+    unconditionally via a global row_number — equivalent to the sequential
+    oracle in both branches (under the cap it removes nothing and re-ranking
+    reproduces the same per-host ranks, since both use the same total order)
+    and needs no driver-side count. The global window sorts only the
+    budget-filtered slice (≤ budget × active hosts rows). Pass gen_cap=None
+    for unbounded generations (skips the global sort entirely).
     """
     w = Window.partitionBy("host").orderBy(
         F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()
@@ -147,14 +155,12 @@ def select_frontier(
     sel = deduped.withColumn("rank_in_host", F.row_number().over(w)).filter(
         F.col("rank_in_host") <= per_host_budget
     )
-    n = sel.count()
-    if n > gen_cap:
-        # backpressure cap (reference queue cap 10k, pipeline.py:36):
-        # keep globally-best rows, then re-rank within host
-        capped = (
-            sel.orderBy(F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
-            .limit(gen_cap)
-            .drop("rank_in_host")
-        )
-        sel = capped.withColumn("rank_in_host", F.row_number().over(w))
-    return sel
+    if gen_cap is None:
+        return sel
+    wg = Window.orderBy(F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
+    capped = (
+        sel.withColumn("_g", F.row_number().over(wg))
+        .filter(F.col("_g") <= gen_cap)
+        .drop("_g", "rank_in_host")
+    )
+    return capped.withColumn("rank_in_host", F.row_number().over(w))

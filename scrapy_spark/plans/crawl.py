@@ -57,14 +57,18 @@ RESULT_COLS = [
     "title",
     "bytes",
     "caption",
+    # structured page content kept alongside (the reference's response-cache
+    # role, S8) — downstream reads are column-pruned, so these arrays cost
+    # nothing unless extraction asks for them, and `bytes` never re-enters
+    # memory after the fetch write (SURVEY §7.3.4)
+    "body_links",
+    "image_refs",
 ]
 
 
 @dataclass
 class GenStats:
     generation: int
-    candidates: int
-    deduped: int
     scheduled: int
     seconds: float
 
@@ -79,6 +83,8 @@ class CrawlJob:
         salt_buckets: int = 8,
         use_bloom: bool = False,
         politeness_delay_s: float = 0.0,
+        fetch_latency_s: float = 0.0,
+        fetch_partitions: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -87,6 +93,8 @@ class CrawlJob:
         self.salt_buckets = salt_buckets
         self.use_bloom = use_bloom
         self.politeness_delay_s = politeness_delay_s
+        self.fetch_latency_s = fetch_latency_s
+        self.fetch_partitions = fetch_partitions
         self._robots = None
 
     def robots_df(self) -> DataFrame:
@@ -112,6 +120,12 @@ class CrawlJob:
         return stats
 
     def _run_generation(self, gen: int) -> GenStats:
+        """One frontier generation = ONE materializing Spark action (the
+        cached fetch output), then narrow coalesced writes from cache and
+        pandas-side staging of the tiny rollups. Job count per generation is
+        constant, so per-generation overhead amortizes at scale."""
+        import pandas as pd
+
         t0 = time.time()
         spark, params = self.spark, self.params
 
@@ -125,12 +139,11 @@ class CrawlJob:
                 else None
             )
             if raw is None:
-                return GenStats(gen, 0, 0, 0, 0.0)
+                return GenStats(gen, 0, 0.0)
 
         cands = canonicalize_candidates(raw, params.domain)
         cands = apply_robots(cands, self.robots_df())
-        cands = dedup_within_generation(cands).persist()
-        n_cands = cands.count()
+        cands = dedup_within_generation(cands)
 
         seen = self.catalog.read(spark, "url_seen")
         if self.use_bloom and seen is not None:
@@ -138,18 +151,20 @@ class CrawlJob:
         else:
             new = anti_join_seen(cands, seen)
 
-        selected = select_frontier(new, params.per_host_budget, params.gen_cap).persist()
-        n_sel = selected.count()
-        cands.unpersist()
+        selected = select_frontier(new, params.per_host_budget, params.gen_cap)
 
-        if n_sel == 0:
-            self.catalog.commit(gen, {}, stats={"generation": gen, "scheduled": 0})
-            return GenStats(gen, n_cands, 0, 0, time.time() - t0)
-
+        # Fetch writes its results table directly — ONE materializing action
+        # at full parallelism. Image bytes go to parquet exactly once and
+        # never enter the block cache or a shuffle (SURVEY §7.3.4): every
+        # downstream reader below is column-pruned parquet.
         fetched = fetch_frontier(
-            selected, self.cfg, self.salt_buckets, self.politeness_delay_s
-        ).persist()
-
+            selected,
+            self.cfg,
+            self.salt_buckets,
+            self.politeness_delay_s,
+            self.fetch_latency_s,
+            self.fetch_partitions,
+        )
         results = fetched.withColumn("generation", F.lit(gen)).withColumn(
             "caption",
             F.when(F.col("bytes").isNotNull(), F.col("anchor")).otherwise(
@@ -160,8 +175,17 @@ class CrawlJob:
         staged["fetch_results"] = self.catalog.stage(
             results.select(*RESULT_COLS), "fetch_results", gen
         )
+        # fetch is 1→1: row count comes free from the parquet footers
+        n_sel = self.catalog.staged_rows(staged["fetch_results"])
+
+        if n_sel == 0:
+            self.catalog.commit(gen, {}, stats={"generation": gen, "scheduled": 0})
+            return GenStats(gen, 0, time.time() - t0)
+
+        staged_read = self.catalog.read_files(spark, staged["fetch_results"])
+
         staged["url_seen"] = self.catalog.stage(
-            selected.select(
+            staged_read.select(
                 "url_hash",
                 "url",
                 "host",
@@ -170,49 +194,50 @@ class CrawlJob:
             ),
             "url_seen",
             gen,
+            coalesce=4,
         )
-        # per-partition lineage: (generation, host_shard=host, stage counts)
-        lineage = (
-            fetched.groupBy("host")
+        # per-partition lineage: (generation, host_shard=host, stage counts);
+        # tiny rollup — collected (column-pruned) and staged driver-side
+        lineage_rows = (
+            staged_read.groupBy("host")
             .agg(
                 F.count("*").alias("scheduled"),
                 F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("fetched"),
                 F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("failed"),
-                F.sum(F.when(F.col("bytes").isNotNull(), 1).otherwise(0)).alias("images"),
+                F.sum(
+                    F.when(F.col("content_type").startswith("image/"), 1).otherwise(0)
+                ).alias("images"),
             )
-            .withColumn("generation", F.lit(gen))
+            .collect()
         )
-        staged["lineage"] = self.catalog.stage(lineage, "lineage", gen)
+        lineage_pdf = pd.DataFrame([r.asDict() for r in lineage_rows]).assign(
+            generation=gen
+        )
+        staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
 
-        nxt = extract_candidates(fetched).withColumn("generation", F.lit(gen + 1))
-        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen)
+        nxt = extract_candidates(staged_read).withColumn("generation", F.lit(gen + 1))
+        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=8)
 
         if self.use_bloom:
             staged["bloom"] = dedup_ops.stage_bloom_delta(
-                spark, self.catalog, selected, gen
+                spark, self.catalog, staged_read, gen
             )
 
         elapsed = time.time() - t0
-        metrics = spark.createDataFrame(
+        metrics_pdf = pd.DataFrame(
             [
-                (
-                    gen,
-                    "crawl_generation",
-                    n_sel,
-                    float(n_sel) / elapsed if elapsed > 0 else 0.0,
-                    float(elapsed),
-                )
-            ],
-            "generation int, stage string, items_processed long, "
-            "items_per_second double, elapsed_seconds double",
+                {
+                    "generation": gen,
+                    "stage": "crawl_generation",
+                    "items_processed": n_sel,
+                    "items_per_second": float(n_sel) / elapsed if elapsed > 0 else 0.0,
+                    "elapsed_seconds": float(elapsed),
+                }
+            ]
         )
-        staged["metrics"] = self.catalog.stage(metrics, "metrics", gen)
+        staged["metrics"] = self.catalog.stage_pandas(metrics_pdf, "metrics", gen)
 
         self.catalog.commit(
-            gen,
-            staged,
-            stats={"generation": gen, "candidates": n_cands, "scheduled": n_sel},
+            gen, staged, stats={"generation": gen, "scheduled": n_sel}
         )
-        fetched.unpersist()
-        selected.unpersist()
-        return GenStats(gen, n_cands, n_sel, n_sel, elapsed)
+        return GenStats(gen, n_sel, elapsed)

@@ -48,9 +48,17 @@ class SnapshotCatalog:
     def committed_generation(self) -> int:
         return self._load()["committed_generation"]
 
-    def stage(self, df: DataFrame, table: str, generation: int) -> list[str]:
-        """Write df to staged parquet files for `table`; not yet visible."""
+    def stage(
+        self, df: DataFrame, table: str, generation: int, coalesce: int | None = None
+    ) -> list[str]:
+        """Write df to staged parquet files for `table`; not yet visible.
+
+        ``coalesce`` caps output file count — pass it when df is already
+        materialized (cached) so the narrow coalesce doesn't reduce upstream
+        parallelism (the Iceberg analog: write.target-file-size)."""
         tmp = os.path.join(self.root, f"_stage-{table}-{generation}-{uuid.uuid4().hex}")
+        if coalesce is not None:
+            df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(tmp)
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
@@ -63,6 +71,31 @@ class SnapshotCatalog:
             out.append(os.path.relpath(dst, self.root))
         shutil.rmtree(tmp, ignore_errors=True)
         return out
+
+    def staged_rows(self, files: list[str]) -> int:
+        """Row count from parquet footers — no Spark job needed."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows for f in files
+        )
+
+    def read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Read specific staged (not-yet-committed) files."""
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def stage_pandas(self, pdf, table: str, generation: int) -> list[str]:
+        """Stage a tiny driver-side table (metrics/lineage rollups) directly
+        via pyarrow — a 1-row Spark parquet write costs ~0.7 s of job
+        scheduling; this costs ~1 ms."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        dst = os.path.join(tdir, f"g{generation:05d}-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), dst)
+        return [os.path.relpath(dst, self.root)]
 
     def commit(self, generation: int, staged: dict[str, list[str]], stats: dict | None = None) -> None:
         """Atomically publish all staged files for one generation."""

@@ -55,6 +55,7 @@ class SynthConfig:
     images_per_page: int = 2
     img_w: int = 48
     img_h: int = 32
+    n_seeds: int = 10  # breadth of generation 0 (bench uses thousands)
     host_names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -211,8 +212,19 @@ def build_images(cfg: SynthConfig) -> pd.DataFrame:
 
 
 def build_seeds(cfg: SynthConfig) -> pd.DataFrame:
-    """Seed list incl. malformed rows exercising clean_seed_url (FIXTURES §2)."""
-    urls = [page_url(cfg, hidx, 0) for hidx in range(min(10, cfg.n_hosts))]
+    """Seed list incl. malformed rows exercising clean_seed_url (FIXTURES §2).
+
+    ``n_seeds`` pages cycle across hosts (row-major) so a bench-scale seed
+    list fans the first generation across the whole host universe."""
+    counts = zipf_page_counts(cfg)
+    urls = []
+    i = 0
+    while len(urls) < cfg.n_seeds and i < cfg.n_seeds * 4:
+        hidx = i % cfg.n_hosts
+        j = i // cfg.n_hosts
+        i += 1
+        if j < counts[hidx]:
+            urls.append(page_url(cfg, hidx, j))
     mangled = [
         f'"{urls[0]}"',
         "https:" + urls[1],

@@ -1,0 +1,89 @@
+"""PageRank/HITS vs a dense numpy reference on a small random graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scrapy_spark.operators.linkgraph import degree_stats, hits, pagerank
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = set()
+    for _ in range(120):
+        s, d = rng.randint(0, n), rng.randint(0, n)
+        if s != d:
+            edges.add((f"n{s}", f"n{d}"))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return df, edges
+
+
+def _np_pagerank(edges, iterations=10, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * dangling / n + damping * contrib
+    r = r / r.max()
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy(spark, graph):
+    df, edges = graph
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = _np_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def _np_hits(edges, iterations=10):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iterations):
+        new_auth = np.zeros(n)
+        for s, d in edges:
+            new_auth[idx[d]] += hub[idx[s]]
+        new_auth /= np.linalg.norm(new_auth) or 1.0
+        new_hub = np.zeros(n)
+        for s, d in edges:
+            new_hub[idx[s]] += new_auth[idx[d]]
+        new_hub /= np.linalg.norm(new_hub) or 1.0
+        hub, auth = new_hub, new_auth
+    return {v: (hub[idx[v]], auth[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy(spark, graph):
+    df, edges = graph
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iterations=10).collect()}
+    want = _np_hits(edges, iterations=10)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_degree_stats(spark, graph):
+    df, edges = graph
+    got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degree_stats(df).collect()}
+    outs: dict[str, int] = {}
+    ins: dict[str, int] = {}
+    for s, d in edges:
+        outs[s] = outs.get(s, 0) + 1
+        ins[d] = ins.get(d, 0) + 1
+    for k, (o, i) in got.items():
+        assert o == outs.get(k, 0) and i == ins.get(k, 0)
