@@ -124,3 +124,26 @@ def test_resume_bit_identical(spark, oracle, tmp_path_factory):
         for r in oracle.scheduled
     )
     assert got == want
+
+
+def test_gen_cap_binding_parity(spark, tmp_path_factory):
+    """Backpressure cap smaller than the frontier must bind identically in
+    Spark (count-free global-rank cap) and the oracle (explicit re-rank)."""
+    cfg = SynthConfig(seed=42, n_hosts=10, n_pages=250, n_images=80)
+    params = CrawlParams(max_generations=3, per_host_budget=10, gen_cap=25)
+    oracle = run_oracle(cfg, params)
+    wd = str(tmp_path_factory.mktemp("crawl_cap"))
+    job = CrawlJob(spark, cfg, params, wd, salt_buckets=4)
+    job.run()
+    rows = job.catalog.read(spark, "fetch_results").collect()
+    ours = {(r["generation"], r["host"], r["rank_in_host"]): r["url"] for r in rows}
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    per_gen = {}
+    for r in oracle.scheduled:
+        per_gen[r["generation"]] = per_gen.get(r["generation"], 0) + 1
+    assert all(v <= 25 for v in per_gen.values())
+    assert max(per_gen.values()) == 25  # the cap actually bound
