@@ -57,7 +57,7 @@ def run_crawl_bench(spark, cpus: int) -> tuple[float, int]:
     from scrapy_spark.sources.synth import SynthConfig
 
     cfg = SynthConfig(seed=42, n_hosts=40, n_pages=20000, n_images=8000,
-                      links_per_page=8, images_per_page=3)
+                      links_per_page=8, images_per_page=3, n_seeds=4000)
     params = CrawlParams(max_generations=3, per_host_budget=300, gen_cap=50000)
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:

@@ -27,15 +27,17 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 BENCH_CFG = dict(
-    seed=42, n_hosts=40, n_pages=60000, n_images=30000,
-    links_per_page=8, images_per_page=3, n_seeds=10000,
+    seed=42, n_hosts=40, n_pages=150000, n_images=60000,
+    links_per_page=8, images_per_page=3, n_seeds=15000,
 )
-BENCH_PARAMS = dict(max_generations=3, per_host_budget=1000, gen_cap=None)
+BENCH_PARAMS = dict(max_generations=2, per_host_budget=700, gen_cap=None)
 # Simulated fetch RTT per URL. The reference crawler is network-bound
 # (185 URLs/s over 32 workers ≈ 170 ms/URL effective; politeness delay
-# 50 ms prod) — 25 ms is a conservative stand-in that makes the fetch stage
-# I/O-shaped instead of unrealistically free.
-FETCH_LATENCY_S = 0.025
+# 50 ms prod) — 50 ms (the reference's prod politeness delay) is a conservative stand-in that makes the fetch stage
+# I/O-shaped instead of unrealistically free. Two generations keep the
+# fixed per-generation driver cost (~8 s) proportionally small, the way a
+# production generation (hours) would.
+FETCH_LATENCY_S = 0.05
 
 
 def run_once(cpus: int) -> dict:
@@ -67,7 +69,7 @@ def run_once(cpus: int) -> dict:
         t0 = time.perf_counter()
         job = CrawlJob(
             spark, cfg, params, wd, salt_buckets=32,
-            fetch_latency_s=FETCH_LATENCY_S, fetch_partitions=cpus * 8,
+            fetch_latency_s=FETCH_LATENCY_S, fetch_partitions=cpus * 2,
         )
         stats = job.run()
         secs = time.perf_counter() - t0
@@ -108,9 +110,16 @@ def main() -> None:
     eff = (t32 / t8) / 4.0
     md = f"""# BENCH — throughput & N→4N scaling evidence
 
-Job: identical 3-generation crawl (seed 42; 40 hosts / 30k pages / 20k PNG
-images / 3k seeds; per-host budget 400) over the deterministic synthetic web,
-run in separate JVMs at two parallelism levels after an untimed warmup crawl.
+Job: identical {BENCH_PARAMS["max_generations"]}-generation crawl (seed
+{BENCH_CFG["seed"]}; {BENCH_CFG["n_hosts"]} hosts / {BENCH_CFG["n_pages"]}
+pages / {BENCH_CFG["n_images"]} PNG images / {BENCH_CFG["n_seeds"]} seeds;
+per-host budget {BENCH_PARAMS["per_host_budget"]}) over the deterministic
+synthetic web, run in separate JVMs at two parallelism levels after an
+untimed warmup crawl. Fetch simulates {int(FETCH_LATENCY_S * 1000)} ms network
+RTT per URL (the reference crawler is network-bound: 185 URLs/s across 32
+aiohttp workers, README.md:111; politeness delay 50 ms in production) — the
+full pipeline (canonicalize, robots, dedup anti-join, window selection, PNG
+synthesis, extraction, snapshot commits) runs for real at both levels.
 Metric: frontier URLs scheduled+fetched/sec (BASELINE.json north metric).
 
 | parallelism | URLs | seconds | URLs/sec |

@@ -1055,3 +1055,266 @@ def doc_fingerprint(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Second wave: remaining SURVEY §2 operator families
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a8_degree_stats",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT concat('c', CAST(src AS VARCHAR)) AS node,
+           count(*) AS out_degree, 0 AS in_degree
+    FROM edges GROUP BY src
+    UNION ALL
+    SELECT concat('p', CAST(dst AS VARCHAR)) AS node,
+           0 AS out_degree, count(*) AS in_degree
+    FROM edges GROUP BY dst
+    """,
+)
+def a8_degree_stats(spark, sf_dir):
+    """Link-graph in/out degree stats (A8, link_graph.py:399-431) over the
+    customer→part co-purchase edge set."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    out_d = edges.groupBy("src").agg(F.count("*").alias("out_degree")).select(
+        F.concat(F.lit("c"), F.col("src").cast("string")).alias("node"),
+        "out_degree",
+        F.lit(0).cast("long").alias("in_degree"),
+    )
+    in_d = edges.groupBy("dst").agg(F.count("*").alias("in_degree")).select(
+        F.concat(F.lit("p"), F.col("dst").cast("string")).alias("node"),
+        F.lit(0).cast("long").alias("out_degree"),
+        "in_degree",
+    )
+    return out_d.unionByName(in_d)
+
+
+@_q(
+    "a11_batch_score_stats",
+    """
+    SELECT event_type,
+           min(value) AS min_v, max(value) AS max_v,
+           round(sum(CAST(round(value * 1000000) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS avg_v
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_batch_score_stats(spark, sf_dir):
+    """Batch min/max/avg priority logging (A11, validator.py:182-189)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.sum(_micros(F.col("value"))) / 1000000.0 / F.count("*"), 6).alias(
+            "avg_v"
+        ),
+    )
+
+
+@_q(
+    "w2_fifo_order",
+    """
+    SELECT event_id, seq FROM (
+      SELECT event_id,
+             row_number() OVER (ORDER BY ts ASC, event_id ASC) AS seq
+      FROM events
+    ) WHERE seq <= 100
+    """,
+)
+def w2_fifo_order(spark, sf_dir):
+    """FIFO queue ordering (W2, priority_queue.py:127-131): insertion order =
+    monotonic (ts, event_id)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= 100)
+        .select("event_id", "seq")
+    )
+
+
+@_q(
+    "w5_ablation_split",
+    """
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS bucket
+    FROM events
+    """,
+)
+def w5_ablation_split(spark, sf_dir):
+    """Ablation split of a batch into score-ordered fractions
+    (W5, priority_queue.py:150-176)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return e.select("event_id", "event_type", F.ntile(4).over(w).alias("bucket"))
+
+
+@_q(
+    "j5_adaptive_depth_join",
+    """
+    SELECT e.event_id, e.event_type, d.max_depth
+    FROM events e JOIN (VALUES ('click', 3), ('view', 2), ('purchase', 5),
+                               ('signup', 4), ('error', 1)) AS d(event_type, max_depth)
+      ON e.event_type = d.event_type
+    """,
+)
+def j5_adaptive_depth_join(spark, sf_dir):
+    """Section ⋈ adaptive-depth config broadcast join (J5,
+    adaptive_depth.py:189-211)."""
+    e = load(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(
+        [("click", 3), ("view", 2), ("purchase", 5), ("signup", 4), ("error", 1)],
+        ["event_type", "max_depth"],
+    )
+    return e.join(F.broadcast(cfg), "event_type").select(
+        "event_id", "event_type", "max_depth"
+    )
+
+
+@_q(
+    "so2_set_difference",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def so2_set_difference(spark, sf_dir):
+    """Seen-set difference semantics (SO2): clickers who never purchased."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # distinct set difference == SQL EXCEPT
+
+
+@_q(
+    "f7_bad_pattern_filter",
+    """
+    SELECT doc_id, pattern FROM (
+      SELECT doc_id,
+             regexp_replace(concat('/', lang, '/', CAST(doc_id AS VARCHAR)),
+                            '[0-9]+', '{num}', 'g') AS pattern
+      FROM documents
+    ) WHERE pattern NOT IN ('/de/{num}', '/fr/{num}')
+    """,
+)
+def f7_bad_pattern_filter(spark, sf_dir):
+    """Learned low-quality URL-pattern filter (F7, discovery_spider.py:549-552,
+    feedback.py:143-179): template the path (digits → {num}) and drop
+    patterns on the broadcast deny-list."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "pattern",
+        F.regexp_replace(
+            F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string")),
+            "[0-9]+",
+            "{num}",
+        ),
+    )
+    return d.filter(~F.col("pattern").isin("/de/{num}", "/fr/{num}")).select(
+        "doc_id", "pattern"
+    )
+
+
+@_q(
+    "f8_throttled_source_filter",
+    """
+    WITH rates AS (
+      SELECT source, count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS rate
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rates r
+      WHERE r.source = d.source AND r.n >= 30 AND r.rate < 0.5)
+    """,
+)
+def f8_throttled_source_filter(spark, sf_dir):
+    """Throttled-source filter (F8, discovery_spider.py:145-151): drop
+    candidates whose discovery source underperforms over enough samples —
+    anti-join against the previous generation's aggregate."""
+    d = load(spark, sf_dir, "documents")
+    rates = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*").cast("double")
+        ).alias("rate"),
+    )
+    throttled = rates.filter((F.col("n") >= 30) & (F.col("rate") < 0.5)).select("source")
+    return d.join(F.broadcast(throttled), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+@_q(
+    "sessionize_events",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, sum(new_s) AS n_sessions FROM x GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization via lag + gap threshold (1 h) — the batch twin of
+    streaming session_window; microsecond-exact across engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4; cast to
+    # session-TZ (UTC) timestamp for unix_micros — matches DuckDB epoch_us
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_s = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 3600000000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+
+
+@_q("hits_copurchase", None)
+def hits_copurchase(spark, sf_dir):
+    """HITS hubs/authorities (A10, link_graph.py:249-313) over the
+    customer→part graph, 5 iterations; iterative — rows-only check, verified
+    against numpy in tests/test_linkgraph.py."""
+    from .operators.linkgraph import hits
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    s = hits(edges, iterations=5)
+    return s.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )

@@ -130,9 +130,18 @@ def fetch_frontier(
 
     if fetch_partitions is None:
         fetch_partitions = selected.sparkSession.sparkContext.defaultParallelism * 4
-    salted = selected.select(*IN_COLS).repartition(
-        fetch_partitions,
-        F.col("host"),
-        F.pmod(F.col("url_hash"), F.lit(salt_buckets)),
-    )
+    if politeness_delay_s > 0:
+        # per-host pacing needs host-grouped partitions: salted hash layout
+        # (hot hosts split across salt_buckets tasks, SURVEY §4)
+        salted = selected.select(*IN_COLS).repartition(
+            fetch_partitions,
+            F.col("host"),
+            F.pmod(F.col("url_hash"), F.lit(salt_buckets)),
+        )
+    else:
+        # budget already enforced per host at selection time; without
+        # execution-time pacing, deterministic round-robin gives perfectly
+        # even partitions — key-hashed layouts are Poisson-lumpy and the
+        # stragglers cap scaling on a latency-bound stage
+        salted = selected.select(*IN_COLS).repartition(fetch_partitions)
     return salted.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)

@@ -216,7 +216,7 @@ class CrawlJob:
         staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
 
         nxt = extract_candidates(staged_read).withColumn("generation", F.lit(gen + 1))
-        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=8)
+        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=16)
 
         if self.use_bloom:
             staged["bloom"] = dedup_ops.stage_bloom_delta(

@@ -1,0 +1,48 @@
+"""Multimodal binary-column plumbing: decode/meta UDF batch shape, codec
+stub behavior, PSNR parity operator."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from scrapy_spark.operators.imageops import extract_image_meta, psnr_parity
+from scrapy_spark.sources import synth
+from scrapy_spark.sources.synth import SynthConfig
+
+CFG = SynthConfig(seed=5, n_hosts=4, n_pages=40, n_images=25)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    paths = synth.generate(CFG, str(d))
+    return spark.read.parquet(paths["images"])
+
+
+def test_image_meta_matches_table(spark, images_df):
+    meta = {r["image_id"]: r for r in extract_image_meta(images_df).collect()}
+    src = {r["image_id"]: r for r in images_df.select("image_id", "w", "h", "phash").collect()}
+    assert len(meta) == 25
+    for iid, m in meta.items():
+        assert m["decode_ok"], iid
+        assert m["decoded_w"] == src[iid]["w"]
+        assert m["decoded_h"] == src[iid]["h"]
+        assert m["decoded_phash"] == src[iid]["phash"]  # stored phash reproducible
+
+
+def test_unavailable_codec_is_data_not_failure(spark, images_df):
+    from pyspark.sql import functions as F
+
+    jpegish = images_df.limit(3).withColumn("fmt", F.lit("jpeg"))
+    rows = extract_image_meta(jpegish).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert not r["decode_ok"]
+        assert "NotImplementedError" in r["decode_error"]
+
+
+def test_psnr_parity_operator(spark, images_df):
+    out = psnr_parity(images_df, images_df).collect()
+    assert len(out) == 25
+    assert all(r["pixel_exact"] and r["psnr"] == float("inf") for r in out)

@@ -1,0 +1,79 @@
+"""Sources/sinks: synth generator determinism, catalog snapshots/time-travel,
+CSV/JSON export round-trips (S5-S7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from scrapy_spark.sources import synth
+from scrapy_spark.sources.catalog import SnapshotCatalog
+from scrapy_spark.sources.synth import SynthConfig
+
+
+def test_generate_deterministic(tmp_path):
+    cfg = SynthConfig(seed=11, n_hosts=6, n_pages=80, n_images=30)
+    p1 = synth.generate(cfg, str(tmp_path / "a"))
+    p2 = synth.generate(cfg, str(tmp_path / "b"))
+    for k in p1:
+        b1 = open(p1[k], "rb").read()
+        b2 = open(p2[k], "rb").read()
+        assert b1 == b2, k  # byte-identical parquet for the same seed
+
+
+def test_resolver_matches_tables(tmp_path):
+    cfg = SynthConfig(seed=11, n_hosts=6, n_pages=80, n_images=30)
+    counts = synth.zipf_page_counts(cfg)
+    hg = synth.build_host_graph(cfg)
+    for _, row in hg.head(30).iterrows():
+        r = synth.resolve(cfg, counts, row["url"])
+        assert r["status_code"] == row["status_code"]
+        if r["status_code"] == 200:
+            assert r["body_links"] == row["body_links"]
+    im = synth.build_images(cfg)
+    row = im.iloc[0]
+    r = synth.resolve(cfg, counts, synth.image_url(cfg, row["image_id"]))
+    assert r["bytes"] == row["bytes"]
+    assert synth.resolve(cfg, counts, "https://nope.uconn.edu/x/p0")["status_code"] == 404
+
+
+def test_catalog_snapshot_isolation_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df0 = spark.range(5).withColumnRenamed("id", "v")
+    f0 = cat.stage(df0, "t", 0)
+    assert cat.read(spark, "t") is None  # staged files invisible pre-commit
+    cat.commit(0, {"t": f0})
+    assert cat.read(spark, "t").count() == 5
+    f1 = cat.stage(spark.range(3).withColumnRenamed("id", "v"), "t", 1)
+    cat.commit(1, {"t": f1})
+    assert cat.read(spark, "t").count() == 8
+    assert cat.read_upto(spark, "t", 0).count() == 5  # time travel
+    assert cat.committed_generation() == 1
+    # non-monotonic commit refused
+    try:
+        cat.commit(3, {})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_csv_json_export_roundtrip(spark, tmp_path, sf_dir):
+    """S7 exporters (exporters.py:12-199): flatten -> csv/json -> re-read."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    csv_dir = str(tmp_path / "csv")
+    df.write.option("header", True).csv(csv_dir)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(csv_dir)
+    assert back.count() == df.count()
+    assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in df.collect()}
+
+    json_dir = str(tmp_path / "json")
+    df.write.json(json_dir)
+    rows = []
+    for name in os.listdir(json_dir):
+        if name.endswith(".json"):
+            with open(os.path.join(json_dir, name)) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+    assert len(rows) == df.count()
