@@ -21,7 +21,10 @@ from ..sources.synth import N_IMG_HOSTS
 
 
 def extract_candidates(fetched: DataFrame) -> DataFrame:
-    """fetched (FETCH_SCHEMA) -> raw candidates (CANDIDATE_COLS) at depth+1."""
+    """fetched (FETCH_SCHEMA) -> raw candidates (CANDIDATE_COLS) at depth+1.
+
+    Three 1→N branches, all pure explode: html links, html image refs, and
+    sitemap <loc> entries (S3) from application/xml responses."""
     pages = fetched.filter(
         (F.col("status_code") == 200) & (F.col("content_type") == "text/html")
     )
@@ -31,6 +34,17 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
         F.lit("html_link").alias("source_type"),
         F.lit(None).cast("string").alias("anchor"),
         (F.col("depth") + 1).alias("depth"),
+        F.lit(1).alias("attempt"),
+    )
+    sitemap_links = fetched.filter(
+        (F.col("status_code") == 200) & (F.col("content_type") == "application/xml")
+    ).select(
+        F.explode("body_links").alias("raw_url"),
+        F.col("url").alias("source_url"),
+        F.lit("sitemap").alias("source_type"),
+        F.lit(None).cast("string").alias("anchor"),
+        (F.col("depth") + 1).alias("depth"),
+        F.lit(1).alias("attempt"),
     )
     gidx = F.substring(F.col("ref.image_id"), 4, 16).cast("long")
     imgs = (
@@ -51,6 +65,7 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
             F.lit("img_tag").alias("source_type"),
             F.col("ref.alt").alias("anchor"),
             F.col("depth"),
+            F.lit(1).alias("attempt"),
         )
     )
-    return links.unionByName(imgs)
+    return links.unionByName(sitemap_links).unionByName(imgs)

@@ -37,7 +37,8 @@ from ..sources.synth import SynthConfig, resolve, zipf_page_counts
 FETCH_SCHEMA = (
     "url string, url_hash long, host string, depth int, score double, "
     "source_type string, anchor string, source_url string, rank_in_host int, "
-    "status_code int, content_type string, title string, is_valid boolean, "
+    "attempt int, status_code int, content_type string, title string, "
+    "is_valid boolean, error_type string, "
     "bytes binary, w int, h int, fmt string, "
     "body_links array<string>, "
     "image_refs array<struct<image_id:string,alt:string>>"
@@ -53,6 +54,7 @@ IN_COLS = [
     "anchor",
     "source_url",
     "rank_in_host",
+    "attempt",
 ]
 
 
@@ -98,7 +100,7 @@ def fetch_frontier(
                     if row.host == last_host:
                         time.sleep(politeness_delay_s * salt_buckets)
                     last_host = row.host
-                r = resolve(cfg, counts, row.url)
+                r = resolve(cfg, counts, row.url, row.attempt)
                 ct = r["content_type"]
                 sc = r["status_code"]
                 out_rows.append(
@@ -112,6 +114,8 @@ def fetch_frontier(
                         "anchor": row.anchor,
                         "source_url": row.source_url,
                         "rank_in_host": row.rank_in_host,
+                        "attempt": row.attempt,
+                        "error_type": "timeout" if sc == 599 else None,
                         "status_code": sc,
                         "content_type": ct,
                         "title": r["title"],

@@ -36,18 +36,39 @@ clean_seed_udf = F.pandas_udf(lambda s: s.map(clean_seed_url), T.StringType())
 
 _DENY_RLIKE = r"(?i)\.(" + "|".join(DENY_EXTENSIONS) + r")$"
 
-CANDIDATE_COLS = ["raw_url", "source_url", "source_type", "anchor", "depth"]
+CANDIDATE_COLS = ["raw_url", "source_url", "source_type", "anchor", "depth", "attempt"]
 
 
 def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
-    """Seed CSV scan + cleaning (S1, discovery_spider.py:199-245,927-992)."""
-    return seeds.select(
+    """Seed CSV scan + cleaning (S1, discovery_spider.py:199-245,927-992),
+    plus one sitemap.xml candidate per distinct seed host (the robots
+    Sitemap recursion entry point, discovery_spider.py:994-1095)."""
+    cleaned = seeds.select(
         clean_seed_udf(F.col("url")).alias("raw_url"),
         F.lit(None).cast("string").alias("source_url"),
         F.lit("seed").alias("source_type"),
         F.lit(None).cast("string").alias("anchor"),
         F.lit(0).alias("depth"),
+        F.lit(1).alias("attempt"),
     ).filter(F.col("raw_url").isNotNull())
+    sitemaps = (
+        cleaned.select(
+            _host_col(canonicalize_udf(F.col("raw_url"))).alias("host")
+        )
+        .filter(F.col("host").isNotNull())
+        .distinct()
+        .select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias(
+                "raw_url"
+            ),
+            F.lit(None).cast("string").alias("source_url"),
+            F.lit("sitemap_fetch").alias("source_type"),
+            F.lit(None).cast("string").alias("anchor"),
+            F.lit(0).alias("depth"),
+            F.lit(1).alias("attempt"),
+        )
+    )
+    return cleaned.unionByName(sitemaps)
 
 
 def _host_col(url: Column) -> Column:
@@ -76,7 +97,7 @@ def canonicalize_candidates(cands: DataFrame, domain: str = "uconn.edu") -> Data
     )
     df = df.filter(
         ~(
-            F.col("source_type").isin("seed", "html_link")
+            F.col("source_type").isin("seed", "html_link", "sitemap")
             & F.col("url").rlike(_DENY_RLIKE)
         )
     )
@@ -93,6 +114,7 @@ def canonicalize_candidates(cands: DataFrame, domain: str = "uconn.edu") -> Data
         "anchor",
         "source_url",
         "score",
+        "attempt",
     )
 
 
@@ -113,6 +135,7 @@ def dedup_within_generation(cands: DataFrame) -> DataFrame:
         F.col("score").desc(),
         F.col("source_url").asc_nulls_first(),
         F.col("source_type").asc(),
+        F.col("attempt").desc(),  # pending retry beats same-URL rediscovery
     )
     return (
         cands.withColumn("_rn", F.row_number().over(w))

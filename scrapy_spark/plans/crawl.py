@@ -39,6 +39,7 @@ from ..operators.frontier import (
 from ..sources import synth
 from ..sources.catalog import SnapshotCatalog
 from ..sources.synth import SynthConfig
+from . import oracle as oracle_mod
 from .oracle import CrawlParams
 
 RESULT_COLS = [
@@ -54,6 +55,9 @@ RESULT_COLS = [
     "status_code",
     "content_type",
     "is_valid",
+    "attempt",
+    "error_type",
+    "anchor",
     "title",
     "bytes",
     "caption",
@@ -183,9 +187,14 @@ class CrawlJob:
             return GenStats(gen, 0, time.time() - t0)
 
         staged_read = self.catalog.read_files(spark, staged["fetch_results"])
+        # transient timeouts with attempts left re-enqueue instead of entering
+        # the seen set (reference retry policy, validator.py:444-462)
+        transient = (F.col("status_code") == 599) & (
+            F.col("attempt") < oracle_mod.MAX_ATTEMPTS
+        )
 
         staged["url_seen"] = self.catalog.stage(
-            staged_read.select(
+            staged_read.filter(~transient).select(
                 "url_hash",
                 "url",
                 "host",
@@ -215,12 +224,24 @@ class CrawlJob:
         )
         staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
 
-        nxt = extract_candidates(staged_read).withColumn("generation", F.lit(gen + 1))
+        retries = staged_read.filter(transient).select(
+            F.col("url").alias("raw_url"),
+            "source_url",
+            "source_type",
+            "anchor",
+            "depth",
+            (F.col("attempt") + 1).alias("attempt"),
+        )
+        nxt = (
+            extract_candidates(staged_read)
+            .unionByName(retries)
+            .withColumn("generation", F.lit(gen + 1))
+        )
         staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=16)
 
         if self.use_bloom:
             staged["bloom"] = dedup_ops.stage_bloom_delta(
-                spark, self.catalog, staged_read, gen
+                spark, self.catalog, staged_read.filter(~transient), gen
             )
 
         elapsed = time.time() - t0

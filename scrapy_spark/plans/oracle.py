@@ -38,7 +38,15 @@ from ..functions.urls import (
 from ..sources import synth
 from ..sources.synth import SynthConfig
 
-VALID_CONTENT_TYPES = ("text/html", "image/png", "image/jpeg", "image/gif", "image/webp")
+VALID_CONTENT_TYPES = (
+    "text/html",
+    "application/xml",  # sitemaps (fetched by the spider in the reference)
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "image/webp",
+)
+MAX_ATTEMPTS = 3  # reference retry policy: 3 attempts (validator.py:444-462)
 
 
 @dataclass
@@ -56,14 +64,14 @@ class OracleResult:
     gen_counts: list[dict] = field(default_factory=list)  # lineage-ish per gen
 
 
-def _candidate(raw_url, source_url, source_type, anchor, depth, domain):
+def _candidate(raw_url, source_url, source_type, anchor, depth, domain, attempt=1):
     cu = canonicalize(raw_url)
     if cu is None:
         return None
     host = url_host(cu)
     if not is_allowed_domain(host, domain):
         return None
-    if source_type in ("seed", "html_link") and is_denied_extension(cu):
+    if source_type in ("seed", "html_link", "sitemap") and is_denied_extension(cu):
         return None
     path = url_path(cu)
     return {
@@ -76,6 +84,7 @@ def _candidate(raw_url, source_url, source_type, anchor, depth, domain):
         "anchor": anchor,
         "source_url": source_url,
         "score": py_score(source_type, path, anchor),
+        "attempt": attempt,
     }
 
 
@@ -90,13 +99,24 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         return any(path.startswith(p) for p in robots[host])
 
     # generation 0 candidates: cleaned seeds (discovery_spider.py:199-245,927-992)
+    # plus one sitemap.xml per distinct seed host (robots Sitemap recursion,
+    # discovery_spider.py:994-1095)
     seeds_df = synth.build_seeds(cfg)
     cands = []
+    seed_hosts = []
     for raw in seeds_df["url"]:
         cleaned = clean_seed_url(raw)
         if cleaned is None:
             continue
         c = _candidate(cleaned, None, "seed", None, 0, params.domain)
+        if c is not None:
+            cands.append(c)
+            if c["host"] not in seed_hosts:
+                seed_hosts.append(c["host"])
+    for h in seed_hosts:
+        c = _candidate(
+            f"https://{h}/sitemap.xml", None, "sitemap_fetch", None, 0, params.domain
+        )
         if c is not None:
             cands.append(c)
 
@@ -105,18 +125,23 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         cands = [c for c in cands if not blocked(c["host"], c["path"])]
 
         # within-generation first-writer-wins with deterministic tie-break
-        # (SURVEY §7.3.2): winner = min(depth, -score, source_url, source_type)
+        # (SURVEY §7.3.2): winner = min(depth, -score, source_url,
+        # source_type, -attempt) — higher attempt wins ties so a pending
+        # retry beats a same-URL rediscovery
+        def _key(c):
+            return (
+                c["depth"],
+                -c["score"],
+                c["source_url"] or "",
+                c["source_type"],
+                -c["attempt"],
+            )
+
         best: dict[str, dict] = {}
         for c in cands:
             k = c["url"]
             cur = best.get(k)
-            ck = (c["depth"], -c["score"], c["source_url"] or "", c["source_type"])
-            if cur is None or ck < (
-                cur["depth"],
-                -cur["score"],
-                cur["source_url"] or "",
-                cur["source_type"],
-            ):
+            if cur is None or _key(c) < _key(cur):
                 best[k] = c
         deduped = [c for c in best.values() if c["url"] not in res.seen]
 
@@ -147,14 +172,16 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
             )
             break
 
-        # fetch + record + mark seen
+        # fetch + record; seen-insert only on final outcomes — transient
+        # timeouts (599) with attempts remaining are re-enqueued instead
+        # (retry re-enqueue, SURVEY §4 retry row; validator.py:444-462)
         next_cands = []
         for c in selected:
-            res.seen[c["url"]] = gen
-            r = synth.resolve(cfg, counts, c["url"])
+            r = synth.resolve(cfg, counts, c["url"], c["attempt"])
             sc = r["status_code"]
             ct = r["content_type"]
             is_valid = 200 <= sc < 400 and (ct or "") in VALID_CONTENT_TYPES
+            transient = sc == 599 and c["attempt"] < MAX_ATTEMPTS
             row = {
                 "generation": gen,
                 "host": c["host"],
@@ -168,12 +195,21 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "status_code": sc,
                 "content_type": ct,
                 "is_valid": is_valid,
+                "attempt": c["attempt"],
+                "error_type": "timeout" if sc == 599 else None,
                 "title": r["title"],
                 "bytes": r["bytes"],
                 "caption": c["anchor"] if r["bytes"] is not None else None,
             }
             res.scheduled.append(row)
-            # extraction (only valid 200 html pages recurse)
+            if transient:
+                retry = dict(c)
+                retry["attempt"] = c["attempt"] + 1
+                retry.pop("rank_in_host", None)
+                next_cands.append(retry)
+            else:
+                res.seen[c["url"]] = gen
+            # extraction (valid 200 html pages recurse; xml sitemaps expand)
             if sc == 200 and ct == "text/html":
                 for link in r["body_links"]:
                     nc = _candidate(link, c["url"], "html_link", None, c["depth"] + 1, params.domain)
@@ -182,6 +218,11 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 for ref in r["image_refs"]:
                     iu = synth.image_url(cfg, ref["image_id"])
                     nc = _candidate(iu, c["url"], "img_tag", ref["alt"], c["depth"] + 1, params.domain)
+                    if nc is not None:
+                        next_cands.append(nc)
+            elif sc == 200 and ct == "application/xml":
+                for link in r["body_links"]:
+                    nc = _candidate(link, c["url"], "sitemap", None, c["depth"] + 1, params.domain)
                     if nc is not None:
                         next_cands.append(nc)
         res.gen_counts.append(

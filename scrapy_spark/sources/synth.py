@@ -111,12 +111,17 @@ def image_caption(cfg: SynthConfig, image_id: str) -> str:
     return f"{image_id}: " + " ".join(ws)
 
 
-def page_status(cfg: SynthConfig, hidx: int, j: int) -> int:
+def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
+    """Deterministic status incl. a flaky-timeout class: ~3% of pages time
+    out (599) on attempt 1 and succeed from attempt 2 — exercises the
+    reference's 3-retry transient-failure path (validator.py:444-462)."""
     r = _h(cfg.seed, "status", hidx, j) % 100
     if r < 2:
         return 404
     if r < 5:
         return 301
+    if r < 8:  # flaky: timeout on first attempt, fine afterwards
+        return 200 if attempt >= 2 else 599
     return 200
 
 
@@ -280,9 +285,40 @@ def parse_page_url(cfg: SynthConfig, counts: list[int], url: str) -> tuple[int, 
     return hidx, j
 
 
-def resolve(cfg: SynthConfig, counts: list[int], url: str) -> dict:
+_SITEMAP_RE = _re.compile(r"^https://([a-z0-9.-]+)/sitemap\.xml$")
+
+
+def sitemap_url(cfg: SynthConfig, hidx: int) -> str:
+    return f"https://{host_of(cfg, hidx)}/sitemap.xml"
+
+
+def sitemap_entries(cfg: SynthConfig, counts: list[int], hidx: int) -> list[str]:
+    """Pages listed in a host's sitemap: every 3rd of the first 15 pages
+    (mirrors the reference's robots->Sitemap-><loc> recursion,
+    discovery_spider.py:994-1095)."""
+    return [page_url(cfg, hidx, j) for j in range(0, min(15, counts[hidx]), 3)]
+
+
+def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> dict:
     """Simulated HTTP GET. Returns a fetch-result dict (status_code,
     content_type, title, body_links, image_refs, bytes, w, h, fmt)."""
+    m = _SITEMAP_RE.match(url)
+    if m:
+        host = m.group(1)
+        name = host.split(".uconn.edu")[0] if host.endswith(".uconn.edu") else None
+        if name in cfg.host_names:
+            hidx = cfg.host_names.index(name)
+            return {
+                "status_code": 200,
+                "content_type": "application/xml",
+                "title": None,
+                "body_links": sitemap_entries(cfg, counts, hidx),
+                "image_refs": [],
+                "bytes": None,
+                "w": None,
+                "h": None,
+                "fmt": None,
+            }
     iid = parse_image_url(cfg, url)
     if iid is not None:
         w, h = image_dims(cfg, iid)
@@ -301,7 +337,7 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str) -> dict:
     pj = parse_page_url(cfg, counts, url)
     if pj is not None:
         hidx, j = pj
-        status = page_status(cfg, hidx, j)
+        status = page_status(cfg, hidx, j, attempt)
         return {
             "status_code": status,
             "content_type": "text/html",

@@ -51,12 +51,18 @@ def test_crawl_ordering_parity(oracle, spark_run):
 
 
 def test_fetch_row_parity(oracle, spark_run):
+    # key by (url, attempt, generation): a transiently-failed URL reappears
+    # per attempt, and can also be legitimately rescheduled at attempt=1 if a
+    # better-scoring rediscovery beats the pending retry in the dedup window
     ours = {
-        r["url"]: (r["status_code"], r["content_type"], r["is_valid"], r["depth"], r["score"])
+        (r["url"], r["attempt"], r["generation"]): (
+            r["status_code"], r["content_type"], r["is_valid"], r["depth"], r["score"]
+        )
         for r in spark_run["results"]
     }
+    assert len(ours) == len(oracle.scheduled)
     for o in oracle.scheduled:
-        assert ours[o["url"]] == (
+        assert ours[(o["url"], o["attempt"], o["generation"])] == (
             o["status_code"],
             o["content_type"],
             o["is_valid"],
@@ -68,10 +74,13 @@ def test_fetch_row_parity(oracle, spark_run):
 def test_caption_and_bytes_parity(oracle, spark_run):
     """Per-row invariant vs reference: caption equality + PSNR >= 40 dB
     (exact for lossless PNG) — BASELINE.json input_hint."""
-    ours = {r["url"]: (r["bytes"], r["caption"]) for r in spark_run["results"]}
+    ours = {
+        (r["url"], r["attempt"], r["generation"]): (r["bytes"], r["caption"])
+        for r in spark_run["results"]
+    }
     n_images = 0
     for o in oracle.scheduled:
-        b, cap = ours[o["url"]]
+        b, cap = ours[(o["url"], o["attempt"], o["generation"])]
         assert cap == o["caption"], o["url"]
         if o["bytes"] is None:
             assert b is None
@@ -147,3 +156,16 @@ def test_gen_cap_binding_parity(spark, tmp_path_factory):
         per_gen[r["generation"]] = per_gen.get(r["generation"], 0) + 1
     assert all(v <= 25 for v in per_gen.values())
     assert max(per_gen.values()) == 25  # the cap actually bound
+
+
+def test_retry_and_sitemap_coverage(oracle):
+    """The fixture crawl must actually exercise sitemap discovery and the
+    transient-retry path (otherwise parity proves nothing about them)."""
+    types = {r["source_type"] for r in oracle.scheduled}
+    assert "sitemap_fetch" in types and "sitemap" in types
+    assert any(r["error_type"] == "timeout" for r in oracle.scheduled)
+    assert any(r["attempt"] > 1 for r in oracle.scheduled)
+    # every retried URL eventually succeeded and entered the seen set
+    retried = {r["url"] for r in oracle.scheduled if r["attempt"] > 1}
+    for u in retried:
+        assert u in oracle.seen
