@@ -128,6 +128,73 @@ def apply_robots(cands: DataFrame, robots: DataFrame) -> DataFrame:
     ).drop("disallow")
 
 
+def _section_col(path: Column) -> Column:
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    return F.coalesce(F.element_at(segs, 1), F.lit(""))
+
+
+def _pattern_col(path: Column) -> Column:
+    return F.regexp_replace(path, "[0-9]+", "{num}")
+
+
+def apply_learned_filters(cands: DataFrame, history: DataFrame | None, params) -> DataFrame:
+    """Adaptive-depth (J5) + feedback-pattern (F7) filters, recomputed each
+    generation from ALL prior generations' fetch outcomes (SURVEY §7.3.5 —
+    the reference mutates learned state in place; recomputing the aggregate
+    reaches the same fixpoint order-independently).
+
+    - adaptive depth: (host, first-path-segment) sections with
+      >= min_samples fetches and valid-rate >= rate earn bonus depth;
+      unknown/bad sections stay at base (adaptive_depth.py:65-103).
+    - feedback: URL patterns (digits -> {num}) with >= min_samples and
+      valid-rate < threshold are banned (feedback.py:143-197).
+
+    Both learned tables are tiny aggregates — broadcast joins.
+    """
+    if not getattr(params, "learned_filters", False):
+        return cands
+    base = params.adaptive_base_depth
+    if history is None:
+        return cands.filter(F.col("depth") <= base)
+    hist = history.select(
+        "host",
+        _section_col(_path_col(F.col("url"))).alias("section"),
+        _pattern_col(_path_col(F.col("url"))).alias("pattern"),
+        F.col("is_valid").cast("int").alias("v"),
+    )
+    sec = hist.groupBy("host", "section").agg(
+        F.count("*").alias("n"), F.sum("v").alias("nv")
+    )
+    good_sections = sec.filter(
+        (F.col("n") >= params.adaptive_min_samples)
+        & (F.col("nv") / F.col("n") >= params.adaptive_rate)
+    ).select("host", "section")
+    bad_patterns = (
+        hist.groupBy("pattern")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("nv"))
+        .filter(
+            (F.col("n") >= params.feedback_min_samples)
+            & (F.col("nv") / F.col("n") < params.feedback_rate)
+        )
+        .select("pattern")
+    )
+    out = cands.withColumn("section", _section_col(F.col("path"))).withColumn(
+        "pattern", _pattern_col(F.col("path"))
+    )
+    out = out.join(
+        F.broadcast(good_sections.withColumn("_good", F.lit(True))),
+        ["host", "section"],
+        "left",
+    ).filter(
+        F.col("depth")
+        <= F.when(F.col("_good"), F.lit(base + params.adaptive_bonus_depth)).otherwise(
+            F.lit(base)
+        )
+    )
+    out = out.join(F.broadcast(bad_patterns), "pattern", "left_anti")
+    return out.drop("section", "pattern", "_good")
+
+
 def dedup_within_generation(cands: DataFrame) -> DataFrame:
     """First-writer-wins inside one generation, deterministic winner (D2)."""
     w = Window.partitionBy("url_hash").orderBy(

@@ -30,6 +30,7 @@ from ..operators.extract import extract_candidates
 from ..operators.fetch import fetch_frontier
 from ..operators.frontier import (
     anti_join_seen,
+    apply_learned_filters,
     apply_robots,
     canonicalize_candidates,
     dedup_within_generation,
@@ -147,6 +148,9 @@ class CrawlJob:
 
         cands = canonicalize_candidates(raw, params.domain)
         cands = apply_robots(cands, self.robots_df())
+        if params.learned_filters:
+            history = self.catalog.read(spark, "fetch_results")  # gens < g
+            cands = apply_learned_filters(cands, history, params)
         cands = dedup_within_generation(cands)
 
         seen = self.catalog.read(spark, "url_seen")

@@ -53,8 +53,22 @@ MAX_ATTEMPTS = 3  # reference retry policy: 3 attempts (validator.py:444-462)
 class CrawlParams:
     max_generations: int = 4
     per_host_budget: int = 20
-    gen_cap: int = 10_000  # backpressure analog (reference queue cap 10k)
+    gen_cap: int | None = 10_000  # backpressure analog (reference queue cap 10k)
     domain: str = "uconn.edu"
+    # learned per-generation filters, recomputed from prior generations'
+    # fetch results (SURVEY §7.3.5: mutation-based in the reference, recast
+    # as order-independent aggregates):
+    learned_filters: bool = True
+    # adaptive depth (J5, adaptive_depth.py:65-103,189-211): sections with a
+    # proven valid-rate earn extra depth; unknown/bad sections stay at base
+    adaptive_base_depth: int = 3
+    adaptive_bonus_depth: int = 3
+    adaptive_min_samples: int = 5
+    adaptive_rate: float = 0.8
+    # feedback pattern filter (F7, feedback.py:143-197): URL patterns
+    # (digits -> {num}) with enough samples and a poor valid-rate are banned
+    feedback_min_samples: int = 10
+    feedback_rate: float = 0.6
 
 
 @dataclass
@@ -120,9 +134,59 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         if c is not None:
             cands.append(c)
 
+    import re as _re
+
+    def _section(path: str) -> str:
+        segs = [s for s in path.split("/") if s]
+        return segs[0] if segs else ""
+
+    def _pattern(path: str) -> str:
+        return _re.sub("[0-9]+", "{num}", path)
+
     for gen in range(params.max_generations):
         # robots filter (J7) before scheduling
         cands = [c for c in cands if not blocked(c["host"], c["path"])]
+
+        if params.learned_filters:
+            # learned filters from ALL prior generations' fetch outcomes
+            sec_stats: dict[tuple[str, str], list[int]] = {}
+            pat_stats: dict[str, list[int]] = {}
+            for r in res.scheduled:
+                from ..functions.urls import url_path as _up
+
+                p = _up(r["url"])
+                sk = (r["host"], _section(p))
+                s = sec_stats.setdefault(sk, [0, 0])
+                s[0] += 1
+                s[1] += 1 if r["is_valid"] else 0
+                pt = pat_stats.setdefault(_pattern(p), [0, 0])
+                pt[0] += 1
+                pt[1] += 1 if r["is_valid"] else 0
+
+            def max_depth(host: str, path: str) -> int:
+                s = sec_stats.get((host, _section(path)))
+                if (
+                    s
+                    and s[0] >= params.adaptive_min_samples
+                    and s[1] / s[0] >= params.adaptive_rate
+                ):
+                    return params.adaptive_base_depth + params.adaptive_bonus_depth
+                return params.adaptive_base_depth
+
+            def pattern_banned(path: str) -> bool:
+                s = pat_stats.get(_pattern(path))
+                return bool(
+                    s
+                    and s[0] >= params.feedback_min_samples
+                    and s[1] / s[0] < params.feedback_rate
+                )
+
+            cands = [
+                c
+                for c in cands
+                if c["depth"] <= max_depth(c["host"], c["path"])
+                and not pattern_banned(c["path"])
+            ]
 
         # within-generation first-writer-wins with deterministic tie-break
         # (SURVEY §7.3.2): winner = min(depth, -score, source_url,

@@ -114,7 +114,12 @@ def image_caption(cfg: SynthConfig, image_id: str) -> str:
 def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
     """Deterministic status incl. a flaky-timeout class: ~3% of pages time
     out (599) on attempt 1 and succeed from attempt 2 — exercises the
-    reference's 3-retry transient-failure path (validator.py:444-462)."""
+    reference's 3-retry transient-failure path (validator.py:444-462).
+    The 'events' section is systematically bad (~40% extra 404s) so the
+    learned feedback pattern filter (F7) has something to learn."""
+    sec = SECTIONS[_h(cfg.seed, "sec", hidx, j) % len(SECTIONS)]
+    if sec == "events" and _h(cfg.seed, "ev404", hidx, j) % 5 < 2:
+        return 404
     r = _h(cfg.seed, "status", hidx, j) % 100
     if r < 2:
         return 404

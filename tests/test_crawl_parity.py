@@ -169,3 +169,27 @@ def test_retry_and_sitemap_coverage(oracle):
     retried = {r["url"] for r in oracle.scheduled if r["attempt"] > 1}
     for u in retried:
         assert u in oracle.seen
+
+
+def test_learned_filters_parity_and_coverage(spark, tmp_path_factory):
+    """Adaptive-depth (J5) + feedback-pattern (F7) learned filters: 6-gen
+    crawl where depth>base survives only in proven-good sections and the
+    systematically-bad /events/ pattern gets banned — Spark == oracle."""
+    params = CrawlParams(max_generations=6, per_host_budget=10)
+    oracle6 = run_oracle(CFG, params)
+    # coverage: the filters actually fire
+    depths = {r["depth"] for r in oracle6.scheduled}
+    assert max(depths) > params.adaptive_base_depth  # bonus-depth rows exist
+    ev_gens = [r["generation"] for r in oracle6.scheduled if "/events/" in r["url"]]
+    assert ev_gens and max(ev_gens) < 5  # pattern ban kicked in
+
+    wd = str(tmp_path_factory.mktemp("crawl_learned"))
+    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job.run()
+    rows = job.catalog.read(spark, "fetch_results").collect()
+    ours = {(r["generation"], r["host"], r["rank_in_host"]): r["url"] for r in rows}
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle6.scheduled
+    }
+    assert ours == theirs
