@@ -193,3 +193,26 @@ def test_learned_filters_parity_and_coverage(spark, tmp_path_factory):
         for r in oracle6.scheduled
     }
     assert ours == theirs
+
+
+def test_politeness_pacing_path_same_results(spark, tmp_path_factory):
+    """Execution-time per-host pacing (salted (host,salt) layout + in-partition
+    delays) must change timing only — tables identical to the unpaced run."""
+    cfg = SynthConfig(seed=9, n_hosts=6, n_pages=80, n_images=40)
+    params = CrawlParams(max_generations=3, per_host_budget=6)
+    a = CrawlJob(spark, cfg, params, str(tmp_path_factory.mktemp("pace_a")), salt_buckets=2)
+    a.run()
+    b = CrawlJob(
+        spark, cfg, params, str(tmp_path_factory.mktemp("pace_b")),
+        salt_buckets=2, politeness_delay_s=0.005,
+    )
+    b.run()
+    ra = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"])
+        for r in a.catalog.read(spark, "fetch_results").collect()
+    )
+    rb = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"])
+        for r in b.catalog.read(spark, "fetch_results").collect()
+    )
+    assert ra == rb and len(ra) > 30

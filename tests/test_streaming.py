@@ -69,3 +69,60 @@ def test_windowed_fetch_metrics(spark, tmp_path):
     assert total == 100
     invalid = sum(r["n_fetched"] - r["n_valid"] for r in out)
     assert invalid == 10
+
+
+def test_aimd_stateful_rate_control(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): AIMD concurrency
+    per host across two micro-batches, with circuit-breaker on consecutive
+    failures (async_enrichment.py:76-176 / retry_strategies.py:256-390)."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.aimd import AIMD_START, AIMD_STEP, aimd_budgets
+
+    src = tmp_path / "aimd_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows).to_parquet(src / name, coerce_timestamps="us",
+                                      allow_truncated_timestamps=True)
+
+    # batch 1: goodhost all ok; badhost 6 consecutive failures
+    write_batch(
+        "b1.parquet",
+        [{"host": "good.uconn.edu", "is_valid": True} for _ in range(20)]
+        + [{"host": "bad.uconn.edu", "is_valid": False} for _ in range(6)],
+    )
+    stream = spark.readStream.schema("host string, is_valid boolean").parquet(str(src))
+    q = (
+        aimd_budgets(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("aimd_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out1 = {r["host"]: r for r in spark.sql("SELECT * FROM aimd_out").collect()}
+        assert out1["good.uconn.edu"]["concurrency"] == AIMD_START + AIMD_STEP
+        assert out1["bad.uconn.edu"]["circuit_open"]
+        assert out1["bad.uconn.edu"]["concurrency"] == 0
+
+        # batch 2: goodhost keeps succeeding (+2); badhost recovers (closes)
+        write_batch(
+            "b2.parquet",
+            [{"host": "good.uconn.edu", "is_valid": True} for _ in range(10)]
+            + [{"host": "bad.uconn.edu", "is_valid": True} for _ in range(10)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM aimd_out WHERE n_events = 10 OR host = 'good.uconn.edu'"
+        ).collect()
+        byhost = {}
+        for r in spark.sql("SELECT * FROM aimd_out").collect():
+            byhost.setdefault(r["host"], []).append(r)
+        g2 = [r for r in byhost["good.uconn.edu"] if r["n_events"] == 10][0]
+        b2 = [r for r in byhost["bad.uconn.edu"] if r["n_events"] == 10][0]
+        assert g2["concurrency"] == AIMD_START + 2 * AIMD_STEP
+        assert not b2["circuit_open"] and b2["concurrency"] > 0
+    finally:
+        q.stop()
