@@ -137,11 +137,37 @@ def _pattern_col(path: Column) -> Column:
     return F.regexp_replace(path, "[0-9]+", "{num}")
 
 
-def apply_learned_filters(cands: DataFrame, history: DataFrame | None, params) -> DataFrame:
-    """Adaptive-depth (J5) + feedback-pattern (F7) filters, recomputed each
-    generation from ALL prior generations' fetch outcomes (SURVEY §7.3.5 —
-    the reference mutates learned state in place; recomputing the aggregate
-    reaches the same fixpoint order-independently).
+def stat_deltas(fetched_gen: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One generation's contribution to the learned-filter stats:
+    (section_stats(host, section, n, nv), pattern_stats(pattern, n, nv)).
+
+    Staged per generation so the filters read a table of tiny pre-aggregated
+    deltas instead of rescanning all fetch history — at 10^10 rows the raw
+    rescan would dominate every generation (the stats tables grow by at most
+    hosts x sections + distinct-patterns rows per generation)."""
+    src = fetched_gen.select(
+        "host",
+        _section_col(_path_col(F.col("url"))).alias("section"),
+        _pattern_col(_path_col(F.col("url"))).alias("pattern"),
+        F.col("is_valid").cast("int").alias("v"),
+    )
+    sec = src.groupBy("host", "section").agg(
+        F.count("*").alias("n"), F.sum("v").alias("nv")
+    )
+    pat = src.groupBy("pattern").agg(F.count("*").alias("n"), F.sum("v").alias("nv"))
+    return sec, pat
+
+
+def apply_learned_filters(
+    cands: DataFrame,
+    section_stats: DataFrame | None,
+    pattern_stats: DataFrame | None,
+    params,
+) -> DataFrame:
+    """Adaptive-depth (J5) + feedback-pattern (F7) filters from the
+    accumulated per-generation stat deltas (SURVEY §7.3.5 — the reference
+    mutates learned state in place; summing the deltas reaches the same
+    fixpoint order-independently).
 
     - adaptive depth: (host, first-path-segment) sections with
       >= min_samples fetches and valid-rate >= rate earn bonus depth;
@@ -154,24 +180,18 @@ def apply_learned_filters(cands: DataFrame, history: DataFrame | None, params) -
     if not getattr(params, "learned_filters", False):
         return cands
     base = params.adaptive_base_depth
-    if history is None:
+    if section_stats is None or pattern_stats is None:
         return cands.filter(F.col("depth") <= base)
-    hist = history.select(
-        "host",
-        _section_col(_path_col(F.col("url"))).alias("section"),
-        _pattern_col(_path_col(F.col("url"))).alias("pattern"),
-        F.col("is_valid").cast("int").alias("v"),
-    )
-    sec = hist.groupBy("host", "section").agg(
-        F.count("*").alias("n"), F.sum("v").alias("nv")
+    sec = section_stats.groupBy("host", "section").agg(
+        F.sum("n").alias("n"), F.sum("nv").alias("nv")
     )
     good_sections = sec.filter(
         (F.col("n") >= params.adaptive_min_samples)
         & (F.col("nv") / F.col("n") >= params.adaptive_rate)
     ).select("host", "section")
     bad_patterns = (
-        hist.groupBy("pattern")
-        .agg(F.count("*").alias("n"), F.sum("v").alias("nv"))
+        pattern_stats.groupBy("pattern")
+        .agg(F.sum("n").alias("n"), F.sum("nv").alias("nv"))
         .filter(
             (F.col("n") >= params.feedback_min_samples)
             & (F.col("nv") / F.col("n") < params.feedback_rate)

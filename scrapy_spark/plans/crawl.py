@@ -149,8 +149,12 @@ class CrawlJob:
         cands = canonicalize_candidates(raw, params.domain)
         cands = apply_robots(cands, self.robots_df())
         if params.learned_filters:
-            history = self.catalog.read(spark, "fetch_results")  # gens < g
-            cands = apply_learned_filters(cands, history, params)
+            cands = apply_learned_filters(
+                cands,
+                self.catalog.read(spark, "section_stats"),  # deltas of gens < g
+                self.catalog.read(spark, "pattern_stats"),
+                params,
+            )
         cands = dedup_within_generation(cands)
 
         seen = self.catalog.read(spark, "url_seen")
@@ -227,6 +231,17 @@ class CrawlJob:
             generation=gen
         )
         staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
+
+        if params.learned_filters:
+            from ..operators.frontier import stat_deltas
+
+            sec_delta, pat_delta = stat_deltas(staged_read)
+            staged["section_stats"] = self.catalog.stage(
+                sec_delta, "section_stats", gen, coalesce=1
+            )
+            staged["pattern_stats"] = self.catalog.stage(
+                pat_delta, "pattern_stats", gen, coalesce=1
+            )
 
         retries = staged_read.filter(transient).select(
             F.col("url").alias("raw_url"),
