@@ -1318,3 +1318,114 @@ def hits_copurchase(spark, sf_dir):
     return s.select(
         "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
     )
+
+
+@_q(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark, sf_dir):
+    """Grouping sets (CUBE) — not in the reference (SURVEY §2.5 notes) but a
+    free Spark capability; exact integer aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark, sf_dir):
+    """Pivot on linestatus (engine-portable conditional-agg formulation)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", q).otherwise(0)).alias("qty_O"),
+        F.sum(F.when(F.col("l_linestatus") == "F", q).otherwise(0)).alias("qty_F"),
+    )
+
+
+@_q(
+    "ann_lsh_bucketed",
+    f"""
+    WITH q AS ({_QUANT_SQL}),
+    b AS (
+      SELECT vec_id, label, q,
+             (CASE WHEN q[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN q[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN q[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.q, c.q) AS dot,
+             list_dot_product(a.q, a.q) AS na,
+             list_dot_product(c.q, c.q) AS nb
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < 20 AND c.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """ANN scale path: random-hyperplane-style LSH bucketing (sign bits of
+    the first 3 quantized dims -> 8 buckets); neighbors are searched only
+    inside the query's bucket, so the candidate join is bucket-equi instead
+    of all-pairs — the shuffle key at 10^9 vectors is the bucket id."""
+    q = _spark_quantized(spark, sf_dir)
+    bucket = (
+        F.when(F.element_at("q", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("q", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("q", 3) > 0, 1).otherwise(0)
+    )
+    b = q.withColumn("bucket", bucket)
+    a = b.filter(F.col("vec_id") < 20).alias("a")
+    c = b.alias("c")
+    dot = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(l), F.col(r), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        dot("a.q", "c.q").alias("dot"),
+        dot("a.q", "a.q").alias("na"),
+        dot("c.q", "c.q").alias("nb"),
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -77,3 +77,24 @@ def test_csv_json_export_roundtrip(spark, tmp_path, sf_dir):
             with open(os.path.join(json_dir, name)) as f:
                 rows += [json.loads(line) for line in f if line.strip()]
     assert len(rows) == df.count()
+
+
+def test_jsonl_permissive_scan(spark, tmp_path):
+    """S2: JSONL stage-to-stage scan skips bad JSON lines (PERMISSIVE mode +
+    _corrupt_record drop — pipeline.py:182-245 semantics)."""
+    p = tmp_path / "stage.jsonl"
+    p.write_text(
+        '{"url": "https://uconn.edu/a", "depth": 1}\n'
+        "NOT JSON AT ALL\n"
+        '{"url": "https://uconn.edu/b", "depth": 2}\n'
+        '{"url": "https://uconn.edu/c"\n'  # truncated
+    )
+    df = (
+        spark.read.schema("url string, depth int, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    good = df.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+    rows = {r["url"]: r["depth"] for r in good.collect()}
+    assert rows == {"https://uconn.edu/a": 1, "https://uconn.edu/b": 2}
