@@ -69,16 +69,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass redistributed uniformly
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass redistributed uniformly — kept as a 1-row broadcast
+        # instead of a driver collect, so each iteration is ONE job (the
+        # eager localCheckpoint), not two
+        dmass = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
             .fillna(0.0, ["contrib"])
-            .select("node", (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"))
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dmass") / F.lit(float(n))
+                    + F.lit(damping) * F.col("contrib")
+                ).alias("rank"),
+            )
         )
     dangling_nodes.unpersist()
     # max-normalize (link_graph.py:244-247)
