@@ -1429,3 +1429,98 @@ def ann_lsh_bucketed(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@_q(
+    "asof_join_last_order",
+    """
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o1.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def asof_join_last_order(spark, sf_dir):
+    """As-of join (Spark lacks a native one): each event matched to the
+    user's latest order at-or-before the event time.
+
+    Scalable formulation — no UDF, no join explosion: tag and union both
+    streams, then `last(orderkey, ignorenulls)` over a per-user time-ordered
+    window; one shuffle on user_id, whole-stage codegen throughout. Orders
+    are pre-deduped to one row per (custkey, date) (max orderkey) so equal
+    timestamps are unambiguous in both engines."""
+    e = load(spark, sf_dir, "events")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = e.select(
+        F.col("user_id"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),  # events sort after orders at equal t
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("tag").asc(), F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "last_orderkey"
+    )
+
+
+@_q(
+    "range_join_week_after_order",
+    """
+    SELECT e.event_id, o.o_orderkey
+    FROM events e JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    """,
+)
+def range_join_week_after_order(spark, sf_dir):
+    """Range (interval) join: events within 7 days after the user's order.
+
+    Scale path per the guide: bucketize the range key (7-day epochs) and
+    equi-join on (user, bucket) — each order is exploded into the two buckets
+    its window can touch, so the join is hash-partitionable and never a
+    broadcast-nested-loop; the exact range predicate filters afterwards."""
+    WEEK_US = 7 * 86400 * 1000000
+    e = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / WEEK_US)
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "b0", F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / WEEK_US)
+    )
+    o = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (e.bucket == o.bucket),
+    ).filter(
+        (F.col("ts") >= F.col("o_orderdate"))
+        & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return j.select("event_id", "o_orderkey")
