@@ -42,6 +42,8 @@ HEADLINE = [
     "embed_neardup_pairs",
     "text_quality_score",
     "pagerank_copurchase",
+    "asof_join_last_order",
+    "range_join_week_after_order",
 ]
 
 

@@ -41,6 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("report", help="print per-generation metrics/lineage")
     r.add_argument("--workdir", required=True)
     r.add_argument("--master", default=None)
+
+    v = sub.add_parser("vacuum", help="delete orphan files from crashed generations")
+    v.add_argument("--workdir", required=True)
+    v.add_argument("--master", default=None)
     return p
 
 
@@ -96,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "vacuum":
+            removed = SnapshotCatalog(args.workdir).vacuum()
+            print(json.dumps({"removed_files": len(removed)}))
         elif args.cmd == "report":
             cat = SnapshotCatalog(args.workdir)
             if cat.committed_generation() < 0:

@@ -195,6 +195,44 @@ def is_image_url(url: str) -> bool:
     return bool(_IMAGE_RE.search(url_path(url)))
 
 
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """Parse robots.txt Disallow prefixes for a user-agent (plus '*' rules)
+    and surface Sitemap URLs.
+
+    Mirrors the reference's robots handling (Scrapy ROBOTSTXT_OBEY,
+    settings.py:39, and the Sitemap-line recursion discovery_spider.py:
+    994-1095). Returns the disallow prefix list; sitemaps are available via
+    parse_robots_sitemaps. Rules with empty Disallow values are ignored
+    (they mean allow-all).
+    """
+    disallow: list[str] = []
+    applies = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            applies = val == "*" or val.lower() == user_agent.lower()
+        elif key == "disallow" and applies and val:
+            disallow.append(val)
+    return disallow
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """Sitemap: lines from robots.txt (apply to all user-agents)."""
+    out = []
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if line.lower().startswith("sitemap:"):
+            u = line.partition(":")[2].strip()
+            if u:
+                out.append(u)
+    return out
+
+
 def url_pattern(url: str) -> str:
     """Template a URL for feedback stats: digits->{num}, uuid->{uuid}, hex ids->{id}.
 

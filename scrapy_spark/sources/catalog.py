@@ -137,3 +137,27 @@ class SnapshotCatalog:
 
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
+
+    def vacuum(self) -> list[str]:
+        """Delete files not referenced by the manifest (orphans left by
+        crashed generations) — the Iceberg remove_orphan_files maintenance
+        action. Safe because readers only ever see manifest-listed files."""
+        m = self._load()
+        referenced = {os.path.normpath(f) for files in m["tables"].values() for f in files}
+        removed = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            for name in filenames:
+                full = os.path.join(dirpath, name)
+                rel = os.path.normpath(os.path.relpath(full, self.root))
+                if rel == os.path.basename(self._manifest_path):
+                    continue
+                if rel.startswith("_stage-") or (
+                    rel not in referenced and rel.endswith(".parquet")
+                ):
+                    os.remove(full)
+                    removed.append(rel)
+        # drop empty staging dirs
+        for dirpath, dirnames, filenames in list(os.walk(self.root, topdown=False)):
+            if not dirnames and not filenames and dirpath != self.root:
+                os.rmdir(dirpath)
+        return removed

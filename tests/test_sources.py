@@ -98,3 +98,15 @@ def test_jsonl_permissive_scan(spark, tmp_path):
     good = df.filter("_corrupt_record IS NULL").drop("_corrupt_record")
     rows = {r["url"]: r["depth"] for r in good.collect()}
     assert rows == {"https://uconn.edu/a": 1, "https://uconn.edu/b": 2}
+
+
+def test_vacuum_removes_orphans_only(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    f0 = cat.stage(spark.range(4).withColumnRenamed("id", "v"), "t", 0)
+    cat.commit(0, {"t": f0})
+    # orphan: staged but never committed (simulated crash mid-generation)
+    cat.stage(spark.range(9).withColumnRenamed("id", "v"), "t", 1)
+    removed = cat.vacuum()
+    assert removed  # the orphan files went away
+    assert cat.read(spark, "t").count() == 4  # committed data intact
+    assert cat.vacuum() == []  # idempotent

@@ -96,3 +96,27 @@ def test_url_pattern():
         url_pattern("https://uconn.edu/d/123e4567-e89b-12d3-a456-426614174000")
         == "/d/{uuid}"
     )
+
+
+def test_parse_robots_txt():
+    from scrapy_spark.functions.urls import parse_robots_sitemaps, parse_robots_txt
+
+    txt = """
+# robots for uconn.edu
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+
+Sitemap: https://uconn.edu/sitemap.xml
+Sitemap: https://uconn.edu/sitemap2.xml
+"""
+    assert parse_robots_txt(txt) == ["/private/", "/tmp/"]
+    assert parse_robots_txt(txt, "evilbot") == ["/private/", "/tmp/", "/"]
+    assert parse_robots_sitemaps(txt) == [
+        "https://uconn.edu/sitemap.xml",
+        "https://uconn.edu/sitemap2.xml",
+    ]
