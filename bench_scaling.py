@@ -30,11 +30,11 @@ BENCH_CFG = dict(
     seed=42, n_hosts=40, n_pages=150000, n_images=60000,
     links_per_page=8, images_per_page=3, n_seeds=15000,
 )
-BENCH_PARAMS = dict(max_generations=2, per_host_budget=700, gen_cap=None)
+BENCH_PARAMS = dict(max_generations=3, per_host_budget=700, gen_cap=None)
 # Simulated fetch RTT per URL. The reference crawler is network-bound
 # (185 URLs/s over 32 workers ≈ 170 ms/URL effective; politeness delay
 # 50 ms prod) — 50 ms (the reference's prod politeness delay) is a conservative stand-in that makes the fetch stage
-# I/O-shaped instead of unrealistically free. Two generations keep the
+# I/O-shaped instead of unrealistically free. Three generations keep the
 # fixed per-generation driver cost (~8 s) proportionally small, the way a
 # production generation (hours) would.
 FETCH_LATENCY_S = 0.05
@@ -49,7 +49,7 @@ def run_once(cpus: int) -> dict:
     spark = get_spark(
         f"bench_scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 4,
+        shuffle_partitions=cpus,
     )
     cfg = SynthConfig(**BENCH_CFG)
     params = CrawlParams(**BENCH_PARAMS)
@@ -69,7 +69,7 @@ def run_once(cpus: int) -> dict:
         t0 = time.perf_counter()
         job = CrawlJob(
             spark, cfg, params, wd, salt_buckets=32,
-            fetch_latency_s=FETCH_LATENCY_S, fetch_partitions=cpus * 2,
+            fetch_latency_s=FETCH_LATENCY_S, fetch_partitions=cpus,
         )
         stats = job.run()
         secs = time.perf_counter() - t0
