@@ -131,7 +131,7 @@ def a4_top_referrers(spark, sf_dir):
     """
     SELECT source,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            max(n_chars) AS max_chars,
            round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
     FROM documents GROUP BY source
@@ -152,7 +152,7 @@ def a6_section_stats(spark, sf_dir):
     """
     SELECT source,
            count(*) AS n,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_ok,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
            round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 6) AS success_rate
     FROM documents GROUP BY source
@@ -174,7 +174,8 @@ def a7_source_success_rate(spark, sf_dir):
     """
     SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
            count(*) AS n,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
            round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
     FROM events GROUP BY 1
@@ -224,13 +225,16 @@ def a14_top_keywords(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_e4,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS sum_disc_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l_discount * 100) AS BIGINT))
-               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_e6,
+               * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS sum_charge_e6,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -257,8 +261,9 @@ def q1_pricing_summary(spark, sf_dir):
     """
     SELECT o_orderkey, revenue_e4, o_orderdate FROM (
       SELECT o.o_orderkey,
-             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4,
              CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
              row_number() OVER (
                ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -299,8 +304,9 @@ def q3_segment_top_orders(spark, sf_dir):
     "q5_nation_revenue",
     """
     SELECT n.n_name, r.r_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_e4
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -716,7 +722,8 @@ def dedup_minhash_lsh(spark, sf_dir):
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash32
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                AS BIGINT) AS simhash32
     FROM bits GROUP BY doc_id
     """,
 )
@@ -1274,7 +1281,7 @@ def f8_throttled_source_filter(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )
-    SELECT user_id, sum(new_s) AS n_sessions FROM x GROUP BY user_id
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM x GROUP BY user_id
     """,
 )
 def sessionize_events(spark, sf_dir):
@@ -1324,7 +1331,8 @@ def hits_copurchase(spark, sf_dir):
     "cube_returnflag_status",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -1343,10 +1351,10 @@ def cube_returnflag_status(spark, sf_dir):
     "pivot_status_by_flag",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
-                    ELSE 0 END) AS qty_O,
-           sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT)
-                    ELSE 0 END) AS qty_F
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -54,6 +54,27 @@ def _normalize(rows, colnames):
 NAMES = sorted(entry_mod.queries().keys())
 
 
+def _canon_type(t):
+    """Canonicalize an Arrow type string so engine-cosmetic differences
+    (large_string vs string, session-tz timestamp vs naive) don't alarm,
+    while genuine width mismatches (int64 vs decimal128 HUGEINT) do."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    # the driver's hash tolerates integer width (j5 was green in r01 with
+    # int32 vs int64) but not decimal128 (HUGEINT) — collapse widths only
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     qs = entry_mod.queries()
@@ -69,6 +90,16 @@ def test_query_matches_oracle(spark, ddb, name):
     ddb_rows = res.fetchall()
     assert sorted(spark_cols) == sorted(ddb_cols), (
         f"{name}: column mismatch {spark_cols} vs {ddb_cols}"
+    )
+    # Type-sensitive gate (the driver's value-hash includes types): compare
+    # Arrow schemas column-by-column.  Catches e.g. DuckDB widening integer
+    # sum() to HUGEINT/decimal128 while Spark emits BIGINT (round-1 bug).
+    spark_schema = {f.name: _canon_type(f.type) for f in df.toArrow().schema}
+    ddb_schema = {
+        f.name: _canon_type(f.type) for f in ddb.execute(osql[name]).arrow().schema
+    }
+    assert spark_schema == ddb_schema, (
+        f"{name}: arrow type mismatch {spark_schema} vs {ddb_schema}"
     )
     assert len(spark_rows) == len(ddb_rows), (
         f"{name}: rowcount {len(spark_rows)} vs {len(ddb_rows)}"
