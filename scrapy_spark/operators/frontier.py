@@ -39,10 +39,15 @@ _DENY_RLIKE = r"(?i)\.(" + "|".join(DENY_EXTENSIONS) + r")$"
 CANDIDATE_COLS = ["raw_url", "source_url", "source_type", "anchor", "depth", "attempt"]
 
 
-def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
+def seeds_to_candidates(seeds: DataFrame, domain: str = "uconn.edu") -> DataFrame:
     """Seed CSV scan + cleaning (S1, discovery_spider.py:199-245,927-992),
-    plus one sitemap.xml candidate per distinct seed host (the robots
-    Sitemap recursion entry point, discovery_spider.py:994-1095)."""
+    plus one sitemap.xml candidate per distinct *surviving* seed host (the
+    robots Sitemap recursion entry point, discovery_spider.py:994-1095).
+
+    Sitemap hosts come only from seeds that pass the same candidate filters
+    the oracle applies (canonicalize + domain allow + deny-extension) — a
+    seed like https://x.uconn.edu/file.pdf yields no sitemap fetch.
+    """
     cleaned = seeds.select(
         clean_seed_udf(F.col("url")).alias("raw_url"),
         F.lit(None).cast("string").alias("source_url"),
@@ -52,9 +57,8 @@ def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
         F.lit(1).alias("attempt"),
     ).filter(F.col("raw_url").isNotNull())
     sitemaps = (
-        cleaned.select(
-            _host_col(canonicalize_udf(F.col("raw_url"))).alias("host")
-        )
+        canonicalize_candidates(cleaned, domain=domain)
+        .select("host")
         .filter(F.col("host").isNotNull())
         .distinct()
         .select(
@@ -95,10 +99,12 @@ def canonicalize_candidates(cands: DataFrame, domain: str = "uconn.edu") -> Data
     df = df.filter(
         (F.col("host") == domain) | F.col("host").endswith("." + domain)
     )
+    # deny-extension applies to the PATH only (is_denied_extension semantics:
+    # https://x/a.pdf?x=1 is denied, /page?file=.pdf is not)
     df = df.filter(
         ~(
             F.col("source_type").isin("seed", "html_link", "sitemap")
-            & F.col("url").rlike(_DENY_RLIKE)
+            & F.col("path").rlike(_DENY_RLIKE)
         )
     )
     df = df.withColumn(

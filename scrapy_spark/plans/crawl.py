@@ -110,7 +110,7 @@ class CrawlJob:
 
     def _gen0_candidates(self) -> DataFrame:
         seeds = self.spark.createDataFrame(synth.build_seeds(self.cfg))
-        return seeds_to_candidates(seeds)
+        return seeds_to_candidates(seeds, domain=self.params.domain)
 
     def run(self, resume: bool = False) -> list[GenStats]:
         start = self.catalog.committed_generation() + 1 if resume else 0

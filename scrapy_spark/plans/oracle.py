@@ -220,7 +220,9 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 c = dict(c)
                 c["rank_in_host"] = rank
                 selected.append(c)
-        if len(selected) > params.gen_cap:  # backpressure cap (pipeline.py:36)
+        if (
+            params.gen_cap is not None and len(selected) > params.gen_cap
+        ):  # backpressure cap (pipeline.py:36); None = unbounded
             selected.sort(key=lambda c: (c["depth"], -c["score"], c["url"]))
             selected = selected[: params.gen_cap]
             # re-rank within host after the cap

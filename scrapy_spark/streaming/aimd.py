@@ -65,15 +65,22 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         conc, total, failures, consec = state.get
     else:
         conc, total, failures, consec = AIMD_START, 0, 0, 0
-    batch_n = 0
-    batch_fail = 0
-    for pdf in pdfs:
-        ok = pdf["is_valid"].astype(bool)
-        batch_n += len(pdf)
-        batch_fail += int((~ok).sum())
-        # consecutive-failure tracking needs event order inside the batch
-        for v in ok.to_numpy():
-            consec = 0 if v else consec + 1
+    # consecutive-failure tracking needs a deterministic event order: batch
+    # arrival order is partition/shuffle-dependent, so sort by event
+    # time/sequence before scanning (first matching column wins)
+    parts = list(pdfs)
+    if not parts:
+        return
+    batch = pd.concat(parts, ignore_index=True)
+    for order_col in ("ts", "seq", "event_id", "url"):
+        if order_col in batch.columns:
+            batch = batch.sort_values(order_col, kind="mergesort")
+            break
+    ok = batch["is_valid"].astype(bool)
+    batch_n = len(batch)
+    batch_fail = int((~ok).sum())
+    for v in ok.to_numpy():
+        consec = 0 if v else consec + 1
     total += batch_n
     failures += batch_fail
     rate = 1.0 - (batch_fail / batch_n) if batch_n else 1.0
