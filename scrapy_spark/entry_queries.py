@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scrapy_spark.operators.topk import topk_total_order
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
@@ -120,10 +122,33 @@ def a3_depth_histogram(spark, sf_dir):
     """,
 )
 def a4_top_referrers(spark, sf_dir):
-    """Top referring pages / top-k by outlink count (A4) with total-order ties."""
+    """Top referring pages / top-k by outlink count (A4) with total-order ties.
+
+    Two-phase top-k (operators/topk.py): per-partition local limit feeds a
+    final merge of <= k*P rows — no full-input single-partition window."""
     g = load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    return g.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).drop("rk")
+    return topk_total_order(g, [F.col("n").desc(), F.col("user_id").asc()], 10)
+
+
+@_q(
+    "a5_source_breakdown",
+    """
+    SELECT source, count(*) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM documents GROUP BY source
+    """,
+)
+def a5_source_breakdown(spark, sf_dir):
+    """Discovery-source breakdown with share-of-total (A5,
+    discovery_spider.py:519-522,901-905). The global window runs over the
+    already-aggregated result (<= #distinct sources rows)."""
+    g = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return g.withColumn(
+        "share", F.round(F.col("n") / total.cast("double"), 6)
+    )
 
 
 @_q(
@@ -212,8 +237,7 @@ def a14_top_keywords(spark, sf_dir):
         F.col("word") != ""
     )
     g = words.groupBy("word").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    return g.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")
+    return topk_total_order(g, [F.col("n").desc(), F.col("word").asc()], 20)
 
 
 # ---------------------------------------------------------------------------
@@ -292,12 +316,9 @@ def q3_segment_top_orders(spark, sf_dir):
         .groupBy("o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
         .agg(F.sum(rev).alias("revenue_e4"))
     )
-    w = Window.orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
-    return (
-        g.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("o_orderkey", "revenue_e4", "o_orderdate")
-    )
+    return topk_total_order(
+        g, [F.col("revenue_e4").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", "revenue_e4", "o_orderdate")
 
 
 @_q(
@@ -1144,12 +1165,35 @@ def w2_fifo_order(spark, sf_dir):
     """FIFO queue ordering (W2, priority_queue.py:127-131): insertion order =
     monotonic (ts, event_id)."""
     e = load(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return (
-        e.withColumn("seq", F.row_number().over(w))
-        .filter(F.col("seq") <= 100)
-        .select("event_id", "seq")
-    )
+    return topk_total_order(
+        e, [F.col("ts").asc(), F.col("event_id").asc()], 100, rank_col="seq"
+    ).select("event_id", "seq")
+
+
+@_q(
+    "w4_random_order",
+    """
+    SELECT event_id, rk FROM (
+      SELECT event_id,
+             row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)) ASC,
+                                event_id ASC) AS rk
+      FROM events
+    ) WHERE rk <= 100
+    """,
+)
+def w4_random_order(spark, sf_dir):
+    """Seeded-random queue order (W4, priority_queue.py:140-144): a
+    deterministic shuffle via md5 of the key — the engine-portable twin of a
+    seeded RNG (same 'random' permutation in Spark and DuckDB). Two-phase
+    top-k keeps the ranking distributed."""
+    e = load(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    return topk_total_order(
+        e.withColumn("_h", h),
+        [F.col("_h").asc(), F.col("event_id").asc()],
+        100,
+        rank_col="rk",
+    ).select("event_id", "rk")
 
 
 @_q(

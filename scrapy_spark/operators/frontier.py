@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..functions.scoring import spark_score
 from ..functions.urls import DENY_EXTENSIONS, canonicalize, clean_seed_url
+from .topk import topk_total_order
 
 # Arrow-vectorized canonicalization (one Python invocation per ~10k-row batch;
 # DataType objects, not DDL strings, so import needs no active session)
@@ -261,9 +262,10 @@ def select_frontier(
     unconditionally via a global row_number — equivalent to the sequential
     oracle in both branches (under the cap it removes nothing and re-ranking
     reproduces the same per-host ranks, since both use the same total order)
-    and needs no driver-side count. The global window sorts only the
-    budget-filtered slice (≤ budget × active hosts rows). Pass gen_cap=None
-    for unbounded generations (skips the global sort entirely).
+    and needs no driver-side count. The cap is a two-phase top-k
+    (operators/topk.py) over the budget-filtered slice (≤ budget × active
+    hosts rows) — no full-slice single-partition sort. Pass gen_cap=None for
+    unbounded generations (skips the cap entirely).
     """
     w = Window.partitionBy("host").orderBy(
         F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()
@@ -273,10 +275,9 @@ def select_frontier(
     )
     if gen_cap is None:
         return sel
-    wg = Window.orderBy(F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
-    capped = (
-        sel.withColumn("_g", F.row_number().over(wg))
-        .filter(F.col("_g") <= gen_cap)
-        .drop("_g", "rank_in_host")
+    capped = topk_total_order(
+        sel.drop("rank_in_host"),
+        [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()],
+        gen_cap,
     )
     return capped.withColumn("rank_in_host", F.row_number().over(w))

@@ -133,6 +133,10 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
 
 
 def top_by(df: DataFrame, metric: str, k: int, key: str = "node") -> DataFrame:
-    """Deterministic top-k by metric (W7, link_graph.py:366-397)."""
-    w = Window.orderBy(F.col(metric).desc(), F.col(key).asc())
-    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    """Deterministic top-k by metric (W7, link_graph.py:366-397).
+
+    Two-phase (operators/topk.py): local per-partition limit, then a merge of
+    <= k*P rows — never a full-input single-partition sort."""
+    from .topk import topk_total_order
+
+    return topk_total_order(df, [F.col(metric).desc(), F.col(key).asc()], k)

@@ -1,0 +1,56 @@
+"""Two-phase deterministic global top-k (W7 and every top-k query site).
+
+A bare ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+FULL input through one task — milliseconds at sf0.1, but at 100x the
+vocabulary/user/frontier cardinality lands on a single executor. The same
+result is computed scalably in two phases:
+
+1. **local**: sort each partition by the total order and keep only its first
+   k rows. This stays JVM-side with no shuffle:
+   ``monotonically_increasing_id()`` encodes the within-partition row
+   position in its low 33 bits, and because the expression is
+   non-deterministic Catalyst never reorders it below the sort, so after
+   ``sortWithinPartitions`` the masked id IS the per-partition rank.
+2. **global**: one final single-partition sort of the <= k x P survivors
+   assigns the rank.
+
+Output is identical to the naive global window for any *total* order: every
+row of the global top-k is necessarily within the top-k of its own
+partition. (Limit: < 2^33 rows per partition — the id's row-counter width.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_POS_MASK = (1 << 33) - 1
+
+
+def topk_total_order(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Global top-k of ``df`` under the total order ``order_by``.
+
+    ``order_by`` must be a TOTAL order (include a unique tie-break column) or
+    the selection is ambiguous. If ``rank_col`` is given, the 1-based global
+    rank is emitted under that name; otherwise only the surviving rows.
+    """
+    cols = list(order_by)
+    local = (
+        df.sortWithinPartitions(*cols)
+        .withColumn(
+            "_pos", F.monotonically_increasing_id().bitwiseAND(F.lit(_POS_MASK))
+        )
+        .filter(F.col("_pos") < k)
+        .drop("_pos")
+    )
+    name = rank_col or "_rk"
+    ranked = (
+        local.withColumn(name, F.row_number().over(Window.orderBy(*cols)))
+        .filter(F.col(name) <= k)
+    )
+    return ranked if rank_col else ranked.drop("_rk")
