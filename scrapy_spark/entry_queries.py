@@ -494,8 +494,11 @@ def j1_seen_anti_join(spark, sf_dir):
     """,
 )
 def j2_importance_join(spark, sf_dir):
-    """Frontier ⋈ importance-scores broadcast join (J2, validator.py:133-191);
-    the small aggregate side broadcasts."""
+    """Frontier ⋈ importance-scores join (J2, validator.py:133-191).
+
+    No broadcast hint: the per-user aggregate is unbounded at 100x (user
+    cardinality grows with the corpus), so AQE picks the strategy from the
+    measured size at runtime — broadcast when small, shuffle join when not."""
     e = load(spark, sf_dir, "events")
     imp = e.groupBy("user_id").agg(
         F.round(F.sum(_micros(F.col("value"))) / 1000000.0 / F.count("*"), 6).alias(
@@ -504,7 +507,7 @@ def j2_importance_join(spark, sf_dir):
         F.count("*").alias("n_events"),
     )
     c = load(spark, sf_dir, "customer")
-    return c.join(F.broadcast(imp), c.c_custkey == imp.user_id).select(
+    return c.join(imp, c.c_custkey == imp.user_id).select(
         "c_name", "importance", "n_events"
     )
 
@@ -628,7 +631,12 @@ def _spark_shingles(spark, sf_dir):
 @_q(
     "dedup_ngram_jaccard",
     f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    shingles AS (
+      SELECT s.doc_id, s.shingle FROM shingles0 s
+      JOIN (SELECT shingle FROM shingles0 GROUP BY shingle
+            HAVING count(*) <= 1000) ok USING (shingle)
+    ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -647,32 +655,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: 3-gram shingle sets, candidate pairs share a
     shingle (an implicit LSH on exact shingles), Jaccard >= 0.2.
 
-    Scale path: the shingle self-join is the classic "inverted index" join —
-    at 100 TB you'd cap posting-list length (drop shingles appearing in > K
-    docs) before the self-join; the synthetic corpus needs no cap."""
-    sh = _spark_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")).cast(
-        "double"
-    )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    Posting lists are CAPPED at doc-frequency 1000 before the self-join
+    (operators/neardup.py) — a hot boilerplate shingle otherwise contributes
+    K^2 pairs at 100 TB. Jaccard is over the capped shingle universe in both
+    engines; the synthetic corpus has no shingle near the cap."""
+    from scrapy_spark.operators.neardup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _spark_shingles(spark, sf_dir), threshold=0.2, max_doc_freq=1000
     )
 
 
@@ -837,42 +827,11 @@ _COS_EXPR = (
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): queries = vec_id < 20,
     k=3. Dot products on quantized ints (exact); cosine rounded to 6dp with a
-    total-order tie-break. Scale path: IVF/LSH bucketing (see ann_lsh_bucketed)."""
-    q = _spark_quantized(spark, sf_dir)
-    a = q.filter(F.col("vec_id") < 20).alias("a")
-    b = q.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(f"{side}.q"), F.col(f"{side}.q"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            dot.alias("dot"),
-            norm("a").alias("na"),
-            norm("b").alias("nb"),
-        )
-    )
-    cos = F.round(
-        F.col("dot")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    total-order tie-break. Scale path: LSH bucketing (see ann_lsh_bucketed /
+    operators/ann.py)."""
+    from scrapy_spark.operators.ann import brute_force_topk
+
+    return brute_force_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
 
 
 @_q(
@@ -1440,47 +1399,70 @@ def pivot_status_by_flag(spark, sf_dir):
     """,
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    """ANN scale path: random-hyperplane-style LSH bucketing (sign bits of
-    the first 3 quantized dims -> 8 buckets); neighbors are searched only
-    inside the query's bucket, so the candidate join is bucket-equi instead
-    of all-pairs — the shuffle key at 10^9 vectors is the bucket id."""
-    q = _spark_quantized(spark, sf_dir)
-    bucket = (
-        F.when(F.element_at("q", 1) > 0, 4).otherwise(0)
-        + F.when(F.element_at("q", 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at("q", 3) > 0, 1).otherwise(0)
+    """ANN scale path: sign-bit LSH bucketing (operators/ann.py, n_bits=3
+    here to match the oracle SQL; the operator parameterizes n_bits — bucket
+    count must scale with the corpus, ~2^20 at 10^9 vectors). Neighbors are
+    searched only inside the query's bucket, so the candidate join is
+    bucket-equi instead of all-pairs — the shuffle key is the bucket id."""
+    from scrapy_spark.operators.ann import lsh_topk
+
+    return lsh_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3, n_bits=3)
+
+
+@_q(
+    "ann_lsh_recall",
+    f"""
+    WITH q AS ({_QUANT_SQL}),
+    b AS (
+      SELECT vec_id, q,
+             (CASE WHEN q[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN q[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN q[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN q[4] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM q
+    ),
+    ep AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.q, c.q) AS dot,
+             list_dot_product(a.q, a.q) AS na,
+             list_dot_product(c.q, c.q) AS nb
+      FROM q a JOIN q c ON a.vec_id < 20 AND c.vec_id <> a.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+        FROM ep) WHERE rk <= 3
+    ),
+    ap AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.q, c.q) AS dot,
+             list_dot_product(a.q, a.q) AS na,
+             list_dot_product(c.q, c.q) AS nb
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < 20 AND c.vec_id <> a.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+        FROM ap) WHERE rk <= 3
     )
-    b = q.withColumn("bucket", bucket)
-    a = b.filter(F.col("vec_id") < 20).alias("a")
-    c = b.alias("c")
-    dot = lambda l, r: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(l), F.col(r), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        dot("a.q", "c.q").alias("dot"),
-        dot("a.q", "a.q").alias("na"),
-        dot("c.q", "c.q").alias("nb"),
-    )
-    cos = F.round(
-        F.col("dot")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    SELECT round((SELECT count(*) FROM exact e
+                  JOIN approx x USING (query_id, neighbor_id))
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall
+    """,
+)
+def ann_lsh_recall(spark, sf_dir):
+    """Recall of the n_bits=4 LSH variant against the brute-force baseline
+    (set recall over all top-3 lists, one row). Proves the parameterized
+    bucketing (operators/ann.py) trades recall for candidate-list size —
+    the knob you turn as the corpus grows."""
+    from scrapy_spark.operators.ann import lsh_recall
+
+    return lsh_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3, 4)
 
 
 @_q(

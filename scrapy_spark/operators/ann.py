@@ -1,0 +1,105 @@
+"""Approximate nearest neighbor over an embedding column (array<long>,
+pre-quantized to exact ints).
+
+- ``brute_force_topk``: the exactness baseline — all (query, candidate)
+  pairs, exact integer dot products, cosine rounded 6dp, total-order top-k.
+- ``lsh_sign_buckets`` + ``lsh_topk``: the 100 TB path — sign-bit LSH over
+  the first ``n_bits`` dimensions (a fixed axis-aligned instance of
+  random-hyperplane LSH), 2^n_bits buckets; the candidate join is
+  bucket-equi instead of all-pairs, so the shuffle key is the bucket id.
+  ``n_bits`` is a PARAMETER: bucket count must scale with the corpus (at
+  10^9 vectors, 8 buckets is all-pairs/8; ~2^20 buckets keeps candidate
+  lists bounded). Recall vs the brute-force baseline is asserted in
+  tests/test_ann.py and surfaced as the ann_lsh_recall driver query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(left: str, right: str) -> Column:
+    """Exact integer dot product of two array<long> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(F.col(left), F.col(right), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine() -> Column:
+    return F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+
+
+def lsh_sign_buckets(vecs: DataFrame, n_bits: int, vec_col: str = "q") -> DataFrame:
+    """Assign each vector to one of 2^n_bits sign buckets (dims 1..n_bits)."""
+    b: Column = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(
+            F.element_at(vec_col, i + 1) > 0, F.lit(1 << (n_bits - 1 - i))
+        ).otherwise(F.lit(0))
+    return vecs.withColumn("bucket", b)
+
+
+def _pairs_topk(pairs: DataFrame, k: int) -> DataFrame:
+    cos = _cosine()
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def brute_force_topk(vecs: DataFrame, query_pred: Column, k: int) -> DataFrame:
+    """Exact cosine top-k: queries x all candidates (the baseline)."""
+    a = vecs.filter(query_pred).alias("a")
+    c = vecs.alias("c")
+    pairs = a.join(c, F.col("a.vec_id") != F.col("c.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _dot("a.q", "c.q").alias("dot"),
+        _dot("a.q", "a.q").alias("na"),
+        _dot("c.q", "c.q").alias("nb"),
+    )
+    return _pairs_topk(pairs, k)
+
+
+def lsh_topk(vecs: DataFrame, query_pred: Column, k: int, n_bits: int) -> DataFrame:
+    """Approximate cosine top-k searched only inside the query's LSH bucket."""
+    b = lsh_sign_buckets(vecs, n_bits)
+    a = b.filter(query_pred).alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _dot("a.q", "c.q").alias("dot"),
+        _dot("a.q", "a.q").alias("na"),
+        _dot("c.q", "c.q").alias("nb"),
+    )
+    return _pairs_topk(pairs, k)
+
+
+def lsh_recall(
+    vecs: DataFrame, query_pred: Column, k: int, n_bits: int
+) -> DataFrame:
+    """One-row DataFrame: fraction of brute-force top-k pairs the LSH
+    variant recovers (order-insensitive set recall over all queries)."""
+    exact = brute_force_topk(vecs, query_pred, k).select("query_id", "neighbor_id")
+    approx = lsh_topk(vecs, query_pred, k, n_bits).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hits.agg(F.count("*").alias("n_hit"))
+    ).select(
+        F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias("recall")
+    )

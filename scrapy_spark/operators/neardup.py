@@ -1,0 +1,75 @@
+"""Near-duplicate candidate generation over shingle inverted indexes.
+
+The shingle self-join (doc pairs sharing a shingle) is the classic
+inverted-index join; its 100 TB failure mode is a hot posting list — a
+boilerplate shingle appearing in K documents contributes K^2 candidate
+pairs. ``cap_posting_lists`` drops shingles with document frequency >
+``max_doc_freq`` BEFORE the self-join, bounding any single shingle's pair
+contribution to max_doc_freq^2 and making total pair count linear in corpus
+size for a fixed cap.
+
+Jaccard is computed over the doc-frequency-filtered shingle universe: set
+sizes and intersections both use the capped sets, so the score is a true
+Jaccard of those sets (standard near-dup practice — ubiquitous shingles
+carry no dedup signal anyway).
+
+Reference parity: the reference dedups exact URL/content hashes only
+(url_deduplication.py); n-gram near-dup is part of the training-data
+pipeline surface this engine adds (SURVEY §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cap_posting_lists(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose posting list exceeds ``max_doc_freq`` docs.
+
+    The hot-shingle list is tiny (only violators), so the anti-join
+    broadcasts; the frequency count is one linear groupBy."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle)-distinct rows -> near-dup pairs with Jaccard score.
+
+    Candidate pairs share at least one (capped) shingle — an implicit LSH on
+    exact shingles; the join key is the shingle, so the shuffle is the
+    inverted index itself."""
+    if max_doc_freq is not None:
+        shingles = cap_posting_lists(shingles, max_doc_freq)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("common")
+    ).cast("double")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
