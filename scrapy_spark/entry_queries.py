@@ -1011,17 +1011,17 @@ def multimodal_binary_meta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q("pagerank_copurchase", None)
-def pagerank_copurchase(spark, sf_dir):
-    """PageRank (A9, link_graph.py:182-247: damping 0.85, max-normalized) over
-    the customer→part bipartite graph, 5 fixed iterations as DataFrame joins.
-    Iterative — no single SQL oracle; verified by tests/test_linkgraph.py
-    against a numpy reference."""
-    from .operators.linkgraph import pagerank
+_EDGES_SQL = """
+      SELECT DISTINCT concat('c', CAST(o.o_custkey AS VARCHAR)) AS src,
+             concat('p', CAST(l.l_partkey AS VARCHAR)) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
 
+
+def _copurchase_edges(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    edges = (
+    return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
@@ -1029,8 +1029,104 @@ def pagerank_copurchase(spark, sf_dir):
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=5)
-    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 1_000_000, d: int = 85) -> str:
+    """Unrolled fixed-iteration fixed-point PageRank as chained CTEs — the
+    DuckDB twin of operators/linkgraph.pagerank_exact (all-integer
+    recurrence, so the unroll is hash-exact, no FP order sensitivity)."""
+    t = 100 - d
+    parts = [
+        f"e0 AS ({_EDGES_SQL})",
+        "od AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src)",
+        "e AS (SELECT e0.src, e0.dst, od.out_deg FROM e0 JOIN od USING (src))",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node,"
+            f" CAST(sum(r{p}.r // e.out_deg) AS BIGINT) AS contrib"
+            f" FROM e JOIN r{p} ON e.src = r{p}.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT coalesce(CAST(sum(r) AS BIGINT), 0) AS dmass"
+            f" FROM r{p} WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.node, CAST(({t} * CAST({scale} AS BIGINT)"
+            f" + {d} * ((SELECT dmass FROM d{k}) // (SELECT n FROM nn))"
+            f" + {d} * coalesce(c{k}.contrib, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.node)"
+        )
+    parts = [x.replace(" AS (", " AS MATERIALIZED (", 1) for x in parts]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT node, round(CAST(r AS DOUBLE)
+                       / (SELECT CAST(max(r) AS DOUBLE) FROM r{iters}), 6) AS rank
+    FROM r{iters}"""
+    )
+
+
+def _hits_sql(iters: int = 5, scale: int = 1_000) -> str:
+    """Unrolled fixed-point HITS (DuckDB twin of linkgraph.hits_exact):
+    integer sums, norm = sqrt(double(sum(sq))), re-quantize to millis."""
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hq FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS node, CAST(sum(h{p}.hq) AS BIGINT) AS aq"
+            f" FROM e JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"an{k} AS (SELECT CASE WHEN sqrt(CAST(sum(aq*aq) AS DOUBLE)) = 0"
+            f" THEN 1.0 ELSE sqrt(CAST(sum(aq*aq) AS DOUBLE)) END AS nrm FROM ar{k})"
+        )
+        parts.append(
+            f"a{k} AS (SELECT n.node, CAST(round(CAST(coalesce(ar{k}.aq, 0) AS DOUBLE)"
+            f" / (SELECT nrm FROM an{k}) * {scale}) AS BIGINT) AS aq"
+            f" FROM nodes n LEFT JOIN ar{k} ON n.node = ar{k}.node)"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT e.src AS node, CAST(sum(a{k}.aq) AS BIGINT) AS hq"
+            f" FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"hn{k} AS (SELECT CASE WHEN sqrt(CAST(sum(hq*hq) AS DOUBLE)) = 0"
+            f" THEN 1.0 ELSE sqrt(CAST(sum(hq*hq) AS DOUBLE)) END AS nrm FROM hr{k})"
+        )
+        parts.append(
+            f"h{k} AS (SELECT n.node, CAST(round(CAST(coalesce(hr{k}.hq, 0) AS DOUBLE)"
+            f" / (SELECT nrm FROM hn{k}) * {scale}) AS BIGINT) AS hq"
+            f" FROM nodes n LEFT JOIN hr{k} ON n.node = hr{k}.node)"
+        )
+    parts = [x.replace(" AS (", " AS MATERIALIZED (", 1) for x in parts]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT h.node, round(h.hq / {scale}.0, 6) AS hub,
+           round(a.aq / {scale}.0, 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    )
+
+
+@_q("pagerank_copurchase", _pagerank_sql())
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank (A9, link_graph.py:182-247: damping 0.85, max-normalized) over
+    the customer→part bipartite graph, 5 fixed iterations as DataFrame joins.
+
+    Uses the FIXED-POINT variant (linkgraph.pagerank_exact): all-integer
+    recurrence, hash-exact against the unrolled DuckDB CTE oracle. The float
+    twin (linkgraph.pagerank) is verified against numpy in
+    tests/test_linkgraph.py."""
+    from .operators.linkgraph import pagerank_exact
+
+    return pagerank_exact(_copurchase_edges(spark, sf_dir), iterations=5)
 
 
 @_q("doc_fingerprint", None)
@@ -1307,27 +1403,18 @@ def sessionize_events(spark, sf_dir):
     )
 
 
-@_q("hits_copurchase", None)
+@_q("hits_copurchase", _hits_sql())
 def hits_copurchase(spark, sf_dir):
     """HITS hubs/authorities (A10, link_graph.py:249-313) over the
-    customer→part graph, 5 iterations; iterative — rows-only check, verified
-    against numpy in tests/test_linkgraph.py."""
-    from .operators.linkgraph import hits
+    customer→part graph, 5 iterations.
 
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    s = hits(edges, iterations=5)
-    return s.select(
-        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
-    )
+    Uses the FIXED-POINT variant (linkgraph.hits_exact): scores re-quantize
+    to integer millis after each L2 normalization so every sum is exact and
+    the unrolled DuckDB CTE oracle hash-matches. The float twin
+    (linkgraph.hits) is verified against numpy in tests/test_linkgraph.py."""
+    from .operators.linkgraph import hits_exact
+
+    return hits_exact(_copurchase_edges(spark, sf_dir), iterations=5)
 
 
 @_q(

@@ -132,6 +132,141 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
     return scores
 
 
+PR_SCALE = 1_000_000  # rank unit: micros of n x rank (mass-scaled)
+HITS_SCALE = 1_000  # millis; norm sums must fit bigint (see hits_exact)
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank — the driver-checkable (cross-engine hash-exact)
+    variant of :func:`pagerank`.
+
+    Ranks are bigints holding ``scale`` x n x rank (mass-scaled so the
+    granularity is relative to the MEAN rank at any node count: every node
+    starts at exactly ``scale``). All arithmetic is integer — contributions
+    use truncating division (Spark ``div`` == DuckDB ``//`` for positive
+    ints), sums are exact bigints, damping is the rational 85/100 — so the
+    result is bit-identical across engines, partitionings and run order.
+    Same recurrence as the float version: uniform teleport
+    (100-damping_pct)%, dangling mass redistributed uniformly, one job per
+    iteration (dangling mass rides a broadcast 1-row cross-join), output
+    max-normalized to [0,1] doubles rounded 6dp (link_graph.py:182-247).
+    """
+    nodes = nodes_of(edges).cache()
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = edges.join(out_deg, "src").cache()
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).cache()
+    t = 100 - damping_pct
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dmass = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .fillna(0, ["contrib"])
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                F.expr(
+                    f"({t} * CAST({scale} AS BIGINT)"
+                    f" + {damping_pct} * (_dmass div {n})"
+                    f" + {damping_pct} * contrib) div 100"
+                ).alias("r"),
+            )
+        )
+    mx = ranks.agg(F.max("r")).collect()[0][0]
+    out = ranks.select(
+        "node",
+        F.round(F.col("r").cast("double") / F.lit(float(mx)), 6).alias("rank"),
+    )
+    nodes.unpersist()
+    e.unpersist()
+    dangling.unpersist()
+    return out
+
+
+def hits_exact(
+    edges: DataFrame, iterations: int = 5, scale: int = HITS_SCALE
+) -> DataFrame:
+    """Fixed-point HITS — the driver-checkable variant of :func:`hits`.
+
+    Hub/authority scores re-quantize to bigint millis after every L2
+    normalization, so every SUM in the recurrence runs over exact integers
+    (order-independent) and every float op is an elementwise function of
+    exact ints (deterministic): araw = sum of hub millis over in-edges;
+    norm = sqrt(double(sum(araw^2))); next millis =
+    round(araw / norm * scale). scale=1000 keeps sum(araw^2) within bigint
+    up to ~10^6 nodes of in-degree ~10^3 (bump to decimal beyond). Norms
+    ride broadcast 1-row cross-joins — no per-iteration driver collect
+    (unlike the float version's two scalar collects). Output rounded 6dp.
+    """
+    nodes = nodes_of(edges).cache()
+    e = edges.cache()
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        nrm = raw.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col)).cast("double")).alias("_nrm")
+        ).select(
+            F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm")).alias(
+                "_nrm"
+            )
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .fillna(0, [col])
+            .crossJoin(F.broadcast(nrm))
+            .select(
+                "node",
+                F.round(F.col(col).cast("double") / F.col("_nrm") * scale, 0)
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.withColumn("hq", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        hubs = hubs.localCheckpoint(eager=True)
+        araw = (
+            e.join(hubs.select(F.col("node").alias("src"), "hq"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hq").alias("aq"))
+        )
+        auth = _normalize(araw, "aq").localCheckpoint(eager=True)
+        hraw = (
+            e.join(auth.select(F.col("node").alias("dst"), "aq"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("aq").alias("hq"))
+        )
+        hubs = _normalize(hraw, "hq")
+    out = (
+        hubs.join(auth, "node")
+        .select(
+            "node",
+            F.round(F.col("hq") / F.lit(float(scale)), 6).alias("hub"),
+            F.round(F.col("aq") / F.lit(float(scale)), 6).alias("authority"),
+        )
+    )
+    nodes.unpersist()
+    e.unpersist()
+    return out
+
+
 def top_by(df: DataFrame, metric: str, k: int, key: str = "node") -> DataFrame:
     """Deterministic top-k by metric (W7, link_graph.py:366-397).
 

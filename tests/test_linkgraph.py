@@ -87,3 +87,31 @@ def test_degree_stats(spark, graph):
         ins[d] = ins.get(d, 0) + 1
     for k, (o, i) in got.items():
         assert o == outs.get(k, 0) and i == ins.get(k, 0)
+
+
+def test_pagerank_exact_tracks_float(spark, graph):
+    """Fixed-point pagerank_exact (driver-checkable) stays within the
+    quantization error of the float implementation."""
+    from scrapy_spark.operators.linkgraph import pagerank, pagerank_exact
+
+    df, _ = graph
+    f = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    x = {r["node"]: r["rank"] for r in pagerank_exact(df, iterations=5).collect()}
+    assert set(f) == set(x)
+    for k in f:
+        assert abs(f[k] - x[k]) < 1e-3, (k, f[k], x[k])
+
+
+def test_hits_exact_tracks_float(spark, graph):
+    from scrapy_spark.operators.linkgraph import hits, hits_exact
+
+    df, _ = graph
+    f = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iterations=5).collect()}
+    x = {r["node"]: (r["hub"], r["authority"]) for r in hits_exact(df, iterations=5).collect()}
+    assert set(f) == set(x)
+    for k in f:
+        assert abs(f[k][0] - x[k][0]) < 5e-3 and abs(f[k][1] - x[k][1]) < 5e-3, (
+            k,
+            f[k],
+            x[k],
+        )
