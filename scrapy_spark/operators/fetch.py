@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.errors import classify_error
 from ..plans.oracle import VALID_CONTENT_TYPES
 from ..sources.synth import SynthConfig, resolve, zipf_page_counts
 
@@ -115,7 +116,7 @@ def fetch_frontier(
                         "source_url": row.source_url,
                         "rank_in_host": row.rank_in_host,
                         "attempt": row.attempt,
-                        "error_type": "timeout" if sc == 599 else None,
+                        "error_type": classify_error(sc),
                         "status_code": sc,
                         "content_type": ct,
                         "title": r["title"],

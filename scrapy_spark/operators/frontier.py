@@ -251,7 +251,10 @@ def anti_join_seen(cands: DataFrame, seen: DataFrame | None) -> DataFrame:
 
 
 def select_frontier(
-    deduped: DataFrame, per_host_budget: int, gen_cap: int | None
+    deduped: DataFrame,
+    per_host_budget: int,
+    gen_cap: int | None,
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host rank-and-take under the politeness budget (W1) + global cap.
 
@@ -270,9 +273,21 @@ def select_frontier(
     w = Window.partitionBy("host").orderBy(
         F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()
     )
-    sel = deduped.withColumn("rank_in_host", F.row_number().over(w)).filter(
-        F.col("rank_in_host") <= per_host_budget
-    )
+    ranked = deduped.withColumn("rank_in_host", F.row_number().over(w))
+    if budgets is None:
+        sel = ranked.filter(F.col("rank_in_host") <= per_host_budget)
+    else:
+        # per-host AIMD/circuit-breaker budgets override the default; hosts
+        # absent from the budget table use it (budgets is one row per active
+        # host — a host-keyed dim, joined without a hint so AQE sizes it)
+        sel = (
+            ranked.join(budgets.select("host", "budget"), "host", "left")
+            .filter(
+                F.col("rank_in_host")
+                <= F.coalesce(F.col("budget"), F.lit(per_host_budget))
+            )
+            .drop("budget")
+        )
     if gen_cap is None:
         return sel
     capped = topk_total_order(

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import errors as errors_mod
 from ..operators import dedup as dedup_ops
 from ..operators.extract import extract_candidates
 from ..operators.fetch import fetch_frontier
@@ -124,6 +125,88 @@ class CrawlJob:
                 break
         return stats
 
+    def _rc_latest_state(self) -> DataFrame | None:
+        """Latest committed per-host rate-control state (one row per host)."""
+        hb = self.catalog.read(self.spark, "host_budget")
+        if hb is None:
+            return None
+        return hb.groupBy("host").agg(
+            F.max("generation").alias("p"),
+            F.max_by("budget", "generation").alias("b"),
+            F.max_by("consec", "generation").alias("consec"),
+            F.max_by("state", "generation").alias("st"),
+        )
+
+    def _rc_budgets(self, gen: int) -> DataFrame | None:
+        """Effective per-host budget for this generation: open circuits get a
+        one-generation cooldown (0) then a half-open probe budget of 1; any
+        probe success closes the circuit via the post-fetch update
+        (retry_strategies.py:256-390 semantics, generation-batch recast)."""
+        latest = self._rc_latest_state()
+        if latest is None:
+            return None
+        return latest.select(
+            "host",
+            F.when(
+                F.col("st") == "open",
+                F.when(F.lit(gen) == F.col("p") + 1, F.lit(0)).otherwise(F.lit(1)),
+            )
+            .otherwise(F.col("b"))
+            .alias("budget"),
+        )
+
+    def _rc_stage_update(self, staged_read: DataFrame, gen: int) -> list[str]:
+        """One generation's outcomes -> next per-host state rows (AIMD +
+        breaker). Consecutive failures count in rank_in_host order; because
+        ranks are contiguous 1..n per host, the failing tail after the last
+        success is simply n - max(successful rank) — pure column exprs, no
+        per-row Python. Mirrors oracle.rc_update exactly."""
+        params = self.params
+        upd = staged_read.groupBy("host").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("nv"),
+            F.coalesce(
+                F.max(F.when(F.col("is_valid"), F.col("rank_in_host"))), F.lit(0)
+            ).alias("msr"),
+        )
+        prev = self._rc_latest_state()
+        if prev is None:
+            joined = upd.withColumns(
+                {
+                    "b": F.lit(params.per_host_budget),
+                    "consec_prev": F.lit(0),
+                }
+            )
+        else:
+            joined = upd.join(prev, "host", "left").select(
+                upd["*"],
+                F.coalesce(F.col("b"), F.lit(params.per_host_budget)).alias("b"),
+                F.coalesce(F.col("consec"), F.lit(0)).alias("consec_prev"),
+            )
+        consec_new = F.when(F.col("nv") > 0, F.col("n") - F.col("msr")).otherwise(
+            F.col("consec_prev") + F.col("n")
+        )
+        opened = consec_new >= params.breaker_limit
+        rate = F.col("nv") / F.col("n")
+        b_new = F.when(opened, F.lit(0)).otherwise(
+            F.when(
+                rate < params.aimd_threshold,
+                F.greatest(F.lit(1), F.expr("b div 2")),
+            ).otherwise(
+                F.least(
+                    F.lit(params.per_host_budget), F.col("b") + params.aimd_step
+                )
+            )
+        )
+        rows = joined.select(
+            "host",
+            F.lit(gen).alias("generation"),
+            b_new.cast("int").alias("budget"),
+            consec_new.cast("int").alias("consec"),
+            F.when(opened, F.lit("open")).otherwise(F.lit("closed")).alias("state"),
+        )
+        return self.catalog.stage(rows, "host_budget", gen, coalesce=1)
+
     def _run_generation(self, gen: int) -> GenStats:
         """One frontier generation = ONE materializing Spark action (the
         cached fetch output), then narrow coalesced writes from cache and
@@ -163,7 +246,10 @@ class CrawlJob:
         else:
             new = anti_join_seen(cands, seen)
 
-        selected = select_frontier(new, params.per_host_budget, params.gen_cap)
+        budgets = self._rc_budgets(gen) if params.rate_control else None
+        selected = select_frontier(
+            new, params.per_host_budget, params.gen_cap, budgets
+        )
 
         # Fetch writes its results table directly — ONE materializing action
         # at full parallelism. Image bytes go to parquet exactly once and
@@ -195,11 +281,15 @@ class CrawlJob:
             return GenStats(gen, 0, time.time() - t0)
 
         staged_read = self.catalog.read_files(spark, staged["fetch_results"])
-        # transient timeouts with attempts left re-enqueue instead of entering
-        # the seen set (reference retry policy, validator.py:444-462)
-        transient = (F.col("status_code") == 599) & (
-            F.col("attempt") < oracle_mod.MAX_ATTEMPTS
-        )
+        # transient error classes with attempts left re-enqueue instead of
+        # entering the seen set (error taxonomy + per-type retry policy,
+        # retry_strategies.py:17-101; validator.py:444-462). error_type was
+        # produced by functions/errors.classify_error inside the fetch UDF.
+        # NB: isin() is NULL (not false) for success rows whose error_type is
+        # NULL — coalesce so ~transient keeps them (SQL three-valued logic)
+        transient = F.coalesce(
+            F.col("error_type").isin(*errors_mod.RETRYABLE_TYPES), F.lit(False)
+        ) & (F.col("attempt") < oracle_mod.MAX_ATTEMPTS)
 
         staged["url_seen"] = self.catalog.stage(
             staged_read.filter(~transient).select(
@@ -262,6 +352,9 @@ class CrawlJob:
             staged["bloom"] = dedup_ops.stage_bloom_delta(
                 spark, self.catalog, staged_read.filter(~transient), gen
             )
+
+        if params.rate_control:
+            staged["host_budget"] = self._rc_stage_update(staged_read, gen)
 
         elapsed = time.time() - t0
         metrics_pdf = pd.DataFrame(

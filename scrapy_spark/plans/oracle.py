@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..functions.errors import classify_error, is_retryable
 from ..functions.hashing import spark_xxhash64_str
 from ..functions.scoring import py_score
 from ..functions.urls import (
@@ -69,6 +70,18 @@ class CrawlParams:
     # (digits -> {num}) with enough samples and a poor valid-rate are banned
     feedback_min_samples: int = 10
     feedback_rate: float = 0.6
+    # per-host AIMD rate control + circuit breaker
+    # (retry_strategies.py:256-390 DomainCircuitBreaker;
+    #  async_enrichment.py:76-176 AIMD): the next generation's per-host
+    # budget is derived from this generation's outcomes — success rate below
+    # aimd_threshold halves the budget, at-or-above adds aimd_step (capped at
+    # per_host_budget); >= breaker_limit consecutive failures OPEN the
+    # circuit (budget 0 for one generation's cooldown, then a half-open
+    # probe budget of 1 until a success closes it again)
+    rate_control: bool = False
+    breaker_limit: int = 5
+    aimd_threshold: float = 0.95
+    aimd_step: int = 2
 
 
 @dataclass
@@ -106,6 +119,44 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
     counts = synth.zipf_page_counts(cfg)
     res = OracleResult()
     robots: dict[str, list[str]] = {}
+
+    # per-host rate-control state: host -> (budget, consec_failures, state,
+    # generation of last update); see CrawlParams.rate_control
+    rc_state: dict[str, tuple[int, int, str, int]] = {}
+
+    def budget_for(host: str, gen: int) -> int:
+        if not params.rate_control or host not in rc_state:
+            return params.per_host_budget
+        b, _consec, st, p = rc_state[host]
+        if st == "open":
+            return 0 if gen == p + 1 else 1  # cooldown, then half-open probe
+        return b
+
+    def rc_update(gen: int, rows: list[dict]) -> None:
+        """Outcomes of one generation -> next state. Consecutive failures are
+        counted in rank_in_host order (the scheduled order); a generation
+        with any success resets the streak to its failing tail."""
+        by_host: dict[str, list[dict]] = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r)
+        for host, hr in by_host.items():
+            hr.sort(key=lambda r: r["rank_in_host"])
+            n = len(hr)
+            nv = sum(1 for r in hr if r["is_valid"])
+            msr = max((r["rank_in_host"] for r in hr if r["is_valid"]), default=0)
+            b_prev, consec_prev, _st, _p = rc_state.get(
+                host, (params.per_host_budget, 0, "closed", -1)
+            )
+            consec = (n - msr) if nv > 0 else consec_prev + n
+            if consec >= params.breaker_limit:
+                rc_state[host] = (0, consec, "open", gen)
+            else:
+                rate = nv / n
+                if rate < params.aimd_threshold:
+                    b = max(1, b_prev // 2)
+                else:
+                    b = min(params.per_host_budget, b_prev + params.aimd_step)
+                rc_state[host] = (b, consec, "closed", gen)
 
     def blocked(host: str, path: str) -> bool:
         if host not in robots:
@@ -216,7 +267,7 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         selected = []
         for host, group in by_host.items():
             group.sort(key=lambda c: (c["depth"], -c["score"], c["url"]))
-            for rank, c in enumerate(group[: params.per_host_budget], start=1):
+            for rank, c in enumerate(group[: budget_for(host, gen)], start=1):
                 c = dict(c)
                 c["rank_in_host"] = rank
                 selected.append(c)
@@ -242,12 +293,14 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         # timeouts (599) with attempts remaining are re-enqueued instead
         # (retry re-enqueue, SURVEY §4 retry row; validator.py:444-462)
         next_cands = []
+        gen_rows: list[dict] = []
         for c in selected:
             r = synth.resolve(cfg, counts, c["url"], c["attempt"])
             sc = r["status_code"]
             ct = r["content_type"]
             is_valid = 200 <= sc < 400 and (ct or "") in VALID_CONTENT_TYPES
-            transient = sc == 599 and c["attempt"] < MAX_ATTEMPTS
+            err = classify_error(sc)
+            transient = is_retryable(err) and c["attempt"] < MAX_ATTEMPTS
             row = {
                 "generation": gen,
                 "host": c["host"],
@@ -262,12 +315,13 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "content_type": ct,
                 "is_valid": is_valid,
                 "attempt": c["attempt"],
-                "error_type": "timeout" if sc == 599 else None,
+                "error_type": err,
                 "title": r["title"],
                 "bytes": r["bytes"],
                 "caption": c["anchor"] if r["bytes"] is not None else None,
             }
             res.scheduled.append(row)
+            gen_rows.append(row)
             if transient:
                 retry = dict(c)
                 retry["attempt"] = c["attempt"] + 1
@@ -291,6 +345,8 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                     nc = _candidate(link, c["url"], "sitemap", None, c["depth"] + 1, params.domain)
                     if nc is not None:
                         next_cands.append(nc)
+        if params.rate_control:
+            rc_update(gen, gen_rows)
         res.gen_counts.append(
             {
                 "generation": gen,

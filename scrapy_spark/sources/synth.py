@@ -56,6 +56,8 @@ class SynthConfig:
     img_w: int = 48
     img_h: int = 32
     n_seeds: int = 10  # breadth of generation 0 (bench uses thousands)
+    # host indexes that are hard-down (always 503): circuit-breaker fixture
+    bad_hosts: tuple = ()
     host_names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -112,11 +114,16 @@ def image_caption(cfg: SynthConfig, image_id: str) -> str:
 
 
 def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
-    """Deterministic status incl. a flaky-timeout class: ~3% of pages time
-    out (599) on attempt 1 and succeed from attempt 2 — exercises the
-    reference's 3-retry transient-failure path (validator.py:444-462).
+    """Deterministic status incl. transient classes: ~3% of pages time out
+    (599) and ~2% return a 503 on attempt 1, succeeding from attempt 2 —
+    exercises the reference's per-error-type retry path
+    (retry_strategies.py:17-101, validator.py:444-462).
     The 'events' section is systematically bad (~40% extra 404s) so the
-    learned feedback pattern filter (F7) has something to learn."""
+    learned feedback pattern filter (F7) has something to learn.
+    Hosts listed in cfg.bad_hosts return 503 on EVERY attempt — a hard-down
+    origin that trips the per-domain circuit breaker."""
+    if hidx in cfg.bad_hosts:
+        return 503
     sec = SECTIONS[_h(cfg.seed, "sec", hidx, j) % len(SECTIONS)]
     if sec == "events" and _h(cfg.seed, "ev404", hidx, j) % 5 < 2:
         return 404
@@ -127,6 +134,8 @@ def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
         return 301
     if r < 8:  # flaky: timeout on first attempt, fine afterwards
         return 200 if attempt >= 2 else 599
+    if r < 10:  # flaky: transient server error on first attempt
+        return 200 if attempt >= 2 else 503
     return 200
 
 

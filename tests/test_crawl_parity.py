@@ -216,3 +216,81 @@ def test_politeness_pacing_path_same_results(spark, tmp_path_factory):
         for r in b.catalog.read(spark, "fetch_results").collect()
     )
     assert ra == rb and len(ra) > 30
+
+
+def test_error_taxonomy_retry_policy(spark, oracle):
+    """Retryable classes (timeout 599, server_error 503) re-enqueue and
+    succeed on attempt 2; permanent classes (404 not_found) never retry
+    (retry_strategies.py:17-101)."""
+    by_type = {}
+    for r in oracle.scheduled:
+        by_type.setdefault(r["error_type"], []).append(r)
+    # synthetic web emits both transient classes
+    assert "timeout" in by_type and "server_error" in by_type
+    # permanent: every not_found is attempt 1 and entered the seen set
+    for r in by_type.get("not_found", []):
+        assert r["attempt"] == 1
+        assert r["url"] in oracle.seen
+    # transient: attempt-1 failures are re-fetched (attempt 2 exists for the
+    # same url) and the attempt-1 row did NOT enter seen at that generation
+    retried = [r for r in oracle.scheduled if r["attempt"] == 2]
+    assert retried, "no retries exercised"
+    a1 = {
+        r["url"]
+        for r in oracle.scheduled
+        if r["attempt"] == 1 and r["error_type"] in ("timeout", "server_error")
+    }
+    assert {r["url"] for r in retried} <= a1
+    for r in retried:
+        assert r["status_code"] == 200  # flaky classes succeed from attempt 2
+
+
+def test_rate_control_breaker_parity(spark, tmp_path_factory):
+    """Per-host AIMD + circuit breaker (retry_strategies.py:256-390): with a
+    hard-down host (always 503), its budget collapses to 0 (open) after the
+    failure streak, cools down one generation, then probes at budget 1 —
+    and the Spark crawl reproduces the oracle's decisions exactly."""
+    cfg = SynthConfig(seed=42, n_hosts=12, n_pages=300, n_images=120, bad_hosts=(2,))
+    params = CrawlParams(
+        max_generations=5, per_host_budget=10, rate_control=True, breaker_limit=5
+    )
+    oracle = run_oracle(cfg, params)
+    wd = str(tmp_path_factory.mktemp("crawl_rc"))
+    job = CrawlJob(spark, cfg, params, wd, salt_buckets=4)
+    job.run()
+    results = job.catalog.read(spark, "fetch_results").collect()
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"] for r in results
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    seen_ours = {
+        (r["url"], r["generation"])
+        for r in job.catalog.read(spark, "url_seen").collect()
+    }
+    assert seen_ours == {(u, g) for u, g in oracle.seen.items()}
+    # the breaker actually bit: the bad host's per-generation scheduled count
+    # collapses to 0 (cooldown) and never exceeds 1 afterwards (probes)
+    bad_host = cfg.host_names[2] + ".uconn.edu"
+    per_gen = {}
+    for r in oracle.scheduled:
+        if r["host"] == bad_host:
+            per_gen[r["generation"]] = per_gen.get(r["generation"], 0) + 1
+            # every PAGE on the bad host fails (its sitemap.xml still serves)
+            assert not r["is_valid"] or r["content_type"] == "application/xml"
+    assert per_gen, "bad host never scheduled - fixture broken"
+    # enough failures accumulated to trip the breaker...
+    assert sum(per_gen.values()) >= params.breaker_limit + 1
+    # ...and the host's budget collapsed: no scheduling in the last
+    # generations even though the rest of the crawl kept going
+    last_bad_gen = max(per_gen)
+    assert last_bad_gen <= params.max_generations - 3
+    later_total = {
+        g["generation"]: g["scheduled"]
+        for g in oracle.gen_counts
+        if g["generation"] > last_bad_gen
+    }
+    assert later_total and all(v > 0 for v in later_total.values())
