@@ -152,6 +152,33 @@ def a5_source_breakdown(spark, sf_dir):
 
 
 @_q(
+    "freshness_staleness",
+    """
+    SELECT user_id,
+           CAST(max(ts) AS VARCHAR) AS last_seen,
+           CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-15')
+                AS BIGINT) AS staleness_days,
+           date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-15') > 30 AS stale
+    FROM events GROUP BY user_id
+    """,
+)
+def freshness_staleness(spark, sf_dir):
+    """Staleness aggregate (freshness.py:92-150): days since last activity
+    against a fixed reference date; entities over the 30-day threshold are
+    revalidation-due. The crawl-side twin (last_fetch_gen + age_days over
+    fetch history) drives CrawlParams.revalidate — parity-tested in
+    tests/test_crawl_parity.py::test_freshness_revalidation_parity."""
+    e = load(spark, sf_dir, "events")
+    ref = F.lit("2024-02-15").cast("date")
+    d = F.datediff(ref, F.max("ts").cast("date"))
+    return e.groupBy("user_id").agg(
+        F.max("ts").cast("string").alias("last_seen"),
+        d.cast("long").alias("staleness_days"),
+        (d > 30).alias("stale"),
+    )
+
+
+@_q(
     "a6_section_stats",
     """
     SELECT source,

@@ -39,7 +39,7 @@ FETCH_SCHEMA = (
     "url string, url_hash long, host string, depth int, score double, "
     "source_type string, anchor string, source_url string, rank_in_host int, "
     "attempt int, status_code int, content_type string, title string, "
-    "is_valid boolean, error_type string, "
+    "is_valid boolean, error_type string, age_days int, "
     "bytes binary, w int, h int, fmt string, "
     "body_links array<string>, "
     "image_refs array<struct<image_id:string,alt:string>>"
@@ -117,6 +117,7 @@ def fetch_frontier(
                         "rank_in_host": row.rank_in_host,
                         "attempt": row.attempt,
                         "error_type": classify_error(sc),
+                        "age_days": r.get("age_days"),
                         "status_code": sc,
                         "content_type": ct,
                         "title": r["title"],

@@ -59,6 +59,7 @@ RESULT_COLS = [
     "is_valid",
     "attempt",
     "error_type",
+    "age_days",
     "anchor",
     "title",
     "bytes",
@@ -124,6 +125,47 @@ class CrawlJob:
             if st.scheduled == 0:
                 break
         return stats
+
+    def _revalidation_candidates(self, gen: int) -> DataFrame | None:
+        """Stale pages due for a re-fetch (freshness.py:92-150,282-312).
+
+        A page is due when its Last-Modified age exceeds
+        freshness_max_age_days AND its last FINAL fetch happened at least
+        revalidate_after_gens generations ago. Derived from the committed
+        fetch history with a column-pruned scan (url, generation, age_days —
+        bytes never touched) + one linear groupBy(url); at 10^10 URLs this
+        is the same shuffle class as the seen anti-join and would read an
+        incrementally-maintained freshness table bucketed by url_hash."""
+        fr = self.catalog.read(self.spark, "fetch_results")
+        if fr is None:
+            return None
+        params = self.params
+        final = ~(
+            F.coalesce(
+                F.col("error_type").isin(*errors_mod.RETRYABLE_TYPES), F.lit(False)
+            )
+            & (F.col("attempt") < oracle_mod.MAX_ATTEMPTS)
+        )
+        return (
+            fr.filter(final & F.col("age_days").isNotNull())
+            .groupBy("url")
+            .agg(
+                F.max("generation").alias("_lg"),
+                F.max_by("age_days", "generation").alias("_age"),
+            )
+            .filter(
+                (F.col("_age") > params.freshness_max_age_days)
+                & (F.lit(gen) - F.col("_lg") >= params.revalidate_after_gens)
+            )
+            .select(
+                F.col("url").alias("raw_url"),
+                F.lit(None).cast("string").alias("source_url"),
+                F.lit("revalidate").alias("source_type"),
+                F.lit(None).cast("string").alias("anchor"),
+                F.lit(0).alias("depth"),
+                F.lit(1).alias("attempt"),
+            )
+        )
 
     def _rc_latest_state(self) -> DataFrame | None:
         """Latest committed per-host rate-control state (one row per host)."""
@@ -226,6 +268,10 @@ class CrawlJob:
                 if all_cands is not None
                 else None
             )
+            if params.revalidate:
+                reval = self._revalidation_candidates(gen)
+                if reval is not None:
+                    raw = reval if raw is None else raw.unionByName(reval)
             if raw is None:
                 return GenStats(gen, 0, 0.0)
 
@@ -241,10 +287,17 @@ class CrawlJob:
         cands = dedup_within_generation(cands)
 
         seen = self.catalog.read(spark, "url_seen")
+        if params.revalidate:
+            # revalidation candidates are deliberate re-fetches of seen URLs:
+            # they bypass the anti-join (and never re-enter the seen set)
+            reval_c = cands.filter(F.col("source_type") == "revalidate")
+            cands = cands.filter(F.col("source_type") != "revalidate")
         if self.use_bloom and seen is not None:
             new = dedup_ops.bloom_anti_join(spark, cands, seen, self.catalog)
         else:
             new = anti_join_seen(cands, seen)
+        if params.revalidate:
+            new = new.unionByName(reval_c)
 
         budgets = self._rc_budgets(gen) if params.rate_control else None
         selected = select_frontier(
@@ -292,7 +345,9 @@ class CrawlJob:
         ) & (F.col("attempt") < oracle_mod.MAX_ATTEMPTS)
 
         staged["url_seen"] = self.catalog.stage(
-            staged_read.filter(~transient).select(
+            staged_read.filter(
+                ~transient & (F.col("source_type") != "revalidate")
+            ).select(
                 "url_hash",
                 "url",
                 "host",
@@ -350,7 +405,12 @@ class CrawlJob:
 
         if self.use_bloom:
             staged["bloom"] = dedup_ops.stage_bloom_delta(
-                spark, self.catalog, staged_read.filter(~transient), gen
+                spark,
+                self.catalog,
+                staged_read.filter(
+                    ~transient & (F.col("source_type") != "revalidate")
+                ),
+                gen,
             )
 
         if params.rate_control:

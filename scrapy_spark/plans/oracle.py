@@ -70,6 +70,14 @@ class CrawlParams:
     # (digits -> {num}) with enough samples and a poor valid-rate are banned
     feedback_min_samples: int = 10
     feedback_rate: float = 0.6
+    # freshness-driven revalidation (freshness.py:92-150, should_revalidate
+    # :282-312): pages whose Last-Modified age exceeds freshness_max_age_days
+    # are re-fetched every revalidate_after_gens generations after their
+    # last final fetch (bypassing the seen anti-join; they do not re-enter
+    # the seen set)
+    revalidate: bool = False
+    freshness_max_age_days: int = 30
+    revalidate_after_gens: int = 2
     # per-host AIMD rate control + circuit breaker
     # (retry_strategies.py:256-390 DomainCircuitBreaker;
     #  async_enrichment.py:76-176 AIMD): the next generation's per-host
@@ -123,6 +131,9 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
     # per-host rate-control state: host -> (budget, consec_failures, state,
     # generation of last update); see CrawlParams.rate_control
     rc_state: dict[str, tuple[int, int, str, int]] = {}
+
+    # freshness state: url -> (last final fetch generation, age_days)
+    last_fetch: dict[str, tuple[int, int]] = {}
 
     def budget_for(host: str, gen: int) -> int:
         if not params.rate_control or host not in rc_state:
@@ -195,6 +206,18 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         return _re.sub("[0-9]+", "{num}", path)
 
     for gen in range(params.max_generations):
+        if params.revalidate and gen > 0:
+            # stale pages due for revalidation re-enter as candidates
+            # (bypass the seen anti-join; see CrawlParams.revalidate)
+            for url, (lg, age) in last_fetch.items():
+                if (
+                    age > params.freshness_max_age_days
+                    and gen - lg >= params.revalidate_after_gens
+                ):
+                    c = _candidate(url, None, "revalidate", None, 0, params.domain)
+                    if c is not None:
+                        cands.append(c)
+
         # robots filter (J7) before scheduling
         cands = [c for c in cands if not blocked(c["host"], c["path"])]
 
@@ -258,7 +281,11 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
             cur = best.get(k)
             if cur is None or _key(c) < _key(cur):
                 best[k] = c
-        deduped = [c for c in best.values() if c["url"] not in res.seen]
+        deduped = [
+            c
+            for c in best.values()
+            if c["source_type"] == "revalidate" or c["url"] not in res.seen
+        ]
 
         # per-host rank-and-take (W1) under politeness budget
         by_host: dict[str, list[dict]] = {}
@@ -316,6 +343,7 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "is_valid": is_valid,
                 "attempt": c["attempt"],
                 "error_type": err,
+                "age_days": r.get("age_days"),
                 "title": r["title"],
                 "bytes": r["bytes"],
                 "caption": c["anchor"] if r["bytes"] is not None else None,
@@ -328,7 +356,10 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 retry.pop("rank_in_host", None)
                 next_cands.append(retry)
             else:
-                res.seen[c["url"]] = gen
+                if c["source_type"] != "revalidate":  # already seen
+                    res.seen[c["url"]] = gen
+                if row["age_days"] is not None:
+                    last_fetch[c["url"]] = (gen, row["age_days"])
             # extraction (valid 200 html pages recurse; xml sitemaps expand)
             if sc == 200 and ct == "text/html":
                 for link in r["body_links"]:

@@ -113,6 +113,14 @@ def image_caption(cfg: SynthConfig, image_id: str) -> str:
     return f"{image_id}: " + " ".join(ws)
 
 
+def page_age_days(cfg: SynthConfig, hidx: int, j: int) -> int:
+    """Deterministic Last-Modified age (days) per page — the freshness
+    signal: pages older than the staleness threshold get revalidated
+    (freshness.py:92-150). ~half the corpus exceeds the default 30-day
+    threshold (ages are uniform in [0, 60))."""
+    return _h(cfg.seed, "age", hidx, j) % 60
+
+
 def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
     """Deterministic status incl. transient classes: ~3% of pages time out
     (599) and ~2% return a 503 on attempt 1, succeeding from attempt 2 —
@@ -353,6 +361,7 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
         hidx, j = pj
         status = page_status(cfg, hidx, j, attempt)
         return {
+            "age_days": page_age_days(cfg, hidx, j),
             "status_code": status,
             "content_type": "text/html",
             "title": f"{host_of(cfg, hidx)} page {j}",

@@ -294,3 +294,53 @@ def test_rate_control_breaker_parity(spark, tmp_path_factory):
         if g["generation"] > last_bad_gen
     }
     assert later_total and all(v > 0 for v in later_total.values())
+
+
+def test_freshness_revalidation_parity(spark, tmp_path_factory):
+    """Freshness-driven revalidation (freshness.py:92-150, 282-312): pages
+    whose Last-Modified age exceeds the threshold are re-fetched
+    revalidate_after_gens generations after their last final fetch, bypass
+    the seen anti-join, never re-enter the seen set — and the Spark crawl
+    reproduces the oracle exactly."""
+    params = CrawlParams(
+        max_generations=5,
+        per_host_budget=10,
+        revalidate=True,
+        freshness_max_age_days=30,
+        revalidate_after_gens=2,
+    )
+    oracle = run_oracle(CFG, params)
+    wd = str(tmp_path_factory.mktemp("crawl_fresh"))
+    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job.run()
+    results = job.catalog.read(spark, "fetch_results").collect()
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): (r["url"], r["source_type"])
+        for r in results
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): (r["url"], r["source_type"])
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    seen_ours = {
+        (r["url"], r["generation"])
+        for r in job.catalog.read(spark, "url_seen").collect()
+    }
+    assert seen_ours == {(u, g) for u, g in oracle.seen.items()}
+    # revalidation actually happened: stale pages re-fetched in later gens
+    reval = [r for r in oracle.scheduled if r["source_type"] == "revalidate"]
+    assert reval, "no revalidation rows - fixture ineffective"
+    first_fetch = {}
+    for r in oracle.scheduled:
+        if r["source_type"] != "revalidate" and r["age_days"] is not None:
+            first_fetch.setdefault(r["url"], r)
+    for r in reval:
+        orig = first_fetch[r["url"]]  # a revalidated URL was fetched before
+        assert orig["age_days"] > params.freshness_max_age_days
+        assert r["generation"] >= orig["generation"] + params.revalidate_after_gens
+    # and a stale page is re-fetched AGAIN after the next interval (periodic)
+    counts = {}
+    for r in reval:
+        counts[r["url"]] = counts.get(r["url"], 0) + 1
+    assert max(counts.values()) >= 2 or params.max_generations < 5
