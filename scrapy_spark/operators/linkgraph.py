@@ -42,11 +42,22 @@ def degree_stats(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int | None = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+    max_iterations: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Iterative PageRank; returns (node, rank) max-normalized to [0,1].
 
-    edges: (src, dst) DataFrame. Deterministic for a fixed iteration count.
+    edges: (src, dst) DataFrame. Two stopping modes, matching the reference
+    (link_graph.py:207-247): fixed ``iterations`` (deterministic — the
+    oracle-checked default) or ``tol`` convergence (stop when
+    max |rank - prev| < tol, bounded by ``max_iterations``; the reference
+    uses tol=1e-4, max 100). Convergence mode pays one extra delta
+    aggregation per iteration. Pass a dict as ``stats`` to receive
+    {"iterations", "final_delta"}.
     """
     nodes = nodes_of(edges).cache()
     n = nodes.count()
@@ -58,11 +69,15 @@ def pagerank(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).cache()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    n_rounds = max_iterations if tol is not None else iterations
+    it = 0
+    delta = None
+    for it in range(1, n_rounds + 1):
         # truncate plan lineage each iteration — without this the logical plan
         # doubles per iteration and Catalyst re-derives the whole history
         # (on a cluster: reliable checkpoint dir instead of localCheckpoint)
         ranks = ranks.localCheckpoint(eager=True)
+        prev = ranks
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
@@ -89,6 +104,18 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if tol is not None:
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.join(prev.select("node", F.col("rank").alias("_pr")), "node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if stats is not None:
+        stats["iterations"] = it
+        stats["final_delta"] = delta
     dangling_nodes.unpersist()
     # max-normalize (link_graph.py:244-247)
     mx = ranks.agg(F.max("rank")).collect()[0][0]
@@ -98,16 +125,29 @@ def pagerank(
     return out
 
 
-def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iterations: int | None = 10,
+    tol: float | None = None,
+    max_iterations: int = 100,
+    stats: dict | None = None,
+) -> DataFrame:
     """HITS hubs/authorities, L2-normalized per iteration (link_graph.py:249-313).
 
-    Returns (node, hub, authority).
+    Returns (node, hub, authority). Stopping modes as in :func:`pagerank`:
+    fixed ``iterations`` or ``tol`` convergence on
+    max(|hub-prev|, |authority-prev|) bounded by ``max_iterations``
+    (reference: tol=1e-4, max 100, link_graph.py:276-313).
     """
     nodes = nodes_of(edges).cache()
     e = edges.cache()
     scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
-    for _ in range(iterations):
+    n_rounds = max_iterations if tol is not None else iterations
+    it = 0
+    delta = None
+    for it in range(1, n_rounds + 1):
         scores = scores.localCheckpoint(eager=True)  # truncate iterative lineage
+        prev = scores
         auth = (
             e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -127,6 +167,32 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
                 0.0, ["hub", "authority"]
             )
         )
+        if tol is not None:
+            scores = scores.localCheckpoint(eager=True)
+            delta = (
+                scores.join(
+                    prev.select(
+                        "node",
+                        F.col("hub").alias("_ph"),
+                        F.col("authority").alias("_pa"),
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.max(
+                        F.greatest(
+                            F.abs(F.col("hub") - F.col("_ph")),
+                            F.abs(F.col("authority") - F.col("_pa")),
+                        )
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if stats is not None:
+        stats["iterations"] = it
+        stats["final_delta"] = delta
     nodes.unpersist()
     e.unpersist()
     return scores

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import errors as errors_mod
 from ..operators import dedup as dedup_ops
+from ..operators import validation as validation_ops
 from ..operators.extract import extract_candidates
 from ..operators.fetch import fetch_frontier
 from ..operators.frontier import (
@@ -369,6 +370,10 @@ class CrawlJob:
                 F.sum(
                     F.when(F.col("content_type").startswith("image/"), 1).otherwise(0)
                 ).alias("images"),
+                # interstage schema gate, folded into this job (free):
+                F.sum(
+                    F.when(validation_ops.schema_valid_expr(), 1).otherwise(0)
+                ).alias("schema_valid"),
             )
             .collect()
         )
@@ -376,6 +381,34 @@ class CrawlJob:
             generation=gen
         )
         staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
+
+        # interstage validation gate (interstage_validation.py:46-49;
+        # pipeline.py:191,222): per-generation schema pass rate, enforced
+        # BEFORE commit — the atomic snapshot means a failing generation
+        # leaves no partial state
+        n_schema_valid = int(lineage_pdf["schema_valid"].sum())
+        v_rate = n_schema_valid / n_sel
+        staged["validation"] = self.catalog.stage_pandas(
+            pd.DataFrame(
+                [
+                    {
+                        "generation": gen,
+                        "n_rows": n_sel,
+                        "n_schema_valid": n_schema_valid,
+                        "rate": v_rate,
+                        "passed": v_rate >= params.validation_threshold,
+                    }
+                ]
+            ),
+            "validation",
+            gen,
+        )
+        if params.validation_enforce and v_rate < params.validation_threshold:
+            raise RuntimeError(
+                f"interstage validation gate failed at generation {gen}: "
+                f"{n_schema_valid}/{n_sel} rows schema-valid "
+                f"({v_rate:.4f} < {params.validation_threshold})"
+            )
 
         if params.learned_filters:
             from ..operators.frontier import stat_deltas

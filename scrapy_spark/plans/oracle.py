@@ -90,6 +90,11 @@ class CrawlParams:
     breaker_limit: int = 5
     aimd_threshold: float = 0.95
     aimd_step: int = 2
+    # interstage schema-validation gate (interstage_validation.py:46-49;
+    # enforced at pipeline.py:191,222): a generation whose fetch output
+    # falls below the schema pass rate aborts before commit
+    validation_threshold: float = 0.95
+    validation_enforce: bool = True
 
 
 @dataclass

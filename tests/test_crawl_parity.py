@@ -344,3 +344,25 @@ def test_freshness_revalidation_parity(spark, tmp_path_factory):
     for r in reval:
         counts[r["url"]] = counts.get(r["url"], 0) + 1
     assert max(counts.values()) >= 2 or params.max_generations < 5
+
+
+def test_interstage_validation_gate(spark, spark_run):
+    """Schema gate (interstage_validation.py:46-49): every generation of a
+    healthy crawl passes at rate 1.0; corrupted rows are caught."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.operators.validation import schema_valid_expr
+
+    v = spark_run["job"].catalog.read(spark, "validation").collect()
+    assert len(v) == len(spark_run["stats"])
+    for r in v:
+        assert r["rate"] == 1.0 and bool(r["passed"])
+        assert r["n_rows"] == r["n_schema_valid"] > 0
+    # corruption is detected: break url_hash / is_valid / bytes invariants
+    base = spark_run["job"].catalog.read(spark, "fetch_results").limit(3)
+    bad_hash = base.withColumn("url_hash", F.col("url_hash") + 1)
+    assert bad_hash.filter(schema_valid_expr()).count() == 0
+    bad_valid = base.withColumn("is_valid", ~F.col("is_valid"))
+    assert bad_valid.filter(schema_valid_expr()).count() == 0
+    bad_attempt = base.withColumn("attempt", F.lit(99))
+    assert bad_attempt.filter(schema_valid_expr()).count() == 0

@@ -115,3 +115,35 @@ def test_hits_exact_tracks_float(spark, graph):
             f[k],
             x[k],
         )
+
+
+def test_pagerank_convergence_mode(spark, graph):
+    """Reference semantics (link_graph.py:207-247): stop when max rank delta
+    < tol, bounded by max_iterations; converged result matches a long
+    fixed-iteration run."""
+    from scrapy_spark.operators.linkgraph import pagerank
+
+    df, _ = graph
+    st = {}
+    conv = {r["node"]: r["rank"] for r in
+            pagerank(df, tol=1e-6, max_iterations=100, stats=st).collect()}
+    assert 1 < st["iterations"] < 100  # actually converged, not capped
+    assert st["final_delta"] < 1e-6
+    fixed = {r["node"]: r["rank"] for r in pagerank(df, iterations=60).collect()}
+    for k in fixed:
+        assert abs(conv[k] - fixed[k]) < 1e-4
+
+
+def test_hits_convergence_mode(spark, graph):
+    from scrapy_spark.operators.linkgraph import hits
+
+    df, _ = graph
+    st = {}
+    conv = {r["node"]: (r["hub"], r["authority"]) for r in
+            hits(df, tol=1e-6, max_iterations=100, stats=st).collect()}
+    assert 1 < st["iterations"] < 100
+    fixed = {r["node"]: (r["hub"], r["authority"]) for r in
+             hits(df, iterations=60).collect()}
+    for k in fixed:
+        assert abs(conv[k][0] - fixed[k][0]) < 1e-4
+        assert abs(conv[k][1] - fixed[k][1]) < 1e-4
