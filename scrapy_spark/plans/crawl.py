@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import errors as errors_mod
 from ..operators import dedup as dedup_ops
+from ..operators import pagination as pagination_ops
 from ..operators import validation as validation_ops
 from ..operators.extract import extract_candidates
 from ..operators.fetch import fetch_frontier
@@ -269,6 +270,17 @@ class CrawlJob:
                 if all_cands is not None
                 else None
             )
+            if params.pagination_guess:
+                pstats = self.catalog.read(spark, "pagination_stats")
+                if pstats is not None:
+                    guesses = pagination_ops.pagination_guesses(
+                        pstats,
+                        gen,
+                        params.pagination_ttl_gens,
+                        params.pagination_lookahead,
+                        params.pagination_max_pages,
+                    )
+                    raw = guesses if raw is None else raw.unionByName(guesses)
             if params.revalidate:
                 reval = self._revalidation_candidates(gen)
                 if reval is not None:
@@ -448,6 +460,16 @@ class CrawlJob:
 
         if params.rate_control:
             staged["host_budget"] = self._rc_stage_update(staged_read, gen)
+
+        if params.pagination_guess:
+            staged["pagination_stats"] = self.catalog.stage(
+                pagination_ops.pagination_stats_delta(staged_read).withColumn(
+                    "generation", F.lit(gen)
+                ),
+                "pagination_stats",
+                gen,
+                coalesce=1,
+            )
 
         elapsed = time.time() - t0
         metrics_pdf = pd.DataFrame(

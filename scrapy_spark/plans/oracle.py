@@ -23,6 +23,7 @@ scheduled set with per-(generation, host) ordering, captions, and image bytes
 
 from __future__ import annotations
 
+import re as _re_mod
 from dataclasses import dataclass, field
 
 from ..functions.errors import classify_error, is_retryable
@@ -90,6 +91,16 @@ class CrawlParams:
     breaker_limit: int = 5
     aimd_threshold: float = 0.95
     aimd_step: int = 2
+    # pagination guessing bounded by a TTL'd pagination cache
+    # (storage.py:213-343 PaginationCache + discovery_spider.py:1097-1154
+    # range expansion): guess page last_valid+1..last_valid+lookahead per
+    # (host, section) pattern, lookahead tightened to 2 when the pattern's
+    # TTL-windowed success rate < 0.3; fully-expired patterns re-probe
+    # 1..max_pages
+    pagination_guess: bool = False
+    pagination_ttl_gens: int = 3
+    pagination_lookahead: int = 10
+    pagination_max_pages: int = 10
     # interstage schema-validation gate (interstage_validation.py:46-49;
     # enforced at pipeline.py:191,222): a generation whose fetch output
     # falls below the schema pass rate aborts before commit
@@ -139,6 +150,55 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
 
     # freshness state: url -> (last final fetch generation, age_days)
     last_fetch: dict[str, tuple[int, int]] = {}
+
+    # pagination-cache state: (host, section) -> list of per-generation
+    # deltas (gen, n_attempts, n_valid, last_valid_page)
+    pag_hist: dict[tuple[str, str], list[tuple[int, int, int, int]]] = {}
+    _page_re = _re_mod.compile(r"^/([a-z0-9_-]+)/p([0-9]+)$")
+
+    def pagination_guesses(gen: int) -> list[dict]:
+        out = []
+        for (host, sec), entries in pag_hist.items():
+            live = [e for e in entries if e[0] > gen - params.pagination_ttl_gens]
+            if live:
+                lv = max(e[3] for e in live)
+                n = sum(e[1] for e in live)
+                nv = sum(e[2] for e in live)
+                rate = nv / n
+                look = 2 if rate < 0.3 else params.pagination_lookahead
+                lo, hi = lv + 1, lv + look
+            else:  # fully expired -> re-probe from scratch
+                lo, hi = 1, params.pagination_max_pages
+            for pn in range(lo, hi + 1):
+                c = _candidate(
+                    f"https://{host}/{sec}/p{pn}",
+                    None,
+                    "pagination_guess",
+                    None,
+                    1,
+                    params.domain,
+                )
+                if c is not None:
+                    out.append(c)
+        return out
+
+    def pagination_update(gen: int, rows: list[dict]) -> None:
+        agg: dict[tuple[str, str], list[int]] = {}
+        for r in rows:
+            from ..functions.urls import url_path as _up2
+
+            m = _page_re.match(_up2(r["url"]))
+            if not m:
+                continue
+            key = (r["host"], m.group(1))
+            pn = int(m.group(2))
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += 1 if r["is_valid"] else 0
+            if r["is_valid"]:
+                a[2] = max(a[2], pn)
+        for key, (n, nv, lv) in agg.items():
+            pag_hist.setdefault(key, []).append((gen, n, nv, lv))
 
     def budget_for(host: str, gen: int) -> int:
         if not params.rate_control or host not in rc_state:
@@ -201,16 +261,16 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         if c is not None:
             cands.append(c)
 
-    import re as _re
-
     def _section(path: str) -> str:
         segs = [s for s in path.split("/") if s]
         return segs[0] if segs else ""
 
     def _pattern(path: str) -> str:
-        return _re.sub("[0-9]+", "{num}", path)
+        return _re_mod.sub("[0-9]+", "{num}", path)
 
     for gen in range(params.max_generations):
+        if params.pagination_guess and gen > 0:
+            cands.extend(pagination_guesses(gen))
         if params.revalidate and gen > 0:
             # stale pages due for revalidation re-enter as candidates
             # (bypass the seen anti-join; see CrawlParams.revalidate)
@@ -383,6 +443,8 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                         next_cands.append(nc)
         if params.rate_control:
             rc_update(gen, gen_rows)
+        if params.pagination_guess:
+            pagination_update(gen, gen_rows)
         res.gen_counts.append(
             {
                 "generation": gen,

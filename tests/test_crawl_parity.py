@@ -366,3 +366,40 @@ def test_interstage_validation_gate(spark, spark_run):
     assert bad_valid.filter(schema_valid_expr()).count() == 0
     bad_attempt = base.withColumn("attempt", F.lit(99))
     assert bad_attempt.filter(schema_valid_expr()).count() == 0
+
+
+def test_pagination_cache_parity(spark, tmp_path_factory):
+    """Pagination guessing bounded by the TTL'd pagination cache
+    (storage.py:213-343 + discovery_spider.py:1097-1154): per-pattern guess
+    ranges from TTL-windowed aggregates — Spark == oracle, and the guesses
+    both discover real pages and record invalid probes."""
+    params = CrawlParams(
+        max_generations=4,
+        per_host_budget=10,
+        pagination_guess=True,
+        pagination_lookahead=5,
+        pagination_max_pages=5,
+    )
+    oracle = run_oracle(CFG, params)
+    wd = str(tmp_path_factory.mktemp("crawl_pag"))
+    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job.run()
+    results = job.catalog.read(spark, "fetch_results").collect()
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): (r["url"], r["source_type"])
+        for r in results
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): (r["url"], r["source_type"])
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    seen_ours = {
+        (r["url"], r["generation"])
+        for r in job.catalog.read(spark, "url_seen").collect()
+    }
+    assert seen_ours == {(u, g) for u, g in oracle.seen.items()}
+    guesses = [r for r in oracle.scheduled if r["source_type"] == "pagination_guess"]
+    assert guesses, "no pagination guesses scheduled - fixture ineffective"
+    assert any(r["is_valid"] for r in guesses)  # guessed real pages
+    assert any(not r["is_valid"] for r in guesses)  # probed past the end
