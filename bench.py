@@ -42,6 +42,10 @@ HEADLINE = [
     "embed_neardup_pairs",
     "text_quality_score",
     "pagerank_copurchase",
+    "hits_copurchase",
+    "ann_lsh_bucketed",
+    "w4_random_order",
+    "freshness_staleness",
     "asof_join_last_order",
     "range_join_week_after_order",
 ]
