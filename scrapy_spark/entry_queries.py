@@ -1156,11 +1156,25 @@ def pagerank_copurchase(spark, sf_dir):
     return pagerank_exact(_copurchase_edges(spark, sf_dir), iterations=5)
 
 
-@_q("doc_fingerprint", None)
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+      CAST(list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(string_split(text, ''),
+                             c -> CAST(unicode(c) AS HUGEINT))),
+            (acc, x) -> (acc * 257 + x) % 2305843009213693951)
+           AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
 def doc_fingerprint(spark, sf_dir):
-    """Rolling polynomial hash fingerprint (mod 2^61-1) — sequential per-doc
-    recurrence, Arrow-vectorized via pandas UDF (not SQL-expressible);
-    verified by tests against a pure-Python reference."""
+    """Rolling polynomial hash fingerprint (mod 2^61-1, base 257 over UTF-8
+    bytes) — sequential per-doc recurrence, Arrow-vectorized via pandas UDF.
+    The DuckDB twin folds code points with HUGEINT arithmetic (list_reduce);
+    code point == UTF-8 byte because the corpus is ASCII (verified at every
+    SF) — the UDF remains the general-input path."""
     from .functions.textfn import fingerprint_udf
 
     d = load(spark, sf_dir, "documents")
