@@ -59,6 +59,79 @@ IN_COLS = [
 ]
 
 
+def synth_resolver(cfg: SynthConfig):
+    """Default resolver: the deterministic synthetic web. A resolver is any
+    ``(url: str, attempt: int) -> dict`` with the resolve() result shape —
+    see http_resolver for the real-network plug-in."""
+    counts = zipf_page_counts(cfg)  # tiny, recomputed per executor from cfg
+
+    def _resolve(url: str, attempt: int) -> dict:
+        return resolve(cfg, counts, url, attempt)
+
+    return _resolve
+
+
+def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1"):
+    """Real-network resolver plug-in: same batch loop, urllib instead of the
+    synthetic web. Import/usage is gated — the sandbox has no network, so
+    this path is exercised only by its shape (tests/test_fetch_seam.py);
+    on a cluster pass ``resolver_factory=lambda: http_resolver()`` to
+    CrawlJob/fetch_frontier. Returns the FETCH result-dict shape with
+    body_links/image_refs parsed minimally (href/src attributes)."""
+    import re
+    import urllib.error
+    import urllib.request
+
+    href_re = re.compile(rb"""href=["']([^"'#>]+)""", re.I)
+    img_tag_re = re.compile(rb"<img[^>]*>", re.I)
+    src_re = re.compile(rb"""src=["']([^"'>]+)""", re.I)
+    alt_re = re.compile(rb"""alt=["']([^"']*)""", re.I)
+    title_re = re.compile(rb"<title[^>]*>([^<]*)</title>", re.I)
+
+    def _resolve(url: str, attempt: int) -> dict:
+        out = {
+            "status_code": 599, "content_type": None, "title": None,
+            "body_links": [], "image_refs": [], "bytes": None,
+            "w": None, "h": None, "fmt": None, "age_days": None,
+        }
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read()
+                ct = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
+                out["status_code"] = resp.status
+                out["content_type"] = ct or None
+                if ct == "text/html":
+                    m = title_re.search(body)
+                    out["title"] = m.group(1).decode("utf-8", "replace").strip() if m else None
+                    out["body_links"] = [
+                        x.decode("utf-8", "replace") for x in href_re.findall(body)
+                    ]
+                    refs = []
+                    for tag in img_tag_re.findall(body):
+                        sm, am = src_re.search(tag), alt_re.search(tag)
+                        if sm:
+                            refs.append(
+                                {
+                                    "image_id": sm.group(1).decode("utf-8", "replace"),
+                                    "alt": am.group(1).decode("utf-8", "replace")
+                                    if am
+                                    else None,
+                                }
+                            )
+                    out["image_refs"] = refs
+                elif ct.startswith("image/"):
+                    out["bytes"] = body
+                    out["fmt"] = ct.split("/", 1)[1]
+        except urllib.error.HTTPError as e:
+            out["status_code"] = e.code
+        except Exception:
+            out["status_code"] = 599  # timeout/connection -> transient class
+        return out
+
+    return _resolve
+
+
 def fetch_frontier(
     selected: DataFrame,
     cfg: SynthConfig,
@@ -66,8 +139,14 @@ def fetch_frontier(
     politeness_delay_s: float = 0.0,
     fetch_latency_s: float = 0.0,
     fetch_partitions: int | None = None,
+    resolver_factory=None,
 ) -> DataFrame:
     """Fetch the selected frontier slice; returns FETCH_SCHEMA rows.
+
+    ``resolver_factory`` () -> ((url, attempt) -> result-dict) plugs the
+    fetch backend; default is the deterministic synthetic web. The factory
+    runs ONCE PER TASK inside the UDF (connection pools / parsed config live
+    executor-side, never serialized from the driver).
 
     ``salt_buckets`` splits each host across S partitions (skew control);
     the politeness budget was already enforced per host at selection time,
@@ -83,9 +162,11 @@ def fetch_frontier(
     serialize the sleeps — exactly the wrong plan. Explicit repartition(N)
     keeps the fetch wide (default 4x defaultParallelism).
     """
-    counts = zipf_page_counts(cfg)  # tiny, recomputed per executor from cfg
+    if resolver_factory is None:
+        resolver_factory = lambda: synth_resolver(cfg)  # noqa: E731
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        do_resolve = resolver_factory()  # once per task, executor-side
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -101,7 +182,7 @@ def fetch_frontier(
                     if row.host == last_host:
                         time.sleep(politeness_delay_s * salt_buckets)
                     last_host = row.host
-                r = resolve(cfg, counts, row.url, row.attempt)
+                r = do_resolve(row.url, row.attempt)
                 ct = r["content_type"]
                 sc = r["status_code"]
                 out_rows.append(

@@ -94,6 +94,7 @@ class CrawlJob:
         politeness_delay_s: float = 0.0,
         fetch_latency_s: float = 0.0,
         fetch_partitions: int | None = None,
+        resolver_factory=None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -104,6 +105,10 @@ class CrawlJob:
         self.politeness_delay_s = politeness_delay_s
         self.fetch_latency_s = fetch_latency_s
         self.fetch_partitions = fetch_partitions
+        # pluggable fetch backend: () -> ((url, attempt) -> result dict);
+        # None = deterministic synthetic web; operators/fetch.http_resolver
+        # is the real-network plug-in (same Arrow batch loop)
+        self.resolver_factory = resolver_factory
         self._robots = None
 
     def robots_df(self) -> DataFrame:
@@ -328,6 +333,7 @@ class CrawlJob:
             self.politeness_delay_s,
             self.fetch_latency_s,
             self.fetch_partitions,
+            self.resolver_factory,
         )
         results = fetched.withColumn("generation", F.lit(gen)).withColumn(
             "caption",

@@ -85,3 +85,27 @@ def windowed_fetch_metrics(
             "bytes_total",
         )
     )
+
+
+def session_fetch_activity(
+    stream: DataFrame, gap: str = "30 seconds", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-host SESSION windows (gap-based) over the fetch-event stream —
+    the streaming twin of the batch sessionize_events query (lag + gap
+    threshold): a 'crawl session' for a host closes after ``gap`` of
+    inactivity; late events merge sessions up to the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "host")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("n_valid"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "host",
+            "n_fetched",
+            "n_valid",
+        )
+    )

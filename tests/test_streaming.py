@@ -126,3 +126,53 @@ def test_aimd_stateful_rate_control(spark, tmp_path):
         assert not b2["circuit_open"] and b2["concurrency"] > 0
     finally:
         q.stop()
+
+
+def test_session_window_fetch_activity(spark, tmp_path):
+    """Gap-based session windows per host: a >30 s quiet period closes the
+    session (streaming twin of the batch sessionize_events query)."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.continuous import session_fetch_activity
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    # host A: burst of 5 (one per second), 120 s gap, burst of 3
+    for i in range(5):
+        rows.append({"url": f"u{i}", "host": "a.uconn.edu",
+                     "ts": t0 + pd.Timedelta(seconds=i), "is_valid": True,
+                     "n_bytes": 1})
+    for i in range(3):
+        rows.append({"url": f"v{i}", "host": "a.uconn.edu",
+                     "ts": t0 + pd.Timedelta(seconds=125 + i), "is_valid": i > 0,
+                     "n_bytes": 1})
+    # host B: one continuous session spanning the same range (gap < 30 s)
+    for i in range(0, 140, 20):
+        rows.append({"url": f"w{i}", "host": "b.uconn.edu",
+                     "ts": t0 + pd.Timedelta(seconds=i), "is_valid": True,
+                     "n_bytes": 1})
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(
+        src / "part0.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(str(src))
+    q = (
+        session_fetch_activity(stream, gap="30 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sessions ORDER BY host, session_start").collect()
+    finally:
+        q.stop()
+    a = [r for r in out if r["host"] == "a.uconn.edu"]
+    b = [r for r in out if r["host"] == "b.uconn.edu"]
+    assert len(a) == 2 and len(b) == 1  # the 120 s gap split host A only
+    assert (a[0]["n_fetched"], a[1]["n_fetched"]) == (5, 3)
+    assert a[1]["n_valid"] == 2
+    assert b[0]["n_fetched"] == 7
