@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+# After localCheckpoint the rank/score side loses size statistics, so AQE
+# falls back to a per-iteration SortMergeJoin of edges x ranks. The rank
+# table is (node, score) — broadcast it while the node count is bounded
+# (default < 5M ≈ tens of MB); beyond that, co-partition edges and ranks on
+# the join key (bucketed layout) instead.
+BROADCAST_NODES = 5_000_000
+
+
+def _rank_side(df: DataFrame, n: int):
+    return F.broadcast(df) if n <= BROADCAST_NODES else df
+
+
 def nodes_of(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("src").alias("node"))
@@ -79,7 +92,7 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
         prev = ranks
         contribs = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(_rank_side(ranks, n), e.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -140,6 +153,7 @@ def hits(
     (reference: tol=1e-4, max 100, link_graph.py:276-313).
     """
     nodes = nodes_of(edges).cache()
+    n = nodes.count()
     e = edges.cache()
     scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     n_rounds = max_iterations if tol is not None else iterations
@@ -149,14 +163,14 @@ def hits(
         scores = scores.localCheckpoint(eager=True)  # truncate iterative lineage
         prev = scores
         auth = (
-            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            e.join(_rank_side(scores.select(F.col("node").alias("src"), "hub"), n), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
         a_norm = auth.agg(F.sqrt(F.sum(F.col("authority") ** 2))).collect()[0][0] or 1.0
         auth = auth.select("node", (F.col("authority") / F.lit(a_norm)).alias("authority"))
         hub = (
-            e.join(auth.select(F.col("node").alias("dst"), "authority"), "dst")
+            e.join(_rank_side(auth.select(F.col("node").alias("dst"), "authority"), n), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
         )
@@ -234,7 +248,7 @@ def pagerank_exact(
     for _ in range(iterations):
         ranks = ranks.localCheckpoint(eager=True)
         contribs = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(_rank_side(ranks, n), e.src == ranks.node)
             .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -282,6 +296,7 @@ def hits_exact(
     (unlike the float version's two scalar collects). Output rounded 6dp.
     """
     nodes = nodes_of(edges).cache()
+    n = nodes.count()
     e = edges.cache()
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
@@ -309,13 +324,16 @@ def hits_exact(
     for _ in range(iterations):
         hubs = hubs.localCheckpoint(eager=True)
         araw = (
-            e.join(hubs.select(F.col("node").alias("src"), "hq"), "src")
+            e.join(_rank_side(hubs.select(F.col("node").alias("src"), "hq"), n), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hq").alias("aq"))
         )
-        auth = _normalize(araw, "aq").localCheckpoint(eager=True)
+        # no eager checkpoint: hubs is checkpointed at loop start, so this
+        # plan's depth is bounded; an eager materialization here would cost
+        # an extra job per iteration
+        auth = _normalize(araw, "aq")
         hraw = (
-            e.join(auth.select(F.col("node").alias("dst"), "aq"), "dst")
+            e.join(_rank_side(auth.select(F.col("node").alias("dst"), "aq"), n), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("aq").alias("hq"))
         )
