@@ -110,3 +110,34 @@ def test_vacuum_removes_orphans_only(spark, tmp_path):
     assert removed  # the orphan files went away
     assert cat.read(spark, "t").count() == 4  # committed data intact
     assert cat.vacuum() == []  # idempotent
+
+
+def test_flatten_for_export_and_csv_roundtrip(spark, tmp_path):
+    """Exporter flattening (exporters.py _flatten_data twin): structs ->
+    dotted columns, arrays -> JSON strings, binary -> base64; CSV roundtrip
+    preserves values."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.sources.exporters import export_csv, flatten_for_export
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").cast("string").alias("name"),
+            F.struct((F.col("id") * 2).alias("deep")).alias("inner"),
+        ).alias("meta"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("blob"),
+    )
+    flat = flatten_for_export(df)
+    assert flat.columns == ["id", "meta.name", "meta.inner.deep", "arr", "blob"]
+    row = {r["id"]: r for r in flat.collect()}
+    assert row[1]["meta.name"] == "1" and row[1]["meta.inner.deep"] == 2
+    assert json.loads(row[2]["arr"]) == [2, 3]
+    out = str(tmp_path / "csv_out")
+    export_csv(df, out, compression="none")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 3
+    assert sorted(back.columns) == sorted(flat.columns)
