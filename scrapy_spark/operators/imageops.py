@@ -98,3 +98,38 @@ def psnr_parity(ours: DataFrame, reference: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(run, schema=PSNR_SCHEMA)
+
+
+THUMB_SCHEMA = "image_id string, thumb binary, thumb_w int, thumb_h int"
+
+
+def thumbnail_images(images: DataFrame, max_side: int = 16) -> DataFrame:
+    """Aspect-preserving thumbnails (content_handlers.py:329-340): decode,
+    bilinear-resize so max(w, h) == max_side, re-encode PNG. Arrow-batched;
+    undecodable rows yield a null thumb (data, not task failure)."""
+    from ..functions.imagefn import encode_png, resize_bilinear
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"image_id": row.image_id, "thumb": None,
+                       "thumb_w": None, "thumb_h": None}
+                try:
+                    px = decode_image(bytes(row.bytes), row.fmt)
+                    h, w = px.shape[:2]
+                    scale = max_side / max(w, h)
+                    tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                    rec.update(
+                        thumb=encode_png(resize_bilinear(px, tw, th)),
+                        thumb_w=tw,
+                        thumb_h=th,
+                    )
+                except (NotImplementedError, ValueError):
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=THUMB_SCHEMA
+    )
