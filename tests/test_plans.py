@@ -55,3 +55,50 @@ def test_keyword_explode_prunes_to_text(spark):
 )
 def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_ngram_cap_hot_list_broadcast(spark):
+    """The posting-list cap's hot-shingle anti-join must broadcast the tiny
+    violator list, never shuffle the full shingle table for it."""
+    p = plan_of(spark, "dedup_ngram_jaccard")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_ann_lsh_join_is_bucket_equi(spark):
+    """LSH candidate join keys on the bucket id (equi), not a cross join."""
+    p = plan_of(spark, "ann_lsh_bucketed")
+    assert "CartesianProduct" not in p
+    assert "bucket" in p
+
+
+def test_topk_sites_have_no_global_sort_of_input(spark):
+    """Two-phase top-k: the only full-order operator is the final
+    TakeOrderedAndProject over the <= k*P survivors."""
+    for name in ("a4_top_referrers", "a14_top_keywords", "w2_fifo_order",
+                 "w4_random_order", "q3_segment_top_orders"):
+        p = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        for line in p.splitlines():
+            stripped = line.strip(" +:-")
+            if stripped.startswith("Sort ["):
+                assert ", false, 0" in stripped, (name, stripped)
+
+
+def test_revalidation_scan_prunes_bytes(spark, tmp_path):
+    """Freshness derivation reads only (url, generation, age_days,
+    error_type, attempt) from fetch history — the wide image-bytes column
+    must never enter that scan (bytes discipline, SURVEY §7.3.4)."""
+    from scrapy_spark.plans.crawl import CrawlJob
+    from scrapy_spark.plans.oracle import CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    wd = str(tmp_path / "reval_plan")
+    params = CrawlParams(max_generations=2, per_host_budget=5, revalidate=True)
+    job = CrawlJob(spark, SynthConfig(seed=42, n_hosts=8, n_pages=120, n_images=40),
+                   params, wd, salt_buckets=2)
+    job.run()
+    reval = job._revalidation_candidates(gen=4)
+    p = reval._jdf.queryExecution().executedPlan().toString()
+    read = p.split("ReadSchema")[1][:300]
+    assert "bytes" not in read and "body_links" not in read, read
+    assert "url" in read and "age_days" in read
