@@ -1444,6 +1444,26 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@_q(
+    "w7_top_by_rank",
+    f"""
+    SELECT node, rank FROM (
+      SELECT node, rank,
+             row_number() OVER (ORDER BY rank DESC, node ASC) AS rk
+      FROM ({_pagerank_sql()})
+    ) WHERE rk <= 10
+    """,
+)
+def w7_top_by_rank(spark, sf_dir):
+    """Top-k by computed metric (W7, link_graph.py:366-397): the two-phase
+    top-k over the fixed-point PageRank result — W7 as a driver-checked
+    composition rather than only a unit-tested operator."""
+    from .operators.linkgraph import pagerank_exact, top_by
+
+    ranks = pagerank_exact(_copurchase_edges(spark, sf_dir), iterations=5)
+    return top_by(ranks, "rank", 10)
+
+
 @_q("hits_copurchase", _hits_sql())
 def hits_copurchase(spark, sf_dir):
     """HITS hubs/authorities (A10, link_graph.py:249-313) over the

@@ -56,3 +56,37 @@ def test_topk_plan_is_distributed(spark):
     for line in plan.splitlines():
         if "+- Sort [" in line or line.startswith("Sort ["):
             assert ", false, 0" in line, f"global sort found: {line}"
+
+
+def test_topk_property_random(spark):
+    """Property: for random data (with heavy duplicate keys) and random k,
+    two-phase top-k == naive global window, across partitionings."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    pdf = pd.DataFrame(
+        {
+            "k": [rng.randint(0, 5) for _ in range(2000)],  # heavy ties
+            "uid": range(2000),
+        }
+    )
+    base = spark.createDataFrame(pdf)
+    order = [F.col("k").desc(), F.col("uid").asc()]
+    for parts in (1, 7, 64):
+        df = base.repartition(parts)
+        for k in (1, 3, 50, 2000, 5000):  # incl. k >= input size
+            naive = sorted(
+                map(tuple, _naive(df, order, k, "r").select("uid", "r").collect())
+            )
+            fast = sorted(
+                map(
+                    tuple,
+                    topk_total_order(df, order, k, rank_col="r")
+                    .select("uid", "r")
+                    .collect(),
+                )
+            )
+            assert naive == fast, (parts, k)
