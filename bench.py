@@ -44,6 +44,7 @@ HEADLINE = [
     "pagerank_copurchase",
     "hits_copurchase",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "w4_random_order",
     "freshness_staleness",
     "asof_join_last_order",

@@ -1613,6 +1613,76 @@ def ann_lsh_recall(spark, sf_dir):
     return lsh_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3, 4)
 
 
+def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
+    """Unrolled integer-Lloyd IVF as chained MATERIALIZED CTEs — the DuckDB
+    twin of operators/ann.ivf_topk (centroids are exact integer sum vectors;
+    assignment by 6dp cosine with centroid-id tie-break)."""
+
+    def cos(qs: str, ss: str) -> str:
+        return (
+            f"round(list_dot_product({qs}, {ss})"
+            f" / (sqrt(CAST(list_dot_product({qs}, {qs}) AS DOUBLE))"
+            f" * sqrt(CAST(list_dot_product({ss}, {ss}) AS DOUBLE))), 6)"
+        )
+
+    parts = [
+        f"qv AS MATERIALIZED ({_QUANT_SQL})",
+        f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, q AS s"
+        f" FROM qv WHERE vec_id < {n_clusters})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, q, cid FROM ("
+            f"SELECT v.vec_id, v.q, c.cid,"
+            f" row_number() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {cos('v.q', 'c.s')} DESC, c.cid ASC) AS rk"
+            f" FROM qv v CROSS JOIN c{i - 1} c) WHERE rk = 1)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT cid, list(sv ORDER BY dim) AS s FROM ("
+            f"SELECT cid, dim, CAST(sum(val) AS BIGINT) AS sv FROM ("
+            f"SELECT cid, unnest(q) AS val, unnest(range(1, len(q) + 1)) AS dim"
+            f" FROM a{i}) GROUP BY cid, dim) GROUP BY cid)"
+        )
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id, q, cid FROM ("
+        f"SELECT v.vec_id, v.q, c.cid,"
+        f" row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {cos('v.q', 'c.s')} DESC, c.cid ASC) AS rk"
+        f" FROM qv v CROSS JOIN c{iters} c) WHERE rk = 1)"
+    )
+    parts.append(
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        " list_dot_product(a.q, b.q) AS dot,"
+        " list_dot_product(a.q, a.q) AS na, list_dot_product(b.q, b.q) AS nb"
+        " FROM af a JOIN af b"
+        " ON a.cid = b.cid AND a.vec_id < 20 AND b.vec_id <> a.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+      FROM p) WHERE rk <= {k}"""
+    )
+
+
+@_q("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN — the second scale path next to sign-LSH (task brief: 'an IVF
+    or LSH-bucketed variant'): integer-Lloyd clustering (2 iterations, 8
+    lists), neighbors searched only inside the query's posting list
+    (nprobe=1). At 10^9 vectors the list count scales with the corpus and
+    the cluster join key is the list id — never all-pairs."""
+    from scrapy_spark.operators.ann import ivf_topk
+
+    return ivf_topk(
+        _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
+        n_clusters=8, iters=2,
+    )
+
+
 @_q(
     "asof_join_last_order",
     """

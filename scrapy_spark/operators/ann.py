@@ -103,3 +103,74 @@ def lsh_recall(
     ).select(
         F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias("recall")
     )
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by 6dp-rounded cosine
+    (tie-break: centroid id). Centroids are INTEGER SUM vectors — the
+    cluster mean's direction with the 1/n scale cancelled, so every dot
+    product stays exact and the assignment is engine/order-independent."""
+    pairs = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "q",
+        "cid",
+        _dot("q", "s").alias("dot"),
+        _dot("q", "q").alias("na"),
+        _dot("s", "s").alias("nb"),
+    )
+    cos = _cosine()
+    w = Window.partitionBy("vec_id").orderBy(cos.desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "q", "cid")
+    )
+
+
+def ivf_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd update with exact arithmetic: elementwise bigint sums of the
+    assigned vectors (posexplode -> groupBy(cid, dim) -> rebuild ordered)."""
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("val").alias("sv"))
+    )
+    return sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sv"))), lambda x: x["sv"]
+        ).alias("s")
+    )
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_pred: Column,
+    k: int,
+    n_clusters: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN (the second scale path next to sign-LSH): fixed-iteration
+    integer-Lloyd clustering, then neighbors searched only inside the
+    query's cluster (nprobe=1). Deterministic end-to-end: seeds are the
+    lowest vec_ids, assignments use rounded cosine with id tie-breaks,
+    centroid updates are exact integer sums — hash-identical to the
+    unrolled DuckDB CTE oracle."""
+    cent = vecs.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
+    )
+    for _ in range(iters):
+        cent = ivf_centroids(ivf_assign(vecs, cent))
+    assigned = ivf_assign(vecs, cent)
+    a = assigned.filter(query_pred).alias("a")
+    c = assigned.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.cid") == F.col("c.cid")) & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _dot("a.q", "c.q").alias("dot"),
+        _dot("a.q", "a.q").alias("na"),
+        _dot("c.q", "c.q").alias("nb"),
+    )
+    return _pairs_topk(pairs, k)

@@ -89,3 +89,38 @@ def test_ngram_cap_noop_on_cold_corpus(spark):
     a = sorted(map(tuple, ngram_jaccard_pairs(sh, 0.01).collect()))
     b = sorted(map(tuple, ngram_jaccard_pairs(sh, 0.01, max_doc_freq=100).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_clusters_partition_and_recall(spark):
+    """IVF: every vector lands in exactly one list; search is cluster-local
+    (all reported neighbors share the query's list); recall vs brute force
+    is nonzero."""
+    from pyspark.sql import functions as F2
+
+    from scrapy_spark.operators.ann import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    v = _vecs(spark).cache()
+    cent = v.filter(F2.col("vec_id") < 8).select(
+        F2.col("vec_id").cast("int").alias("cid"), F2.col("q").alias("s")
+    )
+    for _ in range(2):
+        cent = ivf_centroids(ivf_assign(v, cent))
+    assigned = ivf_assign(v, cent)
+    n = v.count()
+    assert assigned.count() == n  # total partition, one list per vector
+    assert assigned.select("vec_id").distinct().count() == n
+    cl = {r["vec_id"]: r["cid"] for r in assigned.select("vec_id", "cid").collect()}
+    pred = F2.col("vec_id") < 20
+    approx = ivf_topk(v, pred, 3, n_clusters=8, iters=2).collect()
+    for r in approx:
+        assert cl[r["query_id"]] == cl[r["neighbor_id"]]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(v, pred, 3).collect()}
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
+    assert hits > 0
+    v.unpersist()
