@@ -105,11 +105,16 @@ def lsh_recall(
     )
 
 
-def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid by 6dp-rounded cosine
-    (tie-break: centroid id). Centroids are INTEGER SUM vectors — the
-    cluster mean's direction with the 1/n scale cancelled, so every dot
-    product stays exact and the assignment is engine/order-independent."""
+def ivf_assign(
+    vecs: DataFrame, centroids: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by
+    6dp-rounded cosine (tie-break: centroid id). Centroids are INTEGER SUM
+    vectors — the cluster mean's direction with the 1/n scale cancelled, so
+    every dot product stays exact and the assignment is
+    engine/order-independent. Building uses n_probe=1 (each vector lives in
+    ONE posting list); searching may probe several lists (the standard IVF
+    recall knob)."""
     pairs = vecs.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "q",
@@ -122,7 +127,7 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(cos.desc(), F.col("cid").asc())
     return (
         pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= n_probe)
         .select("vec_id", "q", "cid")
     )
 
@@ -148,6 +153,7 @@ def ivf_topk(
     k: int,
     n_clusters: int = 8,
     iters: int = 2,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF ANN (the second scale path next to sign-LSH): fixed-iteration
     integer-Lloyd clustering, then neighbors searched only inside the
@@ -161,7 +167,9 @@ def ivf_topk(
     for _ in range(iters):
         cent = ivf_centroids(ivf_assign(vecs, cent))
     assigned = ivf_assign(vecs, cent)
-    a = assigned.filter(query_pred).alias("a")
+    # queries probe their n_probe nearest lists; candidates stay in their
+    # single home list, so each (query, neighbor) pair matches at most once
+    a = ivf_assign(vecs.filter(query_pred), cent, n_probe=n_probe).alias("a")
     c = assigned.alias("c")
     pairs = a.join(
         c,

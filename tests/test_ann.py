@@ -124,3 +124,24 @@ def test_ivf_clusters_partition_and_recall(spark):
     hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
     assert hits > 0
     v.unpersist()
+
+
+def test_ivf_nprobe_improves_recall(spark):
+    """The IVF recall knob: probing more lists can only add candidates, so
+    recall is monotone in n_probe (and hits the brute-force set eventually
+    as n_probe -> n_clusters)."""
+    from pyspark.sql import functions as F2
+
+    from scrapy_spark.operators.ann import brute_force_topk, ivf_topk
+
+    v = _vecs(spark).cache()
+    pred = F2.col("vec_id") < 20
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(v, pred, 3).collect()}
+    recalls = {}
+    for p in (1, 2, 8):
+        approx = ivf_topk(v, pred, 3, n_clusters=8, iters=2, n_probe=p).collect()
+        recalls[p] = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
+    v.unpersist()
+    assert recalls[1] <= recalls[2] <= recalls[8], recalls
+    assert recalls[8] == len(exact)  # probing every list == brute force
