@@ -742,6 +742,56 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @_q(
+    "dedup_minhash_clusters",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             min(md5(concat('p1:', shingle))) AS h1,
+             min(md5(concat('p2:', shingle))) AS h2,
+             min(md5(concat('p3:', shingle))) AS h3,
+             min(md5(concat('p4:', shingle))) AS h4
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, concat(h1, h2) AS bv FROM sigs
+      UNION ALL
+      SELECT doc_id, concat(h3, h4) AS bv FROM sigs
+    ),
+    reps AS (SELECT bv, min(doc_id) AS rep FROM bands GROUP BY bv)
+    SELECT b.doc_id, min(r.rep) AS canonical_id
+    FROM bands b JOIN reps r USING (bv)
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT — the 100 TB dedup shape. Enumerating
+    pairs inside a band bucket is quadratic in bucket size (a boilerplate
+    cluster of K near-identical docs -> K^2 pairs); assignment is linear:
+    each band bucket elects min(doc_id) as representative and every doc
+    takes the min representative over its bands. One groupBy + one join on
+    the band value — no self-join anywhere. (Full transitive closure =
+    iterating this label propagation to a fixpoint; the single pass is the
+    deterministic first step and already collapses every bucket.)"""
+    sh = _spark_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.concat("h1", "h2").alias("bv")
+    ).unionByName(sigs.select("doc_id", F.concat("h3", "h4").alias("bv")))
+    reps = bands.groupBy("bv").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, "bv")
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("canonical_id"))
+    )
+
+
+@_q(
     "dedup_simhash",
     """
     WITH toks AS (
