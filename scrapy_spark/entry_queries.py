@@ -330,8 +330,10 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_segment_top_orders(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top-k.
 
-    The customer dim is broadcast (small side) — no shuffle for the frontier-
-    sized fact table at scale.
+    No broadcast hint on customer: it scales linearly with the corpus
+    (~15M rows / GBs at sf100), so a forced broadcast is a guaranteed OOM
+    at 100x. AQE picks broadcast when the measured filtered size is small
+    and a shuffle join when it isn't.
     """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
@@ -339,7 +341,7 @@ def q3_segment_top_orders(spark, sf_dir):
     rev = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
     g = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
         .agg(F.sum(rev).alias("revenue_e4"))
     )
@@ -363,7 +365,12 @@ def q3_segment_top_orders(spark, sf_dir):
     """,
 )
 def q5_nation_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: snowflake join with broadcast dims."""
+    """TPC-H Q5 shape: snowflake join with broadcast dims.
+
+    nation/region keep explicit broadcast hints — they are bounded by the
+    data model (25/5 rows) at any scale. customer is NOT hinted (scales
+    with the corpus); AQE decides from measured size.
+    """
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -372,7 +379,7 @@ def q5_nation_revenue(spark, sf_dir):
     rev = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")

@@ -16,7 +16,19 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-SOURCE_PRIORITY = {"seed": 1.0, "sitemap": 0.9, "img_tag": 0.8, "html_link": 0.6}
+SOURCE_PRIORITY = {
+    "seed": 1.0,
+    "sitemap": 0.9,
+    "img_tag": 0.8,
+    "html_link": 0.6,
+    # heuristic-mining confidences (discovery_spider.py:382,456,464,405,478)
+    # folded into the score base the same way the structured priorities are
+    "ajax_endpoint": 0.6,
+    "json_blob": 0.7,
+    "html_comment": 0.2,
+    "css_inline_style": 0.3,
+    "meta_refresh": 0.9,
+}
 PRIORITY_TERMS = ("research", "news", "academics")
 _TERM_RE = re.compile("|".join(PRIORITY_TERMS))
 DEPTH_PENALTY = 0.05

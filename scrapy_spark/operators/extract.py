@@ -17,14 +17,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import mining
 from ..sources.synth import N_IMG_HOSTS
 
 
-def extract_candidates(fetched: DataFrame) -> DataFrame:
+def mined_candidates(pages: DataFrame) -> DataFrame:
+    """Heuristic URL mining over raw_snippets (discovery_spider.py:386-478,
+    729-774) — pure JVM regexp_extract_all, see functions/mining.py. 1→N
+    explode of snippets, then 1→N explode of the per-snippet match array."""
+    sn = pages.select(
+        F.col("url").alias("source_url"),
+        (F.col("depth") + 1).alias("depth"),
+        F.explode("raw_snippets").alias("sn"),
+    ).select(
+        "source_url",
+        "depth",
+        mining.mined_source_type_col(F.col("sn.kind")).alias("source_type"),
+        F.explode(
+            mining.mined_urls_col(F.col("sn.kind"), F.col("sn.text"))
+        ).alias("mined_url"),
+    )
+    return sn.select(
+        mining.resolve_mined_col(F.col("mined_url"), F.col("source_url")).alias(
+            "raw_url"
+        ),
+        "source_url",
+        "source_type",
+        F.lit(None).cast("string").alias("anchor"),
+        "depth",
+        F.lit(1).alias("attempt"),
+    )
+
+
+def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> DataFrame:
     """fetched (FETCH_SCHEMA) -> raw candidates (CANDIDATE_COLS) at depth+1.
 
-    Three 1→N branches, all pure explode: html links, html image refs, and
-    sitemap <loc> entries (S3) from application/xml responses."""
+    Four 1→N branches, all pure explode: html links, html image refs,
+    sitemap <loc> entries (S3) from application/xml responses, and heuristic
+    snippet mining (gated by ``heuristic_mining``)."""
     pages = fetched.filter(
         (F.col("status_code") == 200) & (F.col("content_type") == "text/html")
     )
@@ -68,4 +98,7 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
             F.lit(1).alias("attempt"),
         )
     )
-    return links.unionByName(sitemap_links).unionByName(imgs)
+    out = links.unionByName(sitemap_links).unionByName(imgs)
+    if heuristic_mining:
+        out = out.unionByName(mined_candidates(pages))
+    return out

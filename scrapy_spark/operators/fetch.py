@@ -42,7 +42,8 @@ FETCH_SCHEMA = (
     "is_valid boolean, error_type string, age_days int, "
     "bytes binary, w int, h int, fmt string, "
     "body_links array<string>, "
-    "image_refs array<struct<image_id:string,alt:string>>"
+    "image_refs array<struct<image_id:string,alt:string>>, "
+    "raw_snippets array<struct<kind:string,text:string>>"
 )
 
 IN_COLS = [
@@ -80,6 +81,7 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
     body_links/image_refs parsed minimally (href/src attributes)."""
     import re
     import urllib.error
+    import urllib.parse
     import urllib.request
 
     href_re = re.compile(rb"""href=["']([^"'#>]+)""", re.I)
@@ -87,12 +89,38 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
     src_re = re.compile(rb"""src=["']([^"'>]+)""", re.I)
     alt_re = re.compile(rb"""alt=["']([^"']*)""", re.I)
     title_re = re.compile(rb"<title[^>]*>([^<]*)</title>", re.I)
+    # raw-snippet surfaces for heuristic URL mining (functions/mining.py):
+    # inline scripts (json kind when type=...json...), html comments,
+    # inline style attributes, meta-refresh directives
+    script_re = re.compile(rb"<script([^>]*)>(.*?)</script>", re.I | re.S)
+    comment_re = re.compile(rb"<!--(.*?)-->", re.S)
+    style_attr_re = re.compile(rb"""style=["']([^"']*)""", re.I)
+    meta_refresh_re = re.compile(
+        rb"""<meta[^>]*http-equiv=["']?refresh["']?[^>]*content=["']([^"']*)""", re.I
+    )
+
+    def _snippets(body: bytes) -> list[dict]:
+        out = []
+        dec = lambda b: b.decode("utf-8", "replace")  # noqa: E731
+        for attrs, text in script_re.findall(body):
+            if not text.strip():
+                continue
+            kind = "json" if b"json" in attrs.lower() else "script"
+            out.append({"kind": kind, "text": dec(text)})
+        for c in comment_re.findall(body):
+            out.append({"kind": "comment", "text": dec(c)})
+        for s in style_attr_re.findall(body):
+            if b"url(" in s.lower():
+                out.append({"kind": "css", "text": dec(s)})
+        for m in meta_refresh_re.findall(body):
+            out.append({"kind": "meta_refresh", "text": dec(m)})
+        return out
 
     def _resolve(url: str, attempt: int) -> dict:
         out = {
             "status_code": 599, "content_type": None, "title": None,
-            "body_links": [], "image_refs": [], "bytes": None,
-            "w": None, "h": None, "fmt": None, "age_days": None,
+            "body_links": [], "image_refs": [], "raw_snippets": [],
+            "bytes": None, "w": None, "h": None, "fmt": None, "age_days": None,
         }
         try:
             req = urllib.request.Request(url, headers={"User-Agent": user_agent})
@@ -104,8 +132,11 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
                 if ct == "text/html":
                     m = title_re.search(body)
                     out["title"] = m.group(1).decode("utf-8", "replace").strip() if m else None
+                    # real sites link mostly relatively; canonicalize() rejects
+                    # scheme-less URLs, so resolve against the page URL here
                     out["body_links"] = [
-                        x.decode("utf-8", "replace") for x in href_re.findall(body)
+                        urllib.parse.urljoin(url, x.decode("utf-8", "replace"))
+                        for x in href_re.findall(body)
                     ]
                     refs = []
                     for tag in img_tag_re.findall(body):
@@ -113,13 +144,16 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
                         if sm:
                             refs.append(
                                 {
-                                    "image_id": sm.group(1).decode("utf-8", "replace"),
+                                    "image_id": urllib.parse.urljoin(
+                                        url, sm.group(1).decode("utf-8", "replace")
+                                    ),
                                     "alt": am.group(1).decode("utf-8", "replace")
                                     if am
                                     else None,
                                 }
                             )
                     out["image_refs"] = refs
+                    out["raw_snippets"] = _snippets(body)
                 elif ct.startswith("image/"):
                     out["bytes"] = body
                     out["fmt"] = ct.split("/", 1)[1]
@@ -211,6 +245,7 @@ def fetch_frontier(
                         "fmt": r["fmt"],
                         "body_links": r["body_links"],
                         "image_refs": r["image_refs"],
+                        "raw_snippets": r.get("raw_snippets") or [],
                     }
                 )
             yield pd.DataFrame(out_rows)

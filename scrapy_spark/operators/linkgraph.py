@@ -151,10 +151,31 @@ def hits(
     fixed ``iterations`` or ``tol`` convergence on
     max(|hub-prev|, |authority-prev|) bounded by ``max_iterations``
     (reference: tol=1e-4, max 100, link_graph.py:276-313).
+
+    L2 norms are read with per-iteration 1-row scalar collects over the live
+    plan. This is a deliberate, MEASURED choice (Spark 4.1, local mode):
+
+    - broadcast-1-row-norm cross-joins (the :func:`hits_exact` pattern) in an
+      UNBOUNDED loop go exponentially slow past ~16 iterations (per-iteration
+      wall time doubles: 1.4s → 76s by iteration 21) despite constant plan
+      size — a driver-side broadcast-exchange pathology;
+    - adding localCheckpoint(eager=False) on the raw tables to avoid the
+      norm's recompute degrades the same way;
+    - the plain scalar collect stays flat (~0.9 s/iteration through 100+).
+
+    hits_exact keeps broadcast norms: its iteration count is small and FIXED
+    (5, far below the cliff) and the driver-checked path must stay
+    collect-free with one job per iteration. pagerank's single broadcast
+    (dmass) per iteration also measures flat to 60+ iterations.
     """
     nodes = nodes_of(edges).cache()
     n = nodes.count()
     e = edges.cache()
+
+    def _l2_normalize(raw: DataFrame, col: str) -> DataFrame:
+        nrm = raw.agg(F.sqrt(F.sum(F.col(col) ** 2))).collect()[0][0] or 1.0
+        return raw.select("node", (F.col(col) / F.lit(float(nrm))).alias(col))
+
     scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     n_rounds = max_iterations if tol is not None else iterations
     it = 0
@@ -162,20 +183,18 @@ def hits(
     for it in range(1, n_rounds + 1):
         scores = scores.localCheckpoint(eager=True)  # truncate iterative lineage
         prev = scores
-        auth = (
+        auth = _l2_normalize(
             e.join(_rank_side(scores.select(F.col("node").alias("src"), "hub"), n), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("authority"))
+            .agg(F.sum("hub").alias("authority")),
+            "authority",
         )
-        a_norm = auth.agg(F.sqrt(F.sum(F.col("authority") ** 2))).collect()[0][0] or 1.0
-        auth = auth.select("node", (F.col("authority") / F.lit(a_norm)).alias("authority"))
-        hub = (
+        hub = _l2_normalize(
             e.join(_rank_side(auth.select(F.col("node").alias("dst"), "authority"), n), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("hub"))
+            .agg(F.sum("authority").alias("hub")),
+            "hub",
         )
-        h_norm = hub.agg(F.sqrt(F.sum(F.col("hub") ** 2))).collect()[0][0] or 1.0
-        hub = hub.select("node", (F.col("hub") / F.lit(h_norm)).alias("hub"))
         scores = (
             nodes.join(hub, "node", "left").join(auth, "node", "left").fillna(
                 0.0, ["hub", "authority"]
@@ -292,8 +311,15 @@ def hits_exact(
     norm = sqrt(double(sum(araw^2))); next millis =
     round(araw / norm * scale). scale=1000 keeps sum(araw^2) within bigint
     up to ~10^6 nodes of in-degree ~10^3 (bump to decimal beyond). Norms
-    ride broadcast 1-row cross-joins — no per-iteration driver collect
-    (unlike the float version's two scalar collects). Output rounded 6dp.
+    ride broadcast 1-row cross-joins — no per-iteration driver collect.
+    Output rounded 6dp.
+
+    Mid-iteration tables stay SPARSE: a node absent from araw/hraw has score
+    exactly 0, and 0 rows contribute 0 to every downstream SUM and to the
+    norm (computed pre-fill already), so the dense zero-fill join against
+    ``nodes`` — two extra shuffles per iteration — is value-neutral and is
+    done ONCE at output instead. The DuckDB oracle keeps the dense unrolled
+    form (entry_queries._hits_sql); results are hash-identical.
     """
     nodes = nodes_of(edges).cache()
     n = nodes.count()
@@ -307,16 +333,11 @@ def hits_exact(
                 "_nrm"
             )
         )
-        return (
-            nodes.join(raw, "node", "left")
-            .fillna(0, [col])
-            .crossJoin(F.broadcast(nrm))
-            .select(
-                "node",
-                F.round(F.col(col).cast("double") / F.col("_nrm") * scale, 0)
-                .cast("long")
-                .alias(col),
-            )
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            F.round(F.col(col).cast("double") / F.col("_nrm") * scale, 0)
+            .cast("long")
+            .alias(col),
         )
 
     hubs = nodes.withColumn("hq", F.lit(scale).cast("long"))
@@ -339,7 +360,9 @@ def hits_exact(
         )
         hubs = _normalize(hraw, "hq")
     out = (
-        hubs.join(auth, "node")
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
+        .fillna(0, ["hq", "aq"])
         .select(
             "node",
             F.round(F.col("hq") / F.lit(float(scale)), 6).alias("hub"),

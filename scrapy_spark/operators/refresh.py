@@ -7,6 +7,8 @@ The reference re-checks previously-fetched URLs with a priority score
     + 50  failed rows (not valid, or an error recorded)
     + up to 25 staleness points once older than the refresh interval
           (one point per day of age, capped)
+    + 10  unknown age ("no idea when = maybe refresh",
+          data_refresh.py:156 except-branch) — NULL age_hours here
     - 10  healthy rows (valid AND status 200)
 
 and refreshes rows with priority > 0 (failed rows always). Deterministic
@@ -43,7 +45,9 @@ def refresh_priority(
     stale_pts = F.greatest(
         F.lit(0), F.least(F.lit(25), F.floor(age / 24).cast("int"))
     )
-    p = p + F.when(age > refresh_interval_hours, stale_pts).otherwise(0)
+    # NULL age = unknown/unparseable timestamp -> the reference's
+    # "maybe refresh" fallback (+10), not 0
+    p = p + F.when(age.isNull(), 10).when(age > refresh_interval_hours, stale_pts).otherwise(0)
     p = p - F.when(F.col("is_valid") & (F.col("status_code") == 200), 10).otherwise(0)
     return p
 
@@ -64,9 +68,10 @@ def refresh_candidates(
     failed = (~F.col("is_valid")) | F.col("error_type").isNotNull()
     out = rows.withColumn("priority", p).filter((F.col("priority") > 0) | failed)
     if limit is None:
-        return out.sortWithinPartitions(
-            F.col("priority").desc(), F.col("url").asc()
-        )
+        # global total order via range-partitioned sort (distributed — not a
+        # single-partition window); the unbudgeted path promises "highest
+        # priority first" across the whole result, not per-partition
+        return out.orderBy(F.col("priority").desc(), F.col("url").asc())
     from .topk import topk_total_order
 
     return topk_total_order(

@@ -26,6 +26,41 @@ from pyspark.sql import functions as F
 
 _POS_MASK = (1 << 33) - 1
 
+# Correctness of phase 1 rests on an optimizer contract: Catalyst must keep
+# the partition-local Sort (EliminateSorts must not drop it) and must not
+# reorder the non-deterministic monotonically_increasing_id projection below
+# it. Spark honors both today (non-deterministic expressions pin ordering);
+# a Spark upgrade could silently break it, so we probe the optimized plan of
+# a canonical tiny query ONCE per SparkSession (analysis only — no job) and
+# fail loudly if the local Sort was eliminated. Pinned equality/plan tests
+# live in tests/test_topk.py.
+_GUARDED_SESSIONS: set[int] = set()
+
+
+def _optimizer_guard(spark) -> None:
+    key = id(spark)
+    if key in _GUARDED_SESSIONS:
+        return
+    probe = (
+        spark.range(0, 2)
+        .repartition(2)
+        .sortWithinPartitions("id")
+        .withColumn(
+            "_pos", F.monotonically_increasing_id().bitwiseAND(F.lit(_POS_MASK))
+        )
+        .filter(F.col("_pos") < 1)
+    )
+    plan = probe._jdf.queryExecution().optimizedPlan().toString()
+    if "Sort [" not in plan:
+        raise RuntimeError(
+            "topk_total_order optimizer contract violated: this Spark "
+            "version's optimizer eliminates the partition-local Sort beneath "
+            "the monotonically_increasing_id projection, so two-phase top-k "
+            "phase-1 ranks would be garbage. Pin Spark or rewrite phase 1 "
+            "(e.g. mapInPandas local heap)."
+        )
+    _GUARDED_SESSIONS.add(key)
+
 
 def topk_total_order(
     df: DataFrame,
@@ -39,6 +74,7 @@ def topk_total_order(
     the selection is ambiguous. If ``rank_col`` is given, the 1-based global
     rank is emitted under that name; otherwise only the surviving rows.
     """
+    _optimizer_guard(df.sparkSession)
     cols = list(order_by)
     local = (
         df.sortWithinPartitions(*cols)

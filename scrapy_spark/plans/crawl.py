@@ -72,6 +72,7 @@ RESULT_COLS = [
     # memory after the fetch write (SURVEY §7.3.4)
     "body_links",
     "image_refs",
+    "raw_snippets",
 ]
 
 
@@ -378,8 +379,10 @@ class CrawlJob:
             coalesce=4,
         )
         # per-partition lineage: (generation, host_shard=host, stage counts);
-        # tiny rollup — collected (column-pruned) and staged driver-side
-        lineage_rows = (
+        # staged as a DataFrame write — NEVER collected. At the 10^10 design
+        # point host cardinality is millions; a per-generation driver
+        # materialization here would be on the hot path.
+        lineage_df = (
             staged_read.groupBy("host")
             .agg(
                 F.count("*").alias("scheduled"),
@@ -393,18 +396,19 @@ class CrawlJob:
                     F.when(validation_ops.schema_valid_expr(), 1).otherwise(0)
                 ).alias("schema_valid"),
             )
-            .collect()
+            .withColumn("generation", F.lit(gen))
         )
-        lineage_pdf = pd.DataFrame([r.asDict() for r in lineage_rows]).assign(
-            generation=gen
-        )
-        staged["lineage"] = self.catalog.stage_pandas(lineage_pdf, "lineage", gen)
+        staged["lineage"] = self.catalog.stage(lineage_df, "lineage", gen, coalesce=4)
 
         # interstage validation gate (interstage_validation.py:46-49;
         # pipeline.py:191,222): per-generation schema pass rate, enforced
         # BEFORE commit — the atomic snapshot means a failing generation
         # leaves no partial state
-        n_schema_valid = int(lineage_pdf["schema_valid"].sum())
+        # scalar from the staged lineage footers/column (pyarrow, no Spark job,
+        # no driver-side row materialization)
+        n_schema_valid = self.catalog.staged_column_sum(
+            staged["lineage"], "schema_valid"
+        )
         v_rate = n_schema_valid / n_sel
         staged["validation"] = self.catalog.stage_pandas(
             pd.DataFrame(
@@ -448,7 +452,7 @@ class CrawlJob:
             (F.col("attempt") + 1).alias("attempt"),
         )
         nxt = (
-            extract_candidates(staged_read)
+            extract_candidates(staged_read, params.heuristic_mining)
             .unionByName(retries)
             .withColumn("generation", F.lit(gen + 1))
         )

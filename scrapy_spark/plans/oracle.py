@@ -26,6 +26,7 @@ from __future__ import annotations
 import re as _re_mod
 from dataclasses import dataclass, field
 
+from ..functions import mining
 from ..functions.errors import classify_error, is_retryable
 from ..functions.hashing import spark_xxhash64_str
 from ..functions.scoring import py_score
@@ -106,6 +107,11 @@ class CrawlParams:
     # falls below the schema pass rate aborts before commit
     validation_threshold: float = 0.95
     validation_enforce: bool = True
+    # heuristic URL mining over raw page snippets (script/JSON/comment/CSS/
+    # meta-refresh families, discovery_spider.py:36-39,386-478,729-774);
+    # mined source types carry the reference's confidences as score bases
+    # (functions/scoring.SOURCE_PRIORITY)
+    heuristic_mining: bool = True
 
 
 @dataclass
@@ -436,6 +442,24 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                     nc = _candidate(iu, c["url"], "img_tag", ref["alt"], c["depth"] + 1, params.domain)
                     if nc is not None:
                         next_cands.append(nc)
+                if params.heuristic_mining:
+                    # heuristic snippet mining — twin of operators/extract.
+                    # mined_candidates (functions/mining.py regexes)
+                    for sn in r.get("raw_snippets") or []:
+                        stype = mining.KIND_SOURCE_TYPE.get(sn["kind"])
+                        if stype is None:
+                            continue
+                        for mu in mining.py_mine_snippet(sn["kind"], sn["text"]):
+                            nc = _candidate(
+                                mining.py_resolve_mined(mu, c["url"]),
+                                c["url"],
+                                stype,
+                                None,
+                                c["depth"] + 1,
+                                params.domain,
+                            )
+                            if nc is not None:
+                                next_cands.append(nc)
             elif sc == 200 and ct == "application/xml":
                 for link in r["body_links"]:
                     nc = _candidate(link, c["url"], "sitemap", None, c["depth"] + 1, params.domain)

@@ -80,6 +80,20 @@ class SnapshotCatalog:
             pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows for f in files
         )
 
+    def staged_column_sum(self, files: list[str], column: str) -> int:
+        """Sum one integer column of staged files via a column-pruned pyarrow
+        read — no Spark job. Intended for compact rollup tables (lineage):
+        even at millions of hosts this reads a few MB of one column."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            t = pq.read_table(os.path.join(self.root, f), columns=[column])
+            s = pc.sum(t.column(column)).as_py()
+            total += int(s or 0)
+        return total
+
     def read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
         """Read specific staged (not-yet-committed) files."""
         return spark.read.parquet(*[os.path.join(self.root, f) for f in files])

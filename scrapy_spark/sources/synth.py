@@ -178,6 +178,61 @@ def page_links(cfg: SynthConfig, counts: list[int], hidx: int, j: int) -> list[s
     return out
 
 
+def hidden_count(cfg: SynthConfig, counts: list[int], hidx: int) -> int:
+    return max(1, counts[hidx] // 5)
+
+
+def hidden_url(cfg: SynthConfig, hidx: int, t: int) -> str:
+    return f"https://{host_of(cfg, hidx)}/hidden/h{t}"
+
+
+def page_snippets(cfg: SynthConfig, counts: list[int], hidx: int, j: int) -> list[dict]:
+    """Deterministic raw snippets for heuristic URL mining (the synthetic
+    stand-in for the reference's script/JSON/comment/CSS/meta-refresh
+    discovery surfaces, discovery_spider.py:36-39,386-478,729-774).
+
+    /hidden/ pages are reachable ONLY through mined snippets — they appear in
+    no body_links and no sitemap — so crawl parity over them evidences the
+    mining path end-to-end. k==5 plants a negative fixture: a script with a
+    quoted URL but no dynamic hint, which must NOT be mined."""
+    k = _h(cfg.seed, "snip", hidx, j) % 10
+    if k > 5:
+        return []
+    host = host_of(cfg, hidx)
+    t = _h(cfg.seed, "sniptgt", hidx, j) % hidden_count(cfg, counts, hidx)
+    hu = hidden_url(cfg, hidx, t)
+    tj = (j * 11 + 3) % counts[hidx]
+    tp = page_url(cfg, hidx, tj)  # a normal page, absolute
+    rel = tp.split(host, 1)[1]  # root-relative form of another normal page
+    tj2 = (j * 5 + 1) % counts[hidx]
+    rel2 = page_url(cfg, hidx, tj2).split(host, 1)[1]
+    if k == 0:
+        return [{
+            "kind": "script",
+            "text": f'var go = function() {{ fetch("{hu}"); loadMore("{rel}"); }};',
+        }]
+    if k == 1:
+        return [{
+            "kind": "json",
+            "text": (
+                f'{{"url": "{hu}", "items": [{{"href": "{tp}"}}],'
+                f' "note": "see https://example.com/x{j}", "label": "L{j}"}}'
+            ),
+        }]
+    if k == 2:
+        return [{"kind": "comment", "text": f"<!-- staging link {tp} -->"}]
+    if k == 3:
+        return [{"kind": "meta_refresh", "text": f"0; url={tp}"}]
+    if k == 4:
+        gidx = _h(cfg.seed, "cssimg", hidx, j) % cfg.n_images
+        return [{
+            "kind": "css",
+            "text": f"background-image: url('{image_url(cfg, image_id_at(cfg, gidx))}')",
+        }]
+    # k == 5: negative fixture — URL present, no dynamic hint, not mined
+    return [{"kind": "script", "text": f'var tmpl = "{rel2}"; // static template'}]
+
+
 def page_image_refs(cfg: SynthConfig, hidx: int, j: int) -> list[dict]:
     refs = []
     for m in range(cfg.images_per_page):
@@ -277,6 +332,22 @@ import re as _re
 
 _PAGE_RE = _re.compile(r"^https://([a-z0-9.-]+)/([a-z]+)/p(\d+)$")
 _IMG_RE = _re.compile(r"^https://img(\d)\.uconn\.edu/i/(img\d{6})\.png$")
+_HIDDEN_RE = _re.compile(r"^https://([a-z0-9.-]+)/hidden/h(\d+)$")
+
+
+def parse_hidden_url(cfg: SynthConfig, counts: list[int], url: str) -> tuple[int, int] | None:
+    m = _HIDDEN_RE.match(url)
+    if not m:
+        return None
+    host, t_s = m.groups()
+    name = host.split(".uconn.edu")[0] if host.endswith(".uconn.edu") else None
+    if name is None or name not in cfg.host_names:
+        return None
+    hidx = cfg.host_names.index(name)
+    t = int(t_s)
+    if t >= hidden_count(cfg, counts, hidx):
+        return None
+    return hidx, t
 
 
 def parse_image_url(cfg: SynthConfig, url: str) -> str | None:
@@ -323,7 +394,8 @@ def sitemap_entries(cfg: SynthConfig, counts: list[int], hidx: int) -> list[str]
 
 def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> dict:
     """Simulated HTTP GET. Returns a fetch-result dict (status_code,
-    content_type, title, body_links, image_refs, bytes, w, h, fmt)."""
+    content_type, title, body_links, image_refs, raw_snippets, bytes, w, h,
+    fmt)."""
     m = _SITEMAP_RE.match(url)
     if m:
         host = m.group(1)
@@ -336,6 +408,7 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
                 "title": None,
                 "body_links": sitemap_entries(cfg, counts, hidx),
                 "image_refs": [],
+                "raw_snippets": [],
                 "bytes": None,
                 "w": None,
                 "h": None,
@@ -351,10 +424,29 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
             "title": None,
             "body_links": [],
             "image_refs": [],
+            "raw_snippets": [],
             "bytes": encode_png(px),
             "w": w,
             "h": h,
             "fmt": "png",
+        }
+    hj = parse_hidden_url(cfg, counts, url)
+    if hj is not None:
+        hidx, t = hj
+        # leaf pages reachable only via heuristic mining: always up, no
+        # outbound surfaces of their own
+        return {
+            "age_days": _h(cfg.seed, "hage", hidx, t) % 60,
+            "status_code": 200,
+            "content_type": "text/html",
+            "title": f"{host_of(cfg, hidx)} hidden {t}",
+            "body_links": [],
+            "image_refs": [],
+            "raw_snippets": [],
+            "bytes": None,
+            "w": None,
+            "h": None,
+            "fmt": None,
         }
     pj = parse_page_url(cfg, counts, url)
     if pj is not None:
@@ -368,6 +460,7 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
             # 200 pages expose links/images; 301/404 yield nothing to extract
             "body_links": page_links(cfg, counts, hidx, j) if status == 200 else [],
             "image_refs": page_image_refs(cfg, hidx, j) if status == 200 else [],
+            "raw_snippets": page_snippets(cfg, counts, hidx, j) if status == 200 else [],
             "bytes": None,
             "w": None,
             "h": None,
@@ -379,6 +472,7 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
         "title": None,
         "body_links": [],
         "image_refs": [],
+        "raw_snippets": [],
         "bytes": None,
         "w": None,
         "h": None,

@@ -72,10 +72,12 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     if not parts:
         return
     batch = pd.concat(parts, ignore_index=True)
-    for order_col in ("ts", "seq", "event_id", "url"):
-        if order_col in batch.columns:
-            batch = batch.sort_values(order_col, kind="mergesort")
-            break
+    # composite sort key: a single column (e.g. ts) leaves same-timestamp
+    # events in concat order, which is shuffle/partition-dependent — use
+    # every available ordering column as a tie-break chain
+    order_cols = [c for c in ("ts", "seq", "event_id", "url") if c in batch.columns]
+    if order_cols:
+        batch = batch.sort_values(order_cols, kind="mergesort")
     ok = batch["is_valid"].astype(bool)
     batch_n = len(batch)
     batch_fail = int((~ok).sum())

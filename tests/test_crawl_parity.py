@@ -37,6 +37,19 @@ def test_seen_set_parity(oracle, spark_run):
     assert ours == theirs
 
 
+def test_hidden_pages_reached_via_mining(oracle, spark_run):
+    """/hidden/ pages appear in NO body_links or sitemap — reaching them
+    proves the heuristic snippet-mining path end-to-end (both engines)."""
+    ours = {r["url"] for r in spark_run["seen"] if "/hidden/" in r["url"]}
+    theirs = {u for u in oracle.seen if "/hidden/" in u}
+    assert ours == theirs
+    assert len(ours) > 3
+    mined_types = {
+        r["source_type"] for r in spark_run["results"] if "/hidden/" in r["url"]
+    }
+    assert mined_types & {"ajax_endpoint", "json_blob"}
+
+
 def test_crawl_ordering_parity(oracle, spark_run):
     """Per-(generation, host) scheduled order must match the oracle exactly."""
     ours = {

@@ -44,15 +44,32 @@ def test_http_resolver_html_parse(monkeypatch):
         "urlopen",
         lambda req, timeout: _FakeResp(HTML, "text/html; charset=utf-8"),
     )
-    r = http_resolver()("https://x.uconn.edu/", 1)
+    r = http_resolver()("https://x.uconn.edu/section/page", 1)
     assert r["status_code"] == 200 and r["content_type"] == "text/html"
     assert r["title"] == "Fake Page"
     assert "https://x.uconn.edu/a" in r["body_links"]
-    assert "/relative" in r["body_links"]
+    # relative hrefs must come back absolute (urljoin against the page URL):
+    # canonicalize() rejects scheme-less URLs, so a verbatim '/relative'
+    # would be silently dropped downstream
+    assert "https://x.uconn.edu/relative" in r["body_links"]
+    assert "/relative" not in r["body_links"]
     assert r["image_refs"] == [
         {"image_id": "https://img0.uconn.edu/i/img1.png", "alt": "a caption"}
     ]
     assert r["bytes"] is None
+
+
+def test_http_resolver_relative_image_src(monkeypatch):
+    html = b'<html><body><img src="../img/pic.png" alt="c"></body></html>'
+    monkeypatch.setattr(
+        urllib.request,
+        "urlopen",
+        lambda req, timeout: _FakeResp(html, "text/html"),
+    )
+    r = http_resolver()("https://x.uconn.edu/a/b/page.html", 1)
+    assert r["image_refs"] == [
+        {"image_id": "https://x.uconn.edu/a/img/pic.png", "alt": "c"}
+    ]
 
 
 def test_http_resolver_image_and_errors(monkeypatch):

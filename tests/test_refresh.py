@@ -58,6 +58,31 @@ def test_priority_matches_reference_formula(spark):
         assert got[row["url"]] == _py_priority(row), row["url"]
 
 
+def test_priority_null_age_maybe_refresh(spark):
+    """Unknown age = reference's except-branch (+10 'maybe refresh',
+    data_refresh.py:156), not 0."""
+    df = spark.createDataFrame(
+        [
+            ("https://other.org/n", "other.org", True, None, 200, None),
+            ("https://other.org/f", "other.org", True, None, 200, 1.0),
+        ],
+        "url string, host string, is_valid boolean, error_type string, "
+        "status_code int, age_hours double",
+    ).withColumn("priority", refresh_priority(PRIO, INTERVAL))
+    got = {r["url"]: r["priority"] for r in df.collect()}
+    assert got["https://other.org/n"] == 10 - 10  # +10 unknown age, -10 healthy
+    assert got["https://other.org/f"] == -10
+
+
+def test_refresh_candidates_global_order(spark):
+    """Unbudgeted path promises a global total order across partitions."""
+    data = _rows()
+    df = spark.createDataFrame(pd.DataFrame(data)).repartition(4)
+    out = refresh_candidates(df, PRIO, INTERVAL).collect()
+    pris = [(r["priority"], r["url"]) for r in out]
+    assert pris == sorted(pris, key=lambda t: (-t[0], t[1]))
+
+
 def test_refresh_candidates_selection_and_order(spark):
     data = _rows()
     df = spark.createDataFrame(pd.DataFrame(data))
