@@ -696,7 +696,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from scrapy_spark.operators.neardup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _spark_shingles(spark, sf_dir), threshold=0.2, max_doc_freq=1000
+        _spark_shingles(spark, sf_dir), threshold=0.2, max_doc_freq=1000,
+        materialize=True,
     )
 
 
@@ -1670,18 +1671,20 @@ def ann_lsh_recall(spark, sf_dir):
     return lsh_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3, 4)
 
 
-def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
-    """Unrolled integer-Lloyd IVF as chained MATERIALIZED CTEs — the DuckDB
-    twin of operators/ann.ivf_topk (centroids are exact integer sum vectors;
-    assignment by 6dp cosine with centroid-id tie-break)."""
+def _ivf_cos(qs: str, ss: str) -> str:
+    return (
+        f"round(list_dot_product({qs}, {ss})"
+        f" / (sqrt(CAST(list_dot_product({qs}, {qs}) AS DOUBLE))"
+        f" * sqrt(CAST(list_dot_product({ss}, {ss}) AS DOUBLE))), 6)"
+    )
 
-    def cos(qs: str, ss: str) -> str:
-        return (
-            f"round(list_dot_product({qs}, {ss})"
-            f" / (sqrt(CAST(list_dot_product({qs}, {qs}) AS DOUBLE))"
-            f" * sqrt(CAST(list_dot_product({ss}, {ss}) AS DOUBLE))), 6)"
-        )
 
+def _ivf_parts(n_clusters: int, iters: int, n_probe: int = 1) -> list[str]:
+    """Shared unrolled integer-Lloyd CTE chain (DuckDB twin of
+    operators/ann.ivf_assign/ivf_centroids): qv, c0..c{iters}, af (home
+    assignment, rk=1), aq (query-side assignment, rk<=n_probe), p (candidate
+    pairs inside probed lists)."""
+    cos = _ivf_cos
     parts = [
         f"qv AS MATERIALIZED ({_QUANT_SQL})",
         f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, q AS s"
@@ -1709,12 +1712,28 @@ def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
         f" FROM qv v CROSS JOIN c{iters} c) WHERE rk = 1)"
     )
     parts.append(
+        f"aq AS MATERIALIZED (SELECT vec_id, q, cid FROM ("
+        f"SELECT v.vec_id, v.q, c.cid,"
+        f" row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY {cos('v.q', 'c.s')} DESC, c.cid ASC) AS rk"
+        f" FROM qv v CROSS JOIN c{iters} c WHERE v.vec_id < 20)"
+        f" WHERE rk <= {n_probe})"
+    )
+    parts.append(
         "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
         " list_dot_product(a.q, b.q) AS dot,"
         " list_dot_product(a.q, a.q) AS na, list_dot_product(b.q, b.q) AS nb"
-        " FROM af a JOIN af b"
-        " ON a.cid = b.cid AND a.vec_id < 20 AND b.vec_id <> a.vec_id)"
+        " FROM aq a JOIN af b"
+        " ON a.cid = b.cid AND b.vec_id <> a.vec_id)"
     )
+    return parts
+
+
+def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
+    """Unrolled integer-Lloyd IVF as chained MATERIALIZED CTEs — the DuckDB
+    twin of operators/ann.ivf_topk (centroids are exact integer sum vectors;
+    assignment by 6dp cosine with centroid-id tie-break)."""
+    parts = _ivf_parts(n_clusters, iters, n_probe=1)
     return (
         "WITH " + ",\n".join(parts) + f"""
     SELECT query_id, neighbor_id, cosine FROM (
@@ -1722,6 +1741,38 @@ def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
       FROM p) WHERE rk <= {k}"""
+    )
+
+
+def _ivf_recall_sql(k: int = 3, n_clusters: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+    """Recall of the n_probe-probing IVF vs the brute-force baseline —
+    DuckDB twin of operators/ann.ivf_recall."""
+    parts = _ivf_parts(n_clusters, iters, n_probe=n_probe)
+    parts.append(
+        "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        " list_dot_product(a.q, c.q) AS dot,"
+        " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
+        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
+    )
+    parts.append(
+        f"exact AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
+        f" WHERE rk <= {k})"
+    )
+    parts.append(
+        f"approx AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
+        f" WHERE rk <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT round((SELECT count(*) FROM exact e
+                  JOIN approx x USING (query_id, neighbor_id))
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
     )
 
 
@@ -1833,3 +1884,365 @@ def range_join_week_after_order(spark, sf_dir):
         & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
     )
     return j.select("event_id", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: heuristic mining, PDF meta, fixpoint components, IVF recall,
+# keyword expansion, remaining analytics templates
+# ---------------------------------------------------------------------------
+
+
+def _minhash_components_sql(iterations: int = 4) -> str:
+    """Unrolled min-label propagation over the doc↔band graph — DuckDB twin
+    of operators/neardup.minhash_components (fixpoint extension of
+    dedup_minhash_clusters)."""
+    parts = [
+        f"shingles AS MATERIALIZED ({_SHINGLES_SQL})",
+        """sigs AS MATERIALIZED (
+      SELECT doc_id,
+             min(md5(concat('p1:', shingle))) AS h1,
+             min(md5(concat('p2:', shingle))) AS h2,
+             min(md5(concat('p3:', shingle))) AS h3,
+             min(md5(concat('p4:', shingle))) AS h4
+      FROM shingles GROUP BY doc_id)""",
+        """bands AS MATERIALIZED (
+      SELECT doc_id, concat(h1, h2) AS bv FROM sigs
+      UNION ALL
+      SELECT doc_id, concat(h3, h4) AS bv FROM sigs)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM bands)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"bm{i} AS MATERIALIZED (SELECT b.bv, min(l.label) AS bmin"
+            f" FROM bands b JOIN l{i - 1} l USING (doc_id) GROUP BY b.bv)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT b.doc_id, min(bm.bmin) AS label"
+            f" FROM bands b JOIN bm{i} bm USING (bv) GROUP BY b.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\n    SELECT doc_id, label AS component_id FROM l{iterations}"
+    )
+
+
+@_q("dedup_minhash_components", _minhash_components_sql())
+def dedup_minhash_components(spark, sf_dir):
+    """Near-dup CONNECTED COMPONENTS — fixpoint extension of the single-pass
+    cluster assignment: iterated min-label propagation over the
+    doc↔band-bucket graph (4 bounded iterations; chains that no single band
+    bucket covers collapse, tests/test_ann.py asserts the chained case).
+    Each iteration is two linear aggregations keyed on band value / doc id —
+    never a pair enumeration, the 100 TB-safe component shape."""
+    from scrapy_spark.operators.neardup import minhash_components
+
+    sh = _spark_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.concat("h1", "h2").alias("bv")
+    ).unionByName(sigs.select("doc_id", F.concat("h3", "h4").alias("bv")))
+    return minhash_components(bands, iterations=4)
+
+
+@_q("ann_ivf_recall", _ivf_recall_sql(n_probe=2))
+def ann_ivf_recall(spark, sf_dir):
+    """Recall of the n_probe=2 IVF variant vs the brute-force baseline (one
+    row) — driver evidence for the n_probe recall/cost knob, the IVF twin of
+    ann_lsh_recall. Monotonicity (recall non-decreasing in n_probe) is
+    asserted in tests/test_ann.py."""
+    from scrapy_spark.operators.ann import ivf_recall
+
+    return ivf_recall(
+        _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
+        n_clusters=8, iters=2, n_probe=2,
+    )
+
+
+def _mining_sql() -> str:
+    """heuristic_url_mining oracle: construct the same deterministic
+    snippets from `part` in SQL and mine them with the SAME regexes the
+    Spark plan uses (functions/mining.py constants) — engine-portability of
+    the patterns is part of what the hash check proves."""
+    from .functions import mining as _m
+
+    urlq = _m.URL_IN_QUOTES.replace("'", "''")
+    keyh = _m.JSON_KEYHINT.replace("'", "''")
+    bare = _m.BARE_URL.replace("'", "''")
+    return f"""
+    WITH snip AS (
+      SELECT p_partkey,
+             CASE p_partkey % 3 WHEN 0 THEN 'script' WHEN 1 THEN 'json'
+                  ELSE 'comment' END AS kind,
+             CASE p_partkey % 3
+               WHEN 0 THEN concat('fetch("https://catalog.uconn.edu/part/',
+                                  CAST(p_partkey AS VARCHAR),
+                                  '"); go("/list/',
+                                  CAST(p_partkey % 7 AS VARCHAR), '")')
+               WHEN 1 THEN concat('{{"url": "https://catalog.uconn.edu/part/',
+                                  CAST(p_partkey AS VARCHAR),
+                                  '", "items": [{{"href": "/detail/',
+                                  CAST(p_partkey AS VARCHAR),
+                                  '"}}], "note": "x"}}')
+               ELSE concat('<!-- see https://catalog.uconn.edu/part/',
+                           CAST(p_partkey AS VARCHAR), ' -->')
+             END AS text
+      FROM part WHERE p_partkey <= 300
+    ),
+    mined AS (
+      SELECT p_partkey,
+             CASE kind WHEN 'script' THEN 'ajax_endpoint'
+                  WHEN 'json' THEN 'json_blob' ELSE 'html_comment' END
+               AS source_type,
+             unnest(CASE kind
+               WHEN 'script' THEN regexp_extract_all(text, '{urlq}', 1)
+               WHEN 'json' THEN regexp_extract_all(text, '{keyh}', 2)
+               ELSE regexp_extract_all(text, '{bare}', 1) END) AS u
+      FROM snip
+    )
+    SELECT p_partkey,
+           CASE WHEN u LIKE '//%' THEN concat('https:', u)
+                WHEN u LIKE '/%' THEN concat('https://catalog.uconn.edu', u)
+                ELSE u END AS raw_url,
+           source_type
+    FROM mined
+    """
+
+
+@_q("heuristic_url_mining", _mining_sql())
+def heuristic_url_mining(spark, sf_dir):
+    """Heuristic URL mining as a driver-checked query: deterministic
+    script/JSON/comment snippets built from `part`, mined by the EXACT
+    expressions the crawl extraction uses (functions/mining.py:
+    mined_urls_col + resolve_mined_col). The oracle runs the same regexes
+    in DuckDB (RE2), so the hash check proves the patterns are
+    engine-portable — the crawl-side parity against the sequential oracle
+    is in tests/test_crawl_parity.py (hidden pages)."""
+    from .functions import mining as _m
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    key = F.col("p_partkey").cast("string")
+    kind = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("script"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("json"))
+        .otherwise(F.lit("comment"))
+    )
+    text = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.lit('fetch("https://catalog.uconn.edu/part/'), key,
+                F.lit('"); go("/list/'), (F.col("p_partkey") % 7).cast("string"),
+                F.lit('")'),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit('{"url": "https://catalog.uconn.edu/part/'), key,
+                F.lit('", "items": [{"href": "/detail/'), key,
+                F.lit('"}], "note": "x"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<!-- see https://catalog.uconn.edu/part/"), key,
+                F.lit(" -->"),
+            )
+        )
+    )
+    sn = p.select(
+        "p_partkey",
+        kind.alias("kind"),
+        text.alias("text"),
+        F.lit("https://catalog.uconn.edu/browse").alias("source_url"),
+    )
+    mined = sn.select(
+        "p_partkey",
+        _m.mined_source_type_col(F.col("kind")).alias("source_type"),
+        F.explode(_m.mined_urls_col(F.col("kind"), F.col("text"))).alias("u"),
+        "source_url",
+    )
+    return mined.select(
+        "p_partkey",
+        _m.resolve_mined_col(F.col("u"), F.col("source_url")).alias("raw_url"),
+        "source_type",
+    )
+
+
+@_q(
+    "keyword_expansion",
+    """
+    WITH vocab AS MATERIALIZED (
+      SELECT word, count(*) AS n FROM
+        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    kw AS MATERIALIZED (
+      SELECT word AS keyword FROM (
+        SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+        FROM vocab) WHERE rk <= 20
+    )
+    SELECT k.keyword, v.word AS synonym
+    FROM kw k JOIN vocab v
+      ON substring(v.word, 1, 1) = substring(k.keyword, 1, 1)
+     AND v.word <> k.keyword
+    """,
+)
+def keyword_expansion(spark, sf_dir):
+    """Keyword expansion (keyword_expansion.py:22-46): each top keyword
+    expands to related vocabulary terms via a broadcast join against the
+    corpus vocabulary. The reference's synonym relation is WordNet (nltk —
+    not in this container); the deterministic stand-in relation is
+    shared-first-letter (chosen so the tiny synthetic vocabulary actually
+    produces expansions), and the RELATION is the pluggable part — the Spark
+    shape (tiny keyword side broadcast, vocabulary-side scan, pure string
+    predicate) is the operator."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    kw = topk_total_order(
+        vocab, [F.col("n").desc(), F.col("word").asc()], 20
+    ).select(F.col("word").alias("keyword"))
+    return (
+        vocab.join(
+            F.broadcast(kw),
+            (F.substring("word", 1, 1) == F.substring("keyword", 1, 1))
+            & (F.col("word") != F.col("keyword")),
+        )
+        .select("keyword", F.col("word").alias("synonym"))
+    )
+
+
+@_q(
+    "a14_dept_content",
+    """
+    SELECT source AS department,
+           count(*) AS page_count,
+           round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))),
+                 6) AS avg_words,
+           round(avg(CAST(n_chars AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '),
+                                                w -> w <> '')), 1)),
+                 6) AS avg_readability
+    FROM documents WHERE source IS NOT NULL GROUP BY source
+    """,
+)
+def a14_dept_content(spark, sf_dir):
+    """content_by_department analytics template (datalake_schema.py:198-204):
+    per-department page counts, mean word counts, and a readability proxy
+    (mean chars per word — the reference's readability_score column recast
+    deterministically)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    words = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+    return d.groupBy(F.col("source").alias("department")).agg(
+        F.count("*").alias("page_count"),
+        F.round(F.avg(words), 6).alias("avg_words"),
+        F.round(
+            F.avg(F.col("n_chars").cast("double") / F.greatest(words, F.lit(1))), 6
+        ).alias("avg_readability"),
+    )
+
+
+@_q(
+    "a14_perf_trends",
+    """
+    SELECT event_type AS stage,
+           CAST(date_trunc('minute', ts) AS VARCHAR) AS minute,
+           round(avg(value), 6) AS avg_throughput,
+           round(max(value), 6) AS peak_value,
+           count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('minute', ts)
+    """,
+)
+def a14_perf_trends(spark, sf_dir):
+    """performance_trends analytics template (datalake_schema.py:237-247):
+    per-(stage, minute) throughput aggregates over the metrics stream shape
+    (events: event_type=stage, value=items/sec)."""
+    e = load(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    return e.groupBy(
+        F.col("event_type").alias("stage"),
+        minute.cast("string").alias("minute"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("avg_throughput"),
+        F.round(F.max("value"), 6).alias("peak_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "pdf_meta",
+    """
+    SELECT doc_id,
+           concat('doc ', CAST(doc_id AS VARCHAR)) AS title,
+           greatest(1, CAST(ceil(
+             len(list_filter(string_split(text, ' '), w -> w <> '')) / 40.0)
+             AS INT)) AS page_count,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS word_count,
+           CAST(doc_id % 3 AS INT) AS n_links
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def pdf_meta(spark, sf_dir):
+    """PDF handling as a driver-checked roundtrip: build a REAL PDF per doc
+    (functions/pdffn.encode_pdf — 40-word pages, title, doc_id%3 link
+    annotations), then recover metadata through the PDF operator path
+    (operators/pdfops semantics). The oracle computes the same invariants
+    directly from the text, so the hash check proves encode->decode is
+    lossless for every field. The crawl-side PDF fetch (pdf_link candidates,
+    content_handlers.py:20-160) is parity-tested in test_crawl_parity."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions import pdffn
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                toks = [w for w in (row.text or "").split(" ") if w != ""]
+                pages = [
+                    " ".join(toks[i : i + 40]) for i in range(0, len(toks), 40)
+                ] or [""]
+                n_links = int(row.doc_id) % 3
+                links = [
+                    f"https://docs.uconn.edu/d/{row.doc_id}/{i}"
+                    for i in range(n_links)
+                ]
+                data = pdffn.encode_pdf(
+                    pages, title=f"doc {row.doc_id}", author="corpus",
+                    link_uris=links,
+                )
+                # decode side — the operator path's field extraction
+                texts = pdffn.pdf_page_texts(data)
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "title": pdffn.pdf_title(data),
+                        "page_count": pdffn.pdf_page_count(data),
+                        "word_count": sum(len(t.split()) for t in texts),
+                        "n_links": len(pdffn.pdf_link_uris(data)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, title string, page_count int, word_count long, "
+        "n_links int",
+    )

@@ -23,6 +23,8 @@ SOURCE_PRIORITY = {
     "html_link": 0.6,
     # heuristic-mining confidences (discovery_spider.py:382,456,464,405,478)
     # folded into the score base the same way the structured priorities are
+    "pdf_link": 0.5,  # document payload: explicit default-tier priority
+    "pdf_embedded": 0.4,  # links mined out of fetched PDF documents
     "ajax_endpoint": 0.6,
     "json_blob": 0.7,
     "html_comment": 0.2,

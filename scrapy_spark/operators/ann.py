@@ -90,18 +90,24 @@ def lsh_topk(vecs: DataFrame, query_pred: Column, k: int, n_bits: int) -> DataFr
     return _pairs_topk(pairs, k)
 
 
-def lsh_recall(
-    vecs: DataFrame, query_pred: Column, k: int, n_bits: int
-) -> DataFrame:
-    """One-row DataFrame: fraction of brute-force top-k pairs the LSH
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """One-row DataFrame: fraction of brute-force top-k pairs the approx
     variant recovers (order-insensitive set recall over all queries)."""
-    exact = brute_force_topk(vecs, query_pred, k).select("query_id", "neighbor_id")
-    approx = lsh_topk(vecs, query_pred, k, n_bits).select("query_id", "neighbor_id")
+    exact = exact.select("query_id", "neighbor_id")
+    approx = approx.select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return exact.agg(F.count("*").alias("n_exact")).crossJoin(
         hits.agg(F.count("*").alias("n_hit"))
     ).select(
         F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias("recall")
+    )
+
+
+def lsh_recall(
+    vecs: DataFrame, query_pred: Column, k: int, n_bits: int
+) -> DataFrame:
+    return _recall_vs_exact(
+        brute_force_topk(vecs, query_pred, k), lsh_topk(vecs, query_pred, k, n_bits)
     )
 
 
@@ -182,3 +188,20 @@ def ivf_topk(
         _dot("c.q", "c.q").alias("nb"),
     )
     return _pairs_topk(pairs, k)
+
+
+def ivf_recall(
+    vecs: DataFrame,
+    query_pred: Column,
+    k: int,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Recall of the IVF variant vs the brute-force baseline — evidences the
+    n_probe knob's recall/cost trade (more probed lists -> monotonically
+    non-decreasing recall; asserted in tests/test_ann.py)."""
+    return _recall_vs_exact(
+        brute_force_topk(vecs, query_pred, k),
+        ivf_topk(vecs, query_pred, k, n_clusters, iters, n_probe),
+    )

@@ -14,11 +14,27 @@ anchor → downstream caption.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from ..functions import mining
 from ..sources.synth import N_IMG_HOSTS
+
+
+# return type passed as a DataType object (not a DDL string): string DDL is
+# parsed against the active session, which doesn't exist at import time
+@pandas_udf(ArrayType(StringType()))
+def pdf_link_uris_udf(data: pd.Series) -> pd.Series:
+    """Embedded /URI link annotations of a PDF bytes column (Arrow-batched;
+    functions/pdffn regex scan — content_handlers.py:20-160 semantics)."""
+    from ..functions import pdffn
+
+    return data.map(
+        lambda b: pdffn.pdf_link_uris(bytes(b)) if pdffn.is_pdf(b) else []
+    )
 
 
 def mined_candidates(pages: DataFrame) -> DataFrame:
@@ -98,7 +114,28 @@ def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> Dat
             F.lit(1).alias("attempt"),
         )
     )
-    out = links.unionByName(sitemap_links).unionByName(imgs)
+    # PDF responses yield their embedded /URI annotations as candidates
+    # (content_handlers.py PDFHandler + datalake link extraction). The URIs
+    # were extracted inside the fetch UDF while the bytes were in hand, so
+    # this branch is a pure explode of a small array column — the bytes
+    # column is never re-read or shuffled (SURVEY §7.3.4).
+    pdf_links = (
+        fetched.filter(
+            (F.col("status_code") == 200)
+            & (F.col("content_type") == "application/pdf")
+        )
+        .select(
+            F.explode("pdf_uris").alias("raw_url"),
+            F.col("url").alias("source_url"),
+            F.lit("pdf_embedded").alias("source_type"),
+            F.lit(None).cast("string").alias("anchor"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(1).alias("attempt"),
+        )
+    )
+    out = (
+        links.unionByName(sitemap_links).unionByName(imgs).unionByName(pdf_links)
+    )
     if heuristic_mining:
         out = out.unionByName(mined_candidates(pages))
     return out

@@ -43,7 +43,8 @@ FETCH_SCHEMA = (
     "bytes binary, w int, h int, fmt string, "
     "body_links array<string>, "
     "image_refs array<struct<image_id:string,alt:string>>, "
-    "raw_snippets array<struct<kind:string,text:string>>"
+    "raw_snippets array<struct<kind:string,text:string>>, "
+    "pdf_uris array<string>"
 )
 
 IN_COLS = [
@@ -157,6 +158,9 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
                 elif ct.startswith("image/"):
                     out["bytes"] = body
                     out["fmt"] = ct.split("/", 1)[1]
+                elif ct == "application/pdf":
+                    out["bytes"] = body
+                    out["fmt"] = "pdf"
         except urllib.error.HTTPError as e:
             out["status_code"] = e.code
         except Exception:
@@ -219,6 +223,16 @@ def fetch_frontier(
                 r = do_resolve(row.url, row.attempt)
                 ct = r["content_type"]
                 sc = r["status_code"]
+                # PDF link annotations extracted HERE, while the bytes are
+                # already in hand — downstream extraction reads only this
+                # small array column, never the bytes column again
+                # (SURVEY §7.3.4 bytes discipline)
+                pdf_uris: list[str] = []
+                if ct == "application/pdf" and r["bytes"]:
+                    from ..functions import pdffn
+
+                    if pdffn.is_pdf(r["bytes"]):
+                        pdf_uris = pdffn.pdf_link_uris(r["bytes"])
                 out_rows.append(
                     {
                         "url": row.url,
@@ -246,6 +260,7 @@ def fetch_frontier(
                         "body_links": r["body_links"],
                         "image_refs": r["image_refs"],
                         "raw_snippets": r.get("raw_snippets") or [],
+                        "pdf_uris": pdf_uris,
                     }
                 )
             yield pd.DataFrame(out_rows)

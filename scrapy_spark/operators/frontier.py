@@ -100,6 +100,18 @@ def canonicalize_candidates(cands: DataFrame, domain: str = "uconn.edu") -> Data
     df = df.filter(
         (F.col("host") == domain) | F.col("host").endswith("." + domain)
     )
+    # PDF documents are fetchable payload, not recursion targets: an html
+    # link whose canonical path ends .pdf becomes a pdf_link candidate
+    # (content_handlers.py:20-160 PDFHandler — the reference's enrichment
+    # stage fetches and processes PDFs the spider refuses to recurse into)
+    df = df.withColumn(
+        "source_type",
+        F.when(
+            (F.col("source_type") == "html_link")
+            & F.col("path").rlike(r"(?i)\.pdf$"),
+            F.lit("pdf_link"),
+        ).otherwise(F.col("source_type")),
+    )
     # deny-extension applies to the PATH only (is_denied_extension semantics:
     # https://x/a.pdf?x=1 is denied, /page?file=.pdf is not)
     df = df.filter(

@@ -38,18 +38,67 @@ def cap_posting_lists(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
     return shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def minhash_components(
+    bands: DataFrame, iterations: int = 4, materialize: bool = True
+) -> DataFrame:
+    """Connected components over the doc↔band-bucket graph by iterated
+    min-label propagation — the FIXPOINT extension of the single-pass cluster
+    assignment (dedup_minhash_clusters): chains A~B (band 1), B~C (band 2)
+    collapse to one component even though no single bucket holds all three.
+
+    ``bands``: (doc_id, bv) rows, one per (doc, band value). Each iteration
+    is two linear aggregations (bucket min over member labels, then doc min
+    over bucket minima) — never a pair enumeration or self-join; label values
+    only decrease, so a fixed iteration count is deterministic and each
+    iteration propagates labels one bucket-hop further (diameter-bounded
+    convergence; the synthetic corpus' components have small diameter,
+    asserted in tests). Labels ride localCheckpoints between iterations
+    exactly like the PageRank loop; ``materialize`` localCheckpoints the
+    bands table itself — it is consumed twice per iteration, and when it
+    arrives as a live plan (shingle explode + minhash aggs) re-deriving it
+    2*iterations times dominates the cost. On a cluster, substitute a
+    staged parquet."""
+    if materialize:
+        bands = bands.localCheckpoint(eager=True)
+    labels = bands.groupBy("doc_id").agg(F.min("doc_id").alias("label"))
+    for _ in range(iterations):
+        labels = labels.localCheckpoint(eager=True)
+        bucket_min = (
+            bands.join(labels, "doc_id")
+            .groupBy("bv")
+            .agg(F.min("label").alias("bmin"))
+        )
+        labels = (
+            bands.join(bucket_min, "bv")
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("label"))
+        )
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle)-distinct rows -> near-dup pairs with Jaccard score.
 
     Candidate pairs share at least one (capped) shingle — an implicit LSH on
     exact shingles; the join key is the shingle, so the shuffle is the
-    inverted index itself."""
+    inverted index itself.
+
+    ``materialize=True`` localCheckpoints the (capped) shingle table before
+    fan-out: it has FOUR downstream consumers (hot-list agg, both self-join
+    branches, per-doc sizes), and without materialization each one re-derives
+    the shingle explode+distinct from the raw text — the dominant cost. On a
+    cluster, substitute a reliable checkpoint/staged parquet."""
     if max_doc_freq is not None:
+        if materialize:
+            shingles = shingles.localCheckpoint(eager=True)
         shingles = cap_posting_lists(shingles, max_doc_freq)
+    if materialize:
+        shingles = shingles.localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -25,13 +25,15 @@ def schema_valid_expr() -> Column:
     - url present, http(s), and url_hash is exactly xxhash64(url)
     - status_code in the HTTP range (or the 599 timeout convention)
     - is_valid consistent with (status, content_type)
-    - image bytes present iff an image was actually served
+    - payload bytes present iff an image or PDF document was actually served
     - attempt within the retry policy, rank_in_host a positive rank
     """
     sc = F.col("status_code")
     ct = F.coalesce(F.col("content_type"), F.lit(""))
     recomputed_valid = (sc >= 200) & (sc < 400) & ct.isin(*VALID_CONTENT_TYPES)
-    served_image = (sc == 200) & ct.startswith("image/")
+    served_image = (sc == 200) & (
+        ct.startswith("image/") | (ct == "application/pdf")
+    )
     return (
         F.col("url").isNotNull()
         & F.col("url").startswith("http")

@@ -73,6 +73,7 @@ RESULT_COLS = [
     "body_links",
     "image_refs",
     "raw_snippets",
+    "pdf_uris",
 ]
 
 

@@ -44,6 +44,7 @@ from ..sources.synth import SynthConfig
 VALID_CONTENT_TYPES = (
     "text/html",
     "application/xml",  # sitemaps (fetched by the spider in the reference)
+    "application/pdf",  # fetched + processed by PDFHandler (content_handlers.py:20)
     "image/png",
     "image/jpeg",
     "image/gif",
@@ -128,9 +129,13 @@ def _candidate(raw_url, source_url, source_type, anchor, depth, domain, attempt=
     host = url_host(cu)
     if not is_allowed_domain(host, domain):
         return None
+    path = url_path(cu)
+    # html links to .pdf documents become fetchable pdf_link candidates
+    # (twin of frontier.canonicalize_candidates' reclassification)
+    if source_type == "html_link" and path.lower().endswith(".pdf"):
+        source_type = "pdf_link"
     if source_type in ("seed", "html_link", "sitemap") and is_denied_extension(cu):
         return None
-    path = url_path(cu)
     return {
         "url": cu,
         "url_hash": spark_xxhash64_str(cu),
@@ -465,6 +470,19 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                     nc = _candidate(link, c["url"], "sitemap", None, c["depth"] + 1, params.domain)
                     if nc is not None:
                         next_cands.append(nc)
+            elif sc == 200 and ct == "application/pdf" and r["bytes"]:
+                # embedded /URI annotations recurse as candidates — twin of
+                # extract.pdf_link_uris_udf (content_handlers.py semantics)
+                from ..functions import pdffn
+
+                if pdffn.is_pdf(r["bytes"]):
+                    for link in pdffn.pdf_link_uris(r["bytes"]):
+                        nc = _candidate(
+                            link, c["url"], "pdf_embedded", None,
+                            c["depth"] + 1, params.domain,
+                        )
+                        if nc is not None:
+                            next_cands.append(nc)
         if params.rate_control:
             rc_update(gen, gen_rows)
         if params.pagination_guess:

@@ -333,6 +333,54 @@ import re as _re
 _PAGE_RE = _re.compile(r"^https://([a-z0-9.-]+)/([a-z]+)/p(\d+)$")
 _IMG_RE = _re.compile(r"^https://img(\d)\.uconn\.edu/i/(img\d{6})\.png$")
 _HIDDEN_RE = _re.compile(r"^https://([a-z0-9.-]+)/hidden/h(\d+)$")
+_PDF_RE = _re.compile(r"^https://([a-z0-9.-]+)/files/doc(\d+)\.pdf$")
+N_PDFS_PER_HOST = 50  # page_links emits doc{k % 50}.pdf
+
+
+def parse_pdf_url(cfg: SynthConfig, url: str) -> tuple[int, int] | None:
+    m = _PDF_RE.match(url)
+    if not m:
+        return None
+    host, d_s = m.groups()
+    name = host.split(".uconn.edu")[0] if host.endswith(".uconn.edu") else None
+    if name is None or name not in cfg.host_names:
+        return None
+    d = int(d_s)
+    if d >= N_PDFS_PER_HOST:
+        return None
+    return cfg.host_names.index(name), d
+
+
+def pdf_document(cfg: SynthConfig, counts: list[int], hidx: int, d: int) -> bytes:
+    """Deterministic PDF payload for /files/doc{d}.pdf: 1-3 pages of words,
+    title/author metadata, 0-2 embedded link URIs to real same-host pages."""
+    from ..functions.pdffn import encode_pdf
+
+    k = _h(cfg.seed, "pdf", hidx, d)
+    n_pages = 1 + k % 3
+    pages = []
+    for p in range(n_pages):
+        kk = _h(cfg.seed, "pdfpg", hidx, d, p)
+        pages.append(" ".join(WORDS[(kk >> (6 * i)) % len(WORDS)] for i in range(8)))
+    # documents cite pages AND other documents (pdf→pdf chains guarantee the
+    # pdf_embedded recursion path has fresh, not-yet-seen targets)
+    n_links = k % 3
+    links = []
+    for i in range(n_links):
+        if i == 0:
+            links.append(
+                f"https://{host_of(cfg, hidx)}/files/doc{(d * 7 + i + 1) % N_PDFS_PER_HOST}.pdf"
+            )
+        else:
+            links.append(
+                page_url(cfg, hidx, _h(cfg.seed, "pdflnk", hidx, d, i) % counts[hidx])
+            )
+    return encode_pdf(
+        pages,
+        title=f"{host_of(cfg, hidx)} doc {d}",
+        author=WORDS[k % len(WORDS)],
+        link_uris=links,
+    )
 
 
 def parse_hidden_url(cfg: SynthConfig, counts: list[int], url: str) -> tuple[int, int] | None:
@@ -429,6 +477,23 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
             "w": w,
             "h": h,
             "fmt": "png",
+        }
+    pd_ = parse_pdf_url(cfg, url)
+    if pd_ is not None:
+        hidx, d = pd_
+        data = pdf_document(cfg, counts, hidx, d)
+        return {
+            "age_days": _h(cfg.seed, "pdfage", hidx, d) % 60,
+            "status_code": 200,
+            "content_type": "application/pdf",
+            "title": None,
+            "body_links": [],
+            "image_refs": [],
+            "raw_snippets": [],
+            "bytes": data,
+            "w": None,
+            "h": None,
+            "fmt": "pdf",
         }
     hj = parse_hidden_url(cfg, counts, url)
     if hj is not None:

@@ -145,3 +145,69 @@ def test_ivf_nprobe_improves_recall(spark):
     v.unpersist()
     assert recalls[1] <= recalls[2] <= recalls[8], recalls
     assert recalls[8] == len(exact)  # probing every list == brute force
+
+
+def test_ivf_recall_monotone_in_n_probe(spark):
+    """Probing more posting lists can only add candidates, so recall is
+    monotonically non-decreasing in n_probe, and probing every list
+    recovers the brute-force answer exactly."""
+    from scrapy_spark.operators.ann import ivf_recall
+
+    v = _vecs(spark).cache()
+    pred = F.col("vec_id") < 20
+    r = {
+        np_: ivf_recall(v, pred, 3, n_clusters=8, iters=2, n_probe=np_)
+        .collect()[0]["recall"]
+        for np_ in (1, 2, 8)
+    }
+    v.unpersist()
+    assert r[1] <= r[2] <= r[8]
+    assert r[8] == 1.0  # probing all 8 lists == brute force
+
+
+def test_minhash_components_collapse_chain(spark):
+    """A band-bucket chain (1-2 share A, 2-3 share B, 3-4 share C) that no
+    single bucket covers: the single-pass cluster assignment leaves distinct
+    labels, the fixpoint component labels collapse to min(doc_id)."""
+    from scrapy_spark.operators.neardup import minhash_components
+
+    bands = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (2, "B"), (3, "B"), (3, "C"), (4, "C"), (9, "Z")],
+        "doc_id long, bv string",
+    )
+    # single pass (dedup_minhash_clusters shape): doc4 only sees bucket C
+    reps = bands.groupBy("bv").agg(F.min("doc_id").alias("rep"))
+    single = {
+        r["doc_id"]: r["canonical_id"]
+        for r in bands.join(reps, "bv")
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("canonical_id"))
+        .collect()
+    }
+    assert single[4] == 3 and single[1] == 1  # chain NOT collapsed
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in minhash_components(bands, iterations=4).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}  # fixpoint collapses it
+
+
+def test_minhash_components_fixpoint_reached_on_corpus(spark):
+    """On the synthetic corpus the bounded iteration count actually reaches
+    the fixpoint: one more iteration changes nothing."""
+    from scrapy_spark.entry_queries import _spark_shingles
+    from scrapy_spark.operators.neardup import minhash_components
+
+    sh = _spark_shingles(spark, SF_DIR)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    bands = sigs.select("doc_id", F.concat("h1", "h2").alias("bv")).unionByName(
+        sigs.select("doc_id", F.concat("h3", "h4").alias("bv"))
+    ).localCheckpoint(eager=True)
+    a = sorted(map(tuple, minhash_components(bands, iterations=4).collect()))
+    b = sorted(map(tuple, minhash_components(bands, iterations=5).collect()))
+    assert a == b

@@ -50,6 +50,18 @@ def test_hidden_pages_reached_via_mining(oracle, spark_run):
     assert mined_types & {"ajax_endpoint", "json_blob"}
 
 
+def test_pdf_documents_fetched_and_links_recurse(oracle, spark_run):
+    """.pdf html links are reclassified to pdf_link and fetched; links
+    embedded in the fetched PDFs (/URI annotations) recurse as pdf_embedded
+    candidates — both engines (row equality is enforced by the ordering/row
+    parity tests; this asserts the paths are actually exercised)."""
+    types = {r["source_type"] for r in oracle.scheduled}
+    assert "pdf_link" in types
+    assert "pdf_embedded" in types
+    spark_types = {r["source_type"] for r in spark_run["results"]}
+    assert "pdf_link" in spark_types and "pdf_embedded" in spark_types
+
+
 def test_crawl_ordering_parity(oracle, spark_run):
     """Per-(generation, host) scheduled order must match the oracle exactly."""
     ours = {
@@ -91,18 +103,22 @@ def test_caption_and_bytes_parity(oracle, spark_run):
         (r["url"], r["attempt"], r["generation"]): (r["bytes"], r["caption"])
         for r in spark_run["results"]
     }
-    n_images = 0
+    n_images = n_pdfs = 0
     for o in oracle.scheduled:
         b, cap = ours[(o["url"], o["attempt"], o["generation"])]
         assert cap == o["caption"], o["url"]
         if o["bytes"] is None:
             assert b is None
         else:
-            n_images += 1
             assert bytes(b) == o["bytes"]  # byte-identical (lossless)
-            p = psnr(decode_png(bytes(b)), decode_png(o["bytes"]))
-            assert p == float("inf") and p >= 40.0
+            if o["content_type"] == "image/png":
+                n_images += 1
+                p = psnr(decode_png(bytes(b)), decode_png(o["bytes"]))
+                assert p == float("inf") and p >= 40.0
+            elif o["content_type"] == "application/pdf":
+                n_pdfs += 1
     assert n_images > 10
+    assert n_pdfs > 3  # pdf_link candidates fetched + byte-exact
 
 
 def test_lineage_counts(oracle, spark_run):

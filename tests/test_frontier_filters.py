@@ -19,10 +19,11 @@ from scrapy_spark.operators.frontier import (
 from scrapy_spark.plans.oracle import _candidate
 
 EDGE_URLS = [
-    "https://x.uconn.edu/a.pdf?x=1",  # denied: .pdf path despite query
+    "https://x.uconn.edu/a.pdf?x=1",  # kept as pdf_link (round 3: PDFs fetchable)
     "https://x.uconn.edu/page?file=.pdf",  # kept: .pdf only in query
-    "https://x.uconn.edu/docs/manual.PDF",  # denied: case-insensitive
+    "https://x.uconn.edu/docs/manual.PDF",  # kept as pdf_link (case-insensitive)
     "https://x.uconn.edu/a.pdf/inner",  # kept: .pdf not final segment
+    "https://x.uconn.edu/a.zip?x=1",  # denied: .zip path despite query
     "https://x.uconn.edu/ok.html",  # kept
     "https://elsewhere.org/ok.html",  # dropped: domain
     "https://x.uconn.edu/pic.png",  # kept for img_tag (exempt source)
@@ -62,9 +63,28 @@ def test_query_string_pdf_is_kept(spark):
     assert kept == {"https://x.uconn.edu/page?file=.pdf"}
 
 
-def test_path_pdf_with_query_is_denied(spark):
-    kept = _spark_decisions(spark, ["https://x.uconn.edu/a.pdf?x=1"], "html_link")
-    assert kept == set()
+def test_path_pdf_reclassified_not_denied(spark):
+    """Round 3: .pdf html links become pdf_link candidates (fetchable
+    document payload, content_handlers.py:20) instead of being denied; the
+    PATH-only deny semantics still hold for the other extensions."""
+    pdf = pd.DataFrame(
+        {
+            "raw_url": ["https://x.uconn.edu/a.pdf?x=1",
+                        "https://x.uconn.edu/a.zip?x=1"],
+            "source_url": [None, None],
+            "source_type": ["html_link", "html_link"],
+            "anchor": [None, None],
+            "depth": [1, 1],
+            "attempt": [1, 1],
+        }
+    )
+    rows = canonicalize_candidates(spark.createDataFrame(pdf)).collect()
+    assert {(r["url"], r["source_type"]) for r in rows} == {
+        ("https://x.uconn.edu/a.pdf?x=1", "pdf_link")  # kept, reclassified
+    }  # .zip path still denied
+    c = _candidate("https://x.uconn.edu/a.pdf?x=1", None, "html_link", None, 1, "uconn.edu")
+    assert c is not None and c["source_type"] == "pdf_link"
+    assert _candidate("https://x.uconn.edu/a.zip?x=1", None, "html_link", None, 1, "uconn.edu") is None
 
 
 def test_sitemap_only_for_surviving_seeds(spark):

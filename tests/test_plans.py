@@ -59,8 +59,17 @@ def test_no_cartesian_products(spark, name):
 
 def test_ngram_cap_hot_list_broadcast(spark):
     """The posting-list cap's hot-shingle anti-join must broadcast the tiny
-    violator list, never shuffle the full shingle table for it."""
-    p = plan_of(spark, "dedup_ngram_jaccard")
+    violator list, never shuffle the full shingle table for it. Built with
+    materialize=False: the registered query localCheckpoints the capped
+    table (shingle derivation has 4 consumers), which hides the join from
+    the final plan string."""
+    from scrapy_spark.entry_queries import _spark_shingles
+    from scrapy_spark.operators.neardup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _spark_shingles(spark, SF), threshold=0.2, max_doc_freq=1000
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
