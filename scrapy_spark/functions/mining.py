@@ -22,6 +22,12 @@ regex over them (``regexp_extract_all`` — whole-stage-codegen'd, no UDF):
 - css     -> url(...) declarations -> ``css_inline_style`` (0.3)
 - meta_refresh -> the url= target of a refresh directive -> ``meta_refresh``
              (0.9)
+- form_action -> the action attribute IS the target (explicit endpoint)
+             -> ``ajax_endpoint`` (0.9, discovery_spider.py:438-440)
+- data_attr -> data-url/data-src/... attribute values: JSON payloads
+             (starting { or [) go through the key-hint mining, plain values
+             are the target verbatim -> ``ajax_endpoint``
+             (discovery_spider.py:364-382)
 
 Confidences land in functions/scoring.SOURCE_PRIORITY as the score base, the
 same way seed/sitemap/html_link priorities do.
@@ -65,13 +71,15 @@ JSON_KEYHINT = (
 CSS_URL = "url\\(['\"]?([^'\")]+)['\"]?\\)"
 META_REFRESH = "(?i)url\\s*=\\s*['\"]?([^'\";]+)"
 
-# kind -> (source_type, regex, group) — confidences live in scoring.py
+# kind -> source_type — confidences live in scoring.py
 KIND_SOURCE_TYPE = {
     "script": "ajax_endpoint",
     "json": "json_blob",
     "comment": "html_comment",
     "css": "css_inline_style",
     "meta_refresh": "meta_refresh",
+    "form_action": "ajax_endpoint",
+    "data_attr": "ajax_endpoint",
 }
 
 MINED_SOURCE_TYPES = tuple(sorted(set(KIND_SOURCE_TYPE.values())))
@@ -95,6 +103,19 @@ def mined_urls_col(kind: Column, text: Column) -> Column:
         .when(
             kind == "meta_refresh",
             F.when(meta != "", F.array(meta)).otherwise(empty),
+        )
+        .when(
+            kind == "form_action",
+            F.when(F.trim(text) != "", F.array(F.trim(text))).otherwise(empty),
+        )
+        .when(
+            kind == "data_attr",
+            F.when(
+                F.trim(text).rlike("^[\\[{]"),
+                F.regexp_extract_all(text, F.lit(JSON_KEYHINT), F.lit(2)),
+            ).otherwise(
+                F.when(F.trim(text) != "", F.array(F.trim(text))).otherwise(empty)
+            ),
         )
         .otherwise(empty)
     )
@@ -154,4 +175,12 @@ def py_mine_snippet(kind: str, text: str) -> list[str]:
     if kind == "meta_refresh":
         m = _META_REFRESH_PY.search(text)
         return [m.group(1)] if m and m.group(1) else []
+    if kind == "form_action":
+        t = text.strip()
+        return [t] if t else []
+    if kind == "data_attr":
+        t = text.strip()
+        if t[:1] in ("{", "["):
+            return [m.group(2) for m in _JSON_KEYHINT_PY.finditer(text)]
+        return [t] if t else []
     return []

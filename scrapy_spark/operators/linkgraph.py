@@ -263,18 +263,36 @@ def pagerank_exact(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).cache()
     t = 100 - damping_pct
+    n_dangling = dangling.count()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         ranks = ranks.localCheckpoint(eager=True)
-        contribs = (
-            e.join(_rank_side(ranks, n), e.src == ranks.node)
-            .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        dmass = ranks.join(dangling, "node", "left_semi").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
-        )
+        if it == 1:
+            # first iteration: every rank is exactly `scale`, so the
+            # rank-side join is algebraically a constant — contribs and
+            # dangling mass come straight off the cached edge table
+            # (identical values, one join and one broadcast subquery fewer)
+            contribs = (
+                e.select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"CAST({scale} AS BIGINT) div out_deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            dmass = ranks.sparkSession.range(1).select(
+                F.lit(int(scale) * n_dangling).cast("long").alias("_dmass")
+            )
+        else:
+            contribs = (
+                e.join(_rank_side(ranks, n), e.src == ranks.node)
+                .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            dmass = ranks.join(dangling, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
+            )
         ranks = (
             nodes.join(contribs, "node", "left")
             .fillna(0, ["contrib"])
@@ -342,13 +360,23 @@ def hits_exact(
 
     hubs = nodes.withColumn("hq", F.lit(scale).cast("long"))
     auth = None
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         hubs = hubs.localCheckpoint(eager=True)
-        araw = (
-            e.join(_rank_side(hubs.select(F.col("node").alias("src"), "hq"), n), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hq").alias("aq"))
-        )
+        if it == 1:
+            # uniform initial hubs: araw is exactly in_degree * scale —
+            # same values, no rank-side join on the first pass
+            araw = e.groupBy(F.col("dst").alias("node")).agg(
+                (F.count("*") * scale).cast("long").alias("aq")
+            )
+        else:
+            araw = (
+                e.join(
+                    _rank_side(hubs.select(F.col("node").alias("src"), "hq"), n),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hq").alias("aq"))
+            )
         # no eager checkpoint: hubs is checkpointed at loop start, so this
         # plan's depth is bounded; an eager materialization here would cost
         # an extra job per iteration

@@ -196,7 +196,7 @@ def page_snippets(cfg: SynthConfig, counts: list[int], hidx: int, j: int) -> lis
     mining path end-to-end. k==5 plants a negative fixture: a script with a
     quoted URL but no dynamic hint, which must NOT be mined."""
     k = _h(cfg.seed, "snip", hidx, j) % 10
-    if k > 5:
+    if k > 7:
         return []
     host = host_of(cfg, hidx)
     t = _h(cfg.seed, "sniptgt", hidx, j) % hidden_count(cfg, counts, hidx)
@@ -229,8 +229,16 @@ def page_snippets(cfg: SynthConfig, counts: list[int], hidx: int, j: int) -> lis
             "kind": "css",
             "text": f"background-image: url('{image_url(cfg, image_id_at(cfg, gidx))}')",
         }]
-    # k == 5: negative fixture — URL present, no dynamic hint, not mined
-    return [{"kind": "script", "text": f'var tmpl = "{rel2}"; // static template'}]
+    if k == 5:
+        # negative fixture — URL present, no dynamic hint, not mined
+        return [{"kind": "script", "text": f'var tmpl = "{rel2}"; // static template'}]
+    if k == 6:
+        # explicit form endpoint (discovery_spider.py:438-440)
+        return [{"kind": "form_action", "text": rel}]
+    # k == 7: data-* attribute — JSON payload on even pages, plain URL on odd
+    if j % 2 == 0:
+        return [{"kind": "data_attr", "text": f'{{"endpoint": "{hu}"}}'}]
+    return [{"kind": "data_attr", "text": rel2}]
 
 
 def page_image_refs(cfg: SynthConfig, hidx: int, j: int) -> list[dict]:

@@ -28,6 +28,12 @@ SNIPPETS = [
     ("css", "background-image: url('https://img0.uconn.edu/i/img000004.png')"),
     # protocol-relative in a hinted script
     ("script", 'axios.get("//b.uconn.edu/research/p5")'),
+    # form action: the value IS the endpoint
+    ("form_action", " /submit/search "),
+    # data attribute, plain value
+    ("data_attr", "/load/next"),
+    # data attribute, JSON payload -> key-hint mining
+    ("data_attr", '{"endpoint": "https://a.uconn.edu/api/items", "x": "y"}'),
     # unknown kind: nothing
     ("blob", 'x "https://a.uconn.edu/news/p7" y'),
 ]
@@ -43,6 +49,9 @@ EXPECTED = {
     ("https://a.uconn.edu/events/p4", "meta_refresh"),
     ("https://img0.uconn.edu/i/img000004.png", "css_inline_style"),
     ("https://b.uconn.edu/research/p5", "ajax_endpoint"),
+    ("https://a.uconn.edu/submit/search", "ajax_endpoint"),
+    ("https://a.uconn.edu/load/next", "ajax_endpoint"),
+    ("https://a.uconn.edu/api/items", "ajax_endpoint"),
 }
 
 
