@@ -1911,6 +1911,18 @@ def _minhash_components_sql(iterations: int = 4) -> str:
       SELECT doc_id, concat(h3, h4) AS bv FROM sigs)""",
         "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM bands)",
     ]
+    parts += _label_prop_parts(iterations)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\n    SELECT doc_id, label AS component_id FROM l{iterations}"
+    )
+
+
+def _label_prop_parts(iterations: int) -> list[str]:
+    """Unrolled min-label-propagation CTEs over a `bands(doc_id, bv)` CTE
+    (assumes l0 defined) — shared by the minhash and embedding component
+    oracles."""
+    parts = []
     for i in range(1, iterations + 1):
         parts.append(
             f"bm{i} AS MATERIALIZED (SELECT b.bv, min(l.label) AS bmin"
@@ -1920,10 +1932,7 @@ def _minhash_components_sql(iterations: int = 4) -> str:
             f"l{i} AS MATERIALIZED (SELECT b.doc_id, min(bm.bmin) AS label"
             f" FROM bands b JOIN bm{i} bm USING (bv) GROUP BY b.doc_id)"
         )
-    return (
-        "WITH " + ",\n".join(parts)
-        + f"\n    SELECT doc_id, label AS component_id FROM l{iterations}"
-    )
+    return parts
 
 
 @_q("dedup_minhash_components", _minhash_components_sql())
@@ -2245,4 +2254,61 @@ def pdf_meta(spark, sf_dir):
         run,
         schema="doc_id long, title string, page_count int, word_count long, "
         "n_links int",
+    )
+
+
+def _embed_clusters_sql(iterations: int = 4) -> str:
+    """Connected components over the embedding near-dup pair graph: every
+    pair is a 2-member bucket, then the same unrolled min-label propagation
+    as the minhash oracle; singletons keep their own id."""
+    parts = [
+        f"qv AS MATERIALIZED ({_QUANT_SQL})",
+        """pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.q, b.q)
+                     / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6)
+                 AS cosine
+        FROM qv a JOIN qv b ON a.vec_id < b.vec_id AND a.label = b.label
+      ) WHERE cosine >= 0.98)""",
+        """bands AS MATERIALIZED (
+      SELECT doc_a AS doc_id,
+             concat(CAST(doc_a AS VARCHAR), ':', CAST(doc_b AS VARCHAR)) AS bv
+      FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id,
+             concat(CAST(doc_a AS VARCHAR), ':', CAST(doc_b AS VARCHAR)) AS bv
+      FROM pairs)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM bands)",
+    ]
+    parts += _label_prop_parts(iterations)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT v.vec_id, CAST(coalesce(l.label, v.vec_id) AS BIGINT) AS component_id
+    FROM qv v LEFT JOIN l{iterations} l ON v.vec_id = l.doc_id"""
+    )
+
+
+@_q("embed_neardup_clusters", _embed_clusters_sql())
+def embed_neardup_clusters(spark, sf_dir):
+    """Embedding near-dup CONNECTED COMPONENTS: the label-blocked cosine
+    pair graph collapsed with the SAME generic min-label-propagation
+    operator as the minhash components (each pair is a 2-member bucket) —
+    showing the component operator composes over any edge source. Dense
+    output: vectors in no pair are singleton components of themselves."""
+    from scrapy_spark.operators.neardup import minhash_components
+
+    pairs = embed_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bv = F.concat(
+        F.col("doc_a").cast("string"), F.lit(":"), F.col("doc_b").cast("string")
+    )
+    bands = pairs.select(F.col("doc_a").alias("doc_id"), bv.alias("bv")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), bv.alias("bv"))
+    )
+    comp = minhash_components(bands, iterations=4)
+    v = _spark_quantized(spark, sf_dir).select("vec_id")
+    return v.join(comp, v.vec_id == comp.doc_id, "left").select(
+        "vec_id",
+        F.coalesce(F.col("component_id"), F.col("vec_id")).alias("component_id"),
     )

@@ -344,6 +344,14 @@ def hits_exact(
     e = edges.cache()
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # LAZY checkpoint: the norm's broadcast subquery and the main path
+        # both consume `raw`; without it the join+agg upstream executes
+        # twice per normalize (ReuseExchange does not fire across the
+        # broadcast boundary) — measured 18-24s -> 13s at sf0.1. Lazy adds
+        # no extra job (the broadcast materializes it), and the FIXED
+        # 5-iteration count stays far below the unbounded-loop pathologies
+        # documented on :func:`hits`.
+        raw = raw.localCheckpoint(eager=False)
         nrm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col)).cast("double")).alias("_nrm")
         ).select(
