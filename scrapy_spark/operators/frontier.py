@@ -153,6 +153,15 @@ def _section_col(path: Column) -> Column:
 
 
 def _pattern_col(path: Column) -> Column:
+    """URL-pattern templating for the feedback filter (feedback.py:143-179).
+
+    Deliberate divergence from the reference chain (/\\d+ -> /{num}, then
+    /{uuid}, then 8+-alnum segments -> /{id}): digits are templated ANYWHERE
+    (so '/academics/p5' -> '/academics/p{num}' accumulates per-pattern
+    samples), and the /{id} rule is omitted because it would also swallow
+    plain section names ('/academics' -> '/{id}'), merging unrelated
+    sections into one pattern. The oracle twin (plans/oracle._pattern)
+    applies the identical rule."""
     return F.regexp_replace(path, "[0-9]+", "{num}")
 
 

@@ -21,6 +21,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # JIT code cache: the JVM default (240 MB) fills after a few dozen
+    # whole-stage-codegen'd queries in one session; once full the compiler
+    # stops and hot paths run interpreted (measured: 2-4x slowdown of a
+    # crawl run AFTER a long query session, slowly recovering as code is
+    # re-JITed). Only effective if the gateway JVM isn't up yet — for
+    # spark-submit runs pass --driver-java-options instead.
+    if "-XX:ReservedCodeCacheSize" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            os.environ.get("SPARK_SUBMIT_OPTS", "")
+            + " -XX:ReservedCodeCacheSize=1g"
+        ).strip()
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
