@@ -712,11 +712,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
              min(md5(concat('p3:', shingle))) AS h3,
              min(md5(concat('p4:', shingle))) AS h4
       FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 1 AS band_idx, concat(h1, h2) AS bv FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band_idx, concat(h3, h4) AS bv FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-     AND (concat(a.h1, a.h2) = concat(b.h1, b.h2)
-          OR concat(a.h3, a.h4) = concat(b.h3, b.h4))
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -724,8 +728,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     of keyed md5 — engine-portable), 2 bands of 2 rows; pairs agreeing on any
     band are candidates (shingle→minhash→band→bucket-join).
 
-    Scale path: band buckets become the shuffle key (groupBy band value),
-    so candidate generation is linear in corpus size, never all-pairs."""
+    Scale shape: signatures are UNPIVOTED to (doc_id, band_idx, bv) rows and
+    the candidate join is a self-EQUI-join on (band_idx, bv) — one hash
+    shuffle keyed by the band value, linear in corpus size. The previous
+    OR-of-bands join condition had no equi key and executed as a
+    BroadcastNestedLoopJoin (all-pairs at scale) — asserted against by
+    tests/test_plans.py's no-BNLJ sweep. Within-bucket pair enumeration is
+    quadratic per bucket by construction (that is what "candidate pairs"
+    means); dedup_minhash_clusters/_components are the linear cluster-
+    assignment shapes for the full-corpus dedup path."""
     sh = _spark_shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -733,17 +744,25 @@ def dedup_minhash_lsh(spark, sf_dir):
             for i in (1, 2, 3, 4)
         ]
     )
-    s = sigs.select(
-        "doc_id",
-        F.concat("h1", "h2").alias("band1"),
-        F.concat("h3", "h4").alias("band2"),
+    bands = sigs.select(
+        "doc_id", F.lit(1).alias("band_idx"), F.concat("h1", "h2").alias("bv")
+    ).unionByName(
+        sigs.select(
+            "doc_id", F.lit(2).alias("band_idx"), F.concat("h3", "h4").alias("bv")
+        )
     )
-    a, b = s.alias("a"), s.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
-        (F.col("a.band1") == F.col("b.band1")) | (F.col("a.band2") == F.col("b.band2"))
-    )
+    # both self-join sides consume bands; without materialization each side
+    # re-derives the shingle explode + minhash agg (dominant cost). On a
+    # cluster, substitute a staged parquet.
+    bands = bands.localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, cond)
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -176,10 +176,12 @@ def py_mine_snippet(kind: str, text: str) -> list[str]:
         m = _META_REFRESH_PY.search(text)
         return [m.group(1)] if m and m.group(1) else []
     if kind == "form_action":
-        t = text.strip()
+        # strip(' ') not strip(): the Spark twin is F.trim, which removes
+        # ASCII spaces only — '\t/x\n' must mine identically in both engines
+        t = text.strip(" ")
         return [t] if t else []
     if kind == "data_attr":
-        t = text.strip()
+        t = text.strip(" ")
         if t[:1] in ("{", "["):
             return [m.group(2) for m in _JSON_KEYHINT_PY.finditer(text)]
         return [t] if t else []

@@ -14,27 +14,11 @@ anchor → downstream caption.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
 
 from ..functions import mining
 from ..sources.synth import N_IMG_HOSTS
-
-
-# return type passed as a DataType object (not a DDL string): string DDL is
-# parsed against the active session, which doesn't exist at import time
-@pandas_udf(ArrayType(StringType()))
-def pdf_link_uris_udf(data: pd.Series) -> pd.Series:
-    """Embedded /URI link annotations of a PDF bytes column (Arrow-batched;
-    functions/pdffn regex scan — content_handlers.py:20-160 semantics)."""
-    from ..functions import pdffn
-
-    return data.map(
-        lambda b: pdffn.pdf_link_uris(bytes(b)) if pdffn.is_pdf(b) else []
-    )
 
 
 def mined_candidates(pages: DataFrame) -> DataFrame:

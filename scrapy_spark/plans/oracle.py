@@ -472,7 +472,8 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                         next_cands.append(nc)
             elif sc == 200 and ct == "application/pdf" and r["bytes"]:
                 # embedded /URI annotations recurse as candidates — twin of
-                # extract.pdf_link_uris_udf (content_handlers.py semantics)
+                # the fetch UDF's pdf_uris extraction (fetch.fetch_frontier;
+                # content_handlers.py semantics)
                 from ..functions import pdffn
 
                 if pdffn.is_pdf(r["bytes"]):

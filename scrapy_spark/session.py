@@ -27,7 +27,16 @@ def get_spark(
     # crawl run AFTER a long query session, slowly recovering as code is
     # re-JITed). Only effective if the gateway JVM isn't up yet — for
     # spark-submit runs pass --driver-java-options instead.
-    if "-XX:ReservedCodeCacheSize" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+    gateway_up = SparkSession.getActiveSession() is not None or (
+        getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
+    user_set = any(
+        "-XX:ReservedCodeCacheSize" in os.environ.get(var, "")
+        for var in ("SPARK_SUBMIT_OPTS", "JAVA_TOOL_OPTIONS", "_JAVA_OPTIONS")
+    )
+    # mutate the env only while it can still matter (gateway JVM not yet
+    # launched) and never override a user-chosen code-cache size
+    if not gateway_up and not user_set:
         os.environ["SPARK_SUBMIT_OPTS"] = (
             os.environ.get("SPARK_SUBMIT_OPTS", "")
             + " -XX:ReservedCodeCacheSize=1g"

@@ -67,7 +67,7 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         conc, total, failures, consec = AIMD_START, 0, 0, 0
     # consecutive-failure tracking needs a deterministic event order: batch
     # arrival order is partition/shuffle-dependent, so sort by event
-    # time/sequence before scanning (first matching column wins)
+    # time/sequence before scanning
     parts = list(pdfs)
     if not parts:
         return

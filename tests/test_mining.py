@@ -123,3 +123,35 @@ def test_synth_snippets_round_trip(spark):
 def test_negative_fixture_not_mined():
     """k==5 synth snippet (no dynamic hint) yields nothing."""
     assert mining.py_mine_snippet("script", 'var tmpl = "/news/p2"; // static template') == []
+
+
+def test_whitespace_trim_twins_agree(spark):
+    """F.trim strips ASCII spaces only; the Python twin must match exactly —
+    a '\\t/submit\\n' form action mines the SAME url in both engines
+    (ADVICE r3: str.strip() stripped \\t/\\n and diverged)."""
+    cases = [
+        ("form_action", "\t/submit\n"),
+        ("form_action", "  /submit  "),
+        ("data_attr", "\t/api/x\n"),
+        ("data_attr", " {\"endpoint\": \"/api/y\"} "),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [SOURCE] * len(cases),
+                "depth": [1] * len(cases),
+                "raw_snippets": [[{"kind": k, "text": t}] for k, t in cases],
+            }
+        ),
+        schema="url string, depth int, "
+        "raw_snippets array<struct<kind:string,text:string>>",
+    )
+    got = {(r["raw_url"], r["source_type"]) for r in mined_candidates(df).collect()}
+    expected = set()
+    for kind, text in cases:
+        st = mining.KIND_SOURCE_TYPE[kind]
+        for u in mining.py_mine_snippet(kind, text):
+            expected.add((mining.py_resolve_mined(u, SOURCE), st))
+    assert got == expected
+    # both engines must KEEP the tab/newline (space-only trim semantics)
+    assert ("\t/submit\n", "ajax_endpoint") in expected

@@ -50,11 +50,50 @@ def test_keyword_explode_prunes_to_text(spark):
     assert "text" in read and "lang" not in read and "source" not in read
 
 
-@pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "embed_neardup_pairs", "w1_frontier_rank_topk"]
-)
-def test_no_cartesian_products(spark, name):
-    assert "CartesianProduct" not in plan_of(spark, name)
+# Queries where a BroadcastNestedLoopJoin is INTENTIONAL and provably
+# bounded — the build side is O(1) or O(K) rows by construction, so the
+# "nested loop" is a constant-size probe, not an all-pairs join:
+#   ann_cosine_topk / ann_lsh_recall / ann_ivf_recall — the brute-force
+#     cosine baseline (query set × corpus) is the documented reference
+#     answer the approximate methods are scored against;
+#   ann_ivf_topk — broadcast of the K-centroid table (K fixed, tiny);
+#   pagerank_copurchase / hits_copurchase / w7_top_by_rank — per-iteration
+#     1-row broadcast scalar subqueries (dangling mass / L2 norm).
+BNLJ_ALLOWLIST = {
+    "ann_cosine_topk",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "pagerank_copurchase",
+    "hits_copurchase",
+    "w7_top_by_rank",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_all_pairs_joins(spark, name):
+    """EVERY registered query must be free of the two all-pairs physical
+    join operators. CartesianProduct is never acceptable;
+    BroadcastNestedLoopJoin only with a bounded build side (allowlist above).
+    This sweep exists because the old dedup_minhash_lsh OR-of-bands join
+    executed as a BNLJ while a CartesianProduct-only assertion stayed
+    green (round-3 verdict finding #1/#2)."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, name
+    if name not in BNLJ_ALLOWLIST:
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_minhash_lsh_band_join_is_equi(spark):
+    """The LSH candidate join must hash-partition on the band value: a
+    shuffle-hash or sort-merge or broadcast-HASH join keyed by (band_idx,
+    bv), never a nested-loop over signatures."""
+    p = plan_of(spark, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "bv" in p
 
 
 def test_ngram_cap_hot_list_broadcast(spark):

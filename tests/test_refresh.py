@@ -17,7 +17,9 @@ def _py_priority(row) -> int:
         p += 100
     if (not row["is_valid"]) or row["error_type"] is not None:
         p += 50
-    if row["age_hours"] > INTERVAL:
+    if row["age_hours"] is None:
+        p += 10  # unknown age: reference's except-branch "maybe refresh"
+    elif row["age_hours"] > INTERVAL:
         p += max(0, min(25, int(row["age_hours"] // 24)))
     if row["is_valid"] and row["status_code"] == 200:
         p -= 10
@@ -49,10 +51,18 @@ def _rows():
 
 
 def test_priority_matches_reference_formula(spark):
-    data = _rows()
-    df = spark.createDataFrame(pd.DataFrame(data)).withColumn(
-        "priority", refresh_priority(PRIO, INTERVAL)
-    )
+    # explicit schema (not pd.DataFrame) so the None age reaches Spark as
+    # NULL, not NaN — the +10 unknown-age branch tests isNull
+    data = _rows() + [
+        dict(url="https://other.org/null_age", host="other.org", is_valid=True,
+             error_type=None, status_code=200, age_hours=None),
+    ]
+    df = spark.createDataFrame(
+        [(r["url"], r["host"], r["is_valid"], r["error_type"],
+          r["status_code"], r["age_hours"]) for r in data],
+        "url string, host string, is_valid boolean, error_type string, "
+        "status_code int, age_hours double",
+    ).withColumn("priority", refresh_priority(PRIO, INTERVAL))
     got = {r["url"]: r["priority"] for r in df.collect()}
     for row in data:
         assert got[row["url"]] == _py_priority(row), row["url"]
