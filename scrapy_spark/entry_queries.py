@@ -938,49 +938,48 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
 
 
+_SUB_BITS = 8
+
+
+def _sign_bucket_sql(n_bits: int = _SUB_BITS) -> str:
+    """DuckDB twin of operators/ann.lsh_sign_buckets over the quantized q
+    list (1-based indexing; sign of dim i sets bit n_bits-1-i)."""
+    return " + ".join(
+        f"(CASE WHEN q[{i + 1}] > 0 THEN {1 << (n_bits - 1 - i)} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+_EMBED_PAIRS_SQL = f"""
+      SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.q, b.q)
+                     / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6)
+                 AS cosine
+        FROM qb a JOIN qb b
+          ON a.vec_id < b.vec_id AND a.label = b.label AND a.bucket = b.bucket
+      ) WHERE cosine >= 0.98
+"""
+
+
 @_q(
     "embed_neardup_pairs",
     f"""
-    WITH q AS ({_QUANT_SQL})
-    SELECT doc_a, doc_b, cosine FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(list_dot_product(a.q, b.q)
-                   / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
-                      * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6) AS cosine
-      FROM q a JOIN q b ON a.vec_id < b.vec_id AND a.label = b.label
-    ) WHERE cosine >= 0.98
+    WITH qv AS ({_QUANT_SQL}),
+    qb AS (SELECT vec_id, label, q, {_sign_bucket_sql()} AS bucket FROM qv)
+    {_EMBED_PAIRS_SQL}
     """,
 )
 def embed_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
-    bucketing: compare only within a coarse partition, never all-pairs)."""
-    q = _spark_quantized(spark, sf_dir)
-    a, b = q.alias("a"), q.alias("b")
-    dot = lambda l, r: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(l), F.col(r), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(
-        dot("a.q", "b.q")
-        / (
-            F.sqrt(dot("a.q", "a.q").cast("double"))
-            * F.sqrt(dot("b.q", "b.q").cast("double"))
-        ),
-        6,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.label") == F.col("b.label")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.98)
+    """Embedding-cosine near-dup pairs, blocked by (label, sign-LSH
+    sub-bucket): the coarse label is the IVF-style partition, and 8 sign
+    bits inside each label bound the hot-label K^2 hazard
+    (operators/neardup.embedding_neardup_pairs)."""
+    from scrapy_spark.operators.neardup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _spark_quantized(spark, sf_dir), threshold=0.98, sub_bits=_SUB_BITS
     )
 
 
@@ -2115,21 +2114,29 @@ def heuristic_url_mining(spark, sf_dir):
         SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) AS rk
         FROM vocab) WHERE rk <= 20
     )
-    SELECT k.keyword, v.word AS synonym
-    FROM kw k JOIN vocab v
-      ON substring(v.word, 1, 1) = substring(k.keyword, 1, 1)
-     AND v.word <> k.keyword
+    SELECT keyword, synonym FROM (
+      SELECT k.keyword, v.word AS synonym,
+             row_number() OVER (PARTITION BY k.keyword
+                                ORDER BY v.n DESC, v.word ASC) AS rk
+      FROM kw k JOIN vocab v
+        ON substring(v.word, 1, 1) = substring(k.keyword, 1, 1)
+       AND v.word <> k.keyword
+    ) WHERE rk <= 10
     """,
 )
 def keyword_expansion(spark, sf_dir):
     """Keyword expansion (keyword_expansion.py:22-46): each top keyword
-    expands to related vocabulary terms via a broadcast join against the
-    corpus vocabulary. The reference's synonym relation is WordNet (nltk —
-    not in this container); the deterministic stand-in relation is
-    shared-first-letter (chosen so the tiny synthetic vocabulary actually
-    produces expansions), and the RELATION is the pluggable part — the Spark
-    shape (tiny keyword side broadcast, vocabulary-side scan, pure string
-    predicate) is the operator."""
+    expands to its top-10 related vocabulary terms via a broadcast join
+    against the corpus vocabulary. The reference's synonym relation is
+    WordNet (nltk — not in this container); the deterministic stand-in
+    relation is shared-first-letter, and the RELATION is the pluggable part —
+    the Spark shape (tiny keyword side broadcast, vocabulary-side scan,
+    per-keyword bounded top-k) is the operator. The output is CAPPED at 10
+    synonyms per keyword by (frequency desc, word asc): the raw letter-group
+    relation is quadratic per group over an unbounded vocabulary (round-3
+    verdict finding #5); WordNet synsets are naturally bounded, so the cap
+    models the real relation's cardinality. The row_number window partitions
+    by keyword (20 bounded partitions), never a global sort."""
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2140,12 +2147,15 @@ def keyword_expansion(spark, sf_dir):
     kw = topk_total_order(
         vocab, [F.col("n").desc(), F.col("word").asc()], 20
     ).select(F.col("word").alias("keyword"))
+    cand = vocab.join(
+        F.broadcast(kw),
+        (F.substring("word", 1, 1) == F.substring("keyword", 1, 1))
+        & (F.col("word") != F.col("keyword")),
+    )
+    w = Window.partitionBy("keyword").orderBy(F.col("n").desc(), F.col("word").asc())
     return (
-        vocab.join(
-            F.broadcast(kw),
-            (F.substring("word", 1, 1) == F.substring("keyword", 1, 1))
-            & (F.col("word") != F.col("keyword")),
-        )
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
         .select("keyword", F.col("word").alias("synonym"))
     )
 
@@ -2282,15 +2292,10 @@ def _embed_clusters_sql(iterations: int = 4) -> str:
     as the minhash oracle; singletons keep their own id."""
     parts = [
         f"qv AS MATERIALIZED ({_QUANT_SQL})",
-        """pairs AS MATERIALIZED (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               round(list_dot_product(a.q, b.q)
-                     / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
-                        * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6)
-                 AS cosine
-        FROM qv a JOIN qv b ON a.vec_id < b.vec_id AND a.label = b.label
-      ) WHERE cosine >= 0.98)""",
+        f"qb AS MATERIALIZED (SELECT vec_id, label, q, "
+        f"{_sign_bucket_sql()} AS bucket FROM qv)",
+        f"""pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_EMBED_PAIRS_SQL}))""",
         """bands AS MATERIALIZED (
       SELECT doc_a AS doc_id,
              concat(CAST(doc_a AS VARCHAR), ':', CAST(doc_b AS VARCHAR)) AS bv
@@ -2330,4 +2335,94 @@ def embed_neardup_clusters(spark, sf_dir):
     return v.join(comp, v.vec_id == comp.doc_id, "left").select(
         "vec_id",
         F.coalesce(F.col("component_id"), F.col("vec_id")).alias("component_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content classification + analysis + domain analytics (round-4 additions:
+# content_classification.py, content_analysis.py, analytics_engine.py)
+# ---------------------------------------------------------------------------
+
+# deterministic fetch-row analog over `documents`: status / mime / length
+# derived purely from (doc_id, n_chars) so both engines build identical rows
+_MIMES_FIXTURE = [
+    "text/html",
+    "application/json",
+    "application/pdf",
+    "image/png",
+    "video/mp4",
+    "audio/mpeg",
+    "application/zip",
+    "text/css",
+    "text/csv",
+    "text/html; charset=utf-8",
+    "application/x-custom",
+    "binarystream",
+]
+
+
+def _classification_sql() -> str:
+    from scrapy_spark.functions import classify
+
+    mimes = ", ".join(f"'{m}'" for m in _MIMES_FIXTURE)
+    status = "st"
+    ct = "ct"
+    clen = "clen"
+    return f"""
+    WITH rows AS (
+      SELECT doc_id,
+             CASE doc_id % 20 WHEN 0 THEN 404 WHEN 1 THEN 301
+                              WHEN 2 THEN 503 ELSE 200 END AS st,
+             ([{mimes}])[CAST(doc_id % 12 AS INTEGER) + 1] AS ct,
+             n_chars * (doc_id % 41) AS clen
+      FROM documents
+    )
+    SELECT doc_id,
+           {classify.sql_category(status, ct)} AS category,
+           {classify.sql_quality(status, ct, clen)} AS quality,
+           {classify.sql_mime_family(status, ct)} AS mime_family,
+           {classify.sql_is_enrichable(status, ct, clen)} AS is_enrichable,
+           {classify.sql_confidence_pct(status, ct)} AS confidence_pct,
+           {classify.sql_size_class(clen)} AS size_class
+    FROM rows
+    """
+
+
+@_q("content_classification", _classification_sql())
+def content_classification(spark, sf_dir):
+    """Rule-based content classification (content_classification.py:126-415)
+    — the reference's stage-2→3 admission filter: category from the
+    normalized mime type, quality tier from category+size, is_enrichable
+    gate, confidence, size class. Pure `when`-chain column logic (zero UDFs,
+    whole-stage codegen); the DuckDB twin's CASE chain is GENERATED from the
+    same mime table (functions/classify.py) so the engines cannot drift.
+    The same columns gate the live crawl's enrichment set (plans/crawl.py);
+    here they run over a deterministic fetch-row analog of `documents`."""
+    from scrapy_spark.functions import classify
+
+    d = load(spark, sf_dir, "documents")
+    st = (
+        F.when(F.col("doc_id") % 20 == 0, 404)
+        .when(F.col("doc_id") % 20 == 1, 301)
+        .when(F.col("doc_id") % 20 == 2, 503)
+        .otherwise(200)
+    )
+    mime_arr = F.array(*[F.lit(m) for m in _MIMES_FIXTURE])
+    ct = F.element_at(mime_arr, (F.col("doc_id") % 12).cast("int") + 1)
+    clen = F.col("n_chars") * (F.col("doc_id") % 41)
+    r = d.select(
+        "doc_id",
+        st.alias("st"),
+        ct.alias("ct"),
+        clen.alias("clen"),
+    )
+    s, c, n = F.col("st"), F.col("ct"), F.col("clen")
+    return r.select(
+        "doc_id",
+        classify.category_col(s, c).alias("category"),
+        classify.quality_col(s, c, n).alias("quality"),
+        classify.mime_family_col(s, c).alias("mime_family"),
+        classify.is_enrichable_col(s, c, n).alias("is_enrichable"),
+        classify.confidence_pct_col(s, c).alias("confidence_pct"),
+        classify.size_class_col(n).alias("size_class"),
     )

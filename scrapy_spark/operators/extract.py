@@ -54,9 +54,22 @@ def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> Dat
 
     Four 1→N branches, all pure explode: html links, html image refs,
     sitemap <loc> entries (S3) from application/xml responses, and heuristic
-    snippet mining (gated by ``heuristic_mining``)."""
+    snippet mining (gated by ``heuristic_mining``).
+
+    When the input carries the stage-2→3 classification columns
+    (plans/crawl.py → functions/classify.py), only ``is_enrichable`` rows
+    are admitted to extraction — the reference's enrichment admission
+    filter (content_classification.py:280-318). Inputs without the column
+    (unit-test fixtures) behave as before."""
+    admit = (
+        F.col("is_enrichable")
+        if "is_enrichable" in fetched.columns
+        else F.lit(True)
+    )
     pages = fetched.filter(
-        (F.col("status_code") == 200) & (F.col("content_type") == "text/html")
+        (F.col("status_code") == 200)
+        & (F.col("content_type") == "text/html")
+        & admit
     )
     links = pages.select(
         F.explode("body_links").alias("raw_url"),
@@ -67,7 +80,9 @@ def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> Dat
         F.lit(1).alias("attempt"),
     )
     sitemap_links = fetched.filter(
-        (F.col("status_code") == 200) & (F.col("content_type") == "application/xml")
+        (F.col("status_code") == 200)
+        & (F.col("content_type") == "application/xml")
+        & admit
     ).select(
         F.explode("body_links").alias("raw_url"),
         F.col("url").alias("source_url"),
@@ -107,6 +122,7 @@ def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> Dat
         fetched.filter(
             (F.col("status_code") == 200)
             & (F.col("content_type") == "application/pdf")
+            & admit
         )
         .select(
             F.explode("pdf_uris").alias("raw_url"),

@@ -76,6 +76,51 @@ def minhash_components(
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
+def embedding_neardup_pairs(
+    vecs: DataFrame, threshold: float = 0.98, sub_bits: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs over (vec_id, label, q:array<long>)
+    rows, blocked by (label, sign-LSH sub-bucket).
+
+    The coarse label alone is NOT a safe block: pair enumeration is quadratic
+    *within* a block, so one hot label at 100 TB contributes K^2 pairs
+    (round-3 verdict finding #4). Composing ``sub_bits`` sign bits of the
+    vector inside the label (operators/ann.lsh_sign_buckets) splits every
+    label into up to 2^sub_bits sub-blocks, and the join key becomes
+    (label, bucket) — still one hash shuffle, with per-block size divided
+    by the bucket fan-out. Near-identical vectors (cosine >= 0.98) agree on
+    almost all coordinate signs, so the recall cost is the standard sign-LSH
+    trade; the DuckDB oracle applies the identical bucket expression, so the
+    contract is exact in both engines. ``sub_bits`` scales with the corpus
+    like ann.py's n_bits."""
+    from .ann import _dot, lsh_sign_buckets
+
+    b = lsh_sign_buckets(vecs, sub_bits)
+    a, c = b.alias("a"), b.alias("b")
+    cos = F.round(
+        _dot("a.q", "b.q")
+        / (
+            F.sqrt(_dot("a.q", "a.q").cast("double"))
+            * F.sqrt(_dot("b.q", "b.q").cast("double"))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.2,

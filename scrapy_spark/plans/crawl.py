@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import classify as classify_fns
 from ..functions import errors as errors_mod
 from ..operators import dedup as dedup_ops
 from ..operators import pagination as pagination_ops
@@ -66,6 +67,10 @@ RESULT_COLS = [
     "title",
     "bytes",
     "caption",
+    # stage-2→3 classification columns (functions/classify.py)
+    "content_category",
+    "content_quality",
+    "is_enrichable",
     # structured page content kept alongside (the reference's response-cache
     # role, S8) — downstream reads are column-pruned, so these arrays cost
     # nothing unless extraction asks for them, and `bytes` never re-enters
@@ -342,6 +347,29 @@ class CrawlJob:
             F.when(F.col("bytes").isNotNull(), F.col("anchor")).otherwise(
                 F.lit(None).cast("string")
             ),
+        )
+        # content classification (stage-2→3 admission filter,
+        # content_classification.py:126-415): category/quality/is_enrichable
+        # as pure when-chains (functions/classify.py); content_length is the
+        # binary payload size, or a deterministic body-size proxy for
+        # structured pages (mirrored exactly in plans/oracle.py). Downstream
+        # extraction admits only enrichable rows.
+        _st = F.col("status_code")
+        _ct = F.coalesce(F.col("content_type"), F.lit(""))
+        _clen = F.coalesce(
+            F.octet_length("bytes"),
+            F.lit(500)
+            + F.lit(120) * F.coalesce(F.size("body_links"), F.lit(0))
+            + F.lit(80) * F.coalesce(F.size("image_refs"), F.lit(0)),
+        )
+        results = (
+            results.withColumn(
+                "content_category", classify_fns.category_col(_st, _ct)
+            )
+            .withColumn("content_quality", classify_fns.quality_col(_st, _ct, _clen))
+            .withColumn(
+                "is_enrichable", classify_fns.is_enrichable_col(_st, _ct, _clen)
+            )
         )
         staged: dict[str, list[str]] = {}
         staged["fetch_results"] = self.catalog.stage(

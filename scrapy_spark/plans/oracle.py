@@ -26,6 +26,7 @@ from __future__ import annotations
 import re as _re_mod
 from dataclasses import dataclass, field
 
+from ..functions import classify as classify_fns
 from ..functions import mining
 from ..functions.errors import classify_error, is_retryable
 from ..functions.hashing import spark_xxhash64_str
@@ -424,6 +425,20 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "bytes": r["bytes"],
                 "caption": c["anchor"] if r["bytes"] is not None else None,
             }
+            # content classification (stage-2→3 admission, functions/classify
+            # twin): content_length is the bytes size for binary payloads and
+            # a deterministic body-size proxy for structured pages
+            clen = (
+                len(r["bytes"])
+                if r["bytes"] is not None
+                else 500
+                + 120 * len(r.get("body_links") or [])
+                + 80 * len(r.get("image_refs") or [])
+            )
+            cat, qual, enrichable = classify_fns.py_classify(sc, ct or "", clen)
+            row["content_category"] = cat
+            row["content_quality"] = qual
+            row["is_enrichable"] = enrichable
             res.scheduled.append(row)
             gen_rows.append(row)
             if transient:
@@ -436,8 +451,12 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                     res.seen[c["url"]] = gen
                 if row["age_days"] is not None:
                     last_fetch[c["url"]] = (gen, row["age_days"])
-            # extraction (valid 200 html pages recurse; xml sitemaps expand)
-            if sc == 200 and ct == "text/html":
+            # extraction (valid 200 html pages recurse; xml sitemaps expand),
+            # admitted by the classification gate (stage-2→3; the reference
+            # skips enrichment for non-enrichable rows)
+            if not enrichable:
+                pass
+            elif sc == 200 and ct == "text/html":
                 for link in r["body_links"]:
                     nc = _candidate(link, c["url"], "html_link", None, c["depth"] + 1, params.domain)
                     if nc is not None:

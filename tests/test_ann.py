@@ -211,3 +211,31 @@ def test_minhash_components_fixpoint_reached_on_corpus(spark):
     a = sorted(map(tuple, minhash_components(bands, iterations=4).collect()))
     b = sorted(map(tuple, minhash_components(bands, iterations=5).collect()))
     assert a == b
+
+
+def test_embed_neardup_hot_label_sub_buckets(spark):
+    """One hot label must NOT become an all-pairs block: the join key is
+    (label, sign-LSH sub-bucket), so members with different leading signs
+    never pair, and the executed plan keys the join on the bucket column
+    (round-3 verdict finding #4)."""
+    from scrapy_spark.operators.neardup import embedding_neardup_pairs
+
+    dims = 16
+    rows = []
+    # 5 vectors per sign-group, all under ONE label; within-group vectors
+    # are near-identical (cosine >= 0.98), across groups dim 1's sign flips
+    for g, lead in ((0, 1000), (1, -1000)):
+        for i in range(5):
+            vec = [lead] + [1000 + (j == i + 1) for j in range(dims - 1)]
+            rows.append((g * 5 + i, 0, vec))
+    v = spark.createDataFrame(
+        rows, "vec_id bigint, label int, q array<long>"
+    )
+    pairs = embedding_neardup_pairs(v, threshold=0.98, sub_bits=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # 5C2 pairs inside each sign-group; zero cross-group pairs
+    assert len(got) == 20, got
+    assert all((a < 5) == (b < 5) for a, b in got), got
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "bucket" in p

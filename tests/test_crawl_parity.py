@@ -96,6 +96,28 @@ def test_fetch_row_parity(oracle, spark_run):
         ), o["url"]
 
 
+def test_content_classification_parity(oracle, spark_run):
+    """Stage-2→3 admission gate: per-row (category, quality, is_enrichable)
+    must match the sequential twin exactly, and the enrichable set must be
+    non-trivial in BOTH directions (some rows admitted, some rejected) so
+    the gate is proven live, not vacuous."""
+    ours = {
+        (r["url"], r["attempt"], r["generation"]): (
+            r["content_category"], r["content_quality"], r["is_enrichable"]
+        )
+        for r in spark_run["results"]
+    }
+    for o in oracle.scheduled:
+        assert ours[(o["url"], o["attempt"], o["generation"])] == (
+            o["content_category"], o["content_quality"], o["is_enrichable"]
+        ), o["url"]
+    flags = {v[2] for v in ours.values()}
+    assert flags == {True, False}
+    # media rows (images) must be classified and rejected by the gate
+    cats = {v[0] for v in ours.values()}
+    assert "image" in cats and "html_page" in cats
+
+
 def test_caption_and_bytes_parity(oracle, spark_run):
     """Per-row invariant vs reference: caption equality + PSNR >= 40 dB
     (exact for lossless PNG) — BASELINE.json input_hint."""
