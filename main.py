@@ -60,6 +60,15 @@ def _build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="delete orphan files from crashed generations")
     v.add_argument("--workdir", required=True)
     v.add_argument("--master", default=None)
+
+    w = sub.add_parser(
+        "warehouse",
+        help="dimensional (star-schema) export of fetch_results "
+        "(warehouse_schema.py semantics: versioned fact_pages + dim_host)",
+    )
+    w.add_argument("--workdir", required=True)
+    w.add_argument("--out", required=True, help="output directory for parquet tables")
+    w.add_argument("--master", default=None)
     return p
 
 
@@ -121,6 +130,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "vacuum":
             removed = SnapshotCatalog(args.workdir).vacuum()
             print(json.dumps({"removed_files": len(removed)}))
+        elif args.cmd == "warehouse":
+            from scrapy_spark.sources.warehouse import star_export
+
+            cat = SnapshotCatalog(args.workdir)
+            fr = cat.read(spark, "fetch_results")
+            if fr is None:
+                print("no fetch_results in " + args.workdir, file=sys.stderr)
+                return 2
+            counts = {}
+            for name, df in star_export(fr).items():
+                df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+                counts[name] = spark.read.parquet(f"{args.out}/{name}").count()
+            print(json.dumps({"tables": counts}))
         elif args.cmd == "report":
             cat = SnapshotCatalog(args.workdir)
             if cat.committed_generation() < 0:

@@ -2426,3 +2426,243 @@ def content_classification(spark, sf_dir):
         classify.confidence_pct_col(s, c).alias("confidence_pct"),
         classify.size_class_col(n).alias("size_class"),
     )
+
+
+_ANALYSIS_SENTS = [
+    "Course syllabus for CS 1501 with credits and a prerequisite.",
+    "Research publication in a journal with abstract and grant funding.",
+    "University policy and guidelines require compliance with procedures.",
+    "Faculty office hours with the professor in the department.",
+    "General campus news and events.",
+]
+_ANALYSIS_DATES = [
+    " Updated 2024-06-15.",
+    " Updated 2023-11-02.",
+    " Published January 5, 2024.",
+    " Offered Fall 2023.",
+    " Archived 2019-06-01.",
+    " Last modified December 31, 2022.",
+    "",
+]
+_ANALYSIS_PATHS = [
+    "/course/", "/research/", "/policy/", "/faculty/", "/news/", "/people/",
+]
+
+
+def _enriched_text_spark(d):
+    """documents + deterministic analysis-bearing suffix (same recipe as the
+    SQL twin below; the heuristic_url_mining pattern — synthesize the input,
+    run the REAL operator expressions)."""
+    sents = F.array(*[F.lit(s) for s in _ANALYSIS_SENTS])
+    dates = F.array(*[F.lit(s) for s in _ANALYSIS_DATES])
+    return F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.element_at(sents, (F.col("doc_id") % 5).cast("int") + 1),
+        F.element_at(dates, (F.col("doc_id") % 7).cast("int") + 1),
+    )
+
+
+_ENRICHED_SQL = (
+    "concat(text, ' ', (["
+    + ", ".join(f"'{s}'" for s in _ANALYSIS_SENTS)
+    + "])[CAST(doc_id % 5 AS INTEGER) + 1], (["
+    + ", ".join(f"'{s}'" for s in _ANALYSIS_DATES)
+    + "])[CAST(doc_id % 7 AS INTEGER) + 1])"
+)
+
+_URL_SQL = (
+    "concat('https://www.uconn.edu', (["
+    + ", ".join(f"'{p}'" for p in _ANALYSIS_PATHS)
+    + "])[CAST(doc_id % 6 AS INTEGER) + 1], CAST(doc_id AS VARCHAR))"
+)
+
+
+def _url_spark():
+    paths = F.array(*[F.lit(p) for p in _ANALYSIS_PATHS])
+    return F.concat(
+        F.lit("https://www.uconn.edu"),
+        F.element_at(paths, (F.col("doc_id") % 6).cast("int") + 1),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _recency_sql() -> str:
+    from scrapy_spark.functions import analysis
+
+    return f"""
+    WITH rows AS (SELECT doc_id, {_ENRICHED_SQL} AS t FROM documents)
+    SELECT doc_id, {analysis.sql_recency_select('t')}
+    FROM rows
+    """
+
+
+@_q("content_recency", _recency_sql())
+def content_recency(spark, sf_dir):
+    """Recency/date extraction (content_analysis.py:283-366, 550-613): mine
+    every ISO / 'Month D, YYYY' / semester date from the text with the
+    reference's regex chain, keep the 1990-2050 sane range, and derive
+    most-recent-date, days-since-update (vs the pinned AS_OF), and the
+    recent/very-recent flags. Pure regexp_extract_all + array ops — no
+    UDFs; the DuckDB twin runs the identical patterns (RE2/Java common
+    subset, same portability contract as functions/mining.py)."""
+    from scrapy_spark.functions import analysis
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select("doc_id", _enriched_text_spark(d).alias("t"))
+    cols = analysis.recency_cols(F.col("t"))
+    return r.select("doc_id", *cols.values())
+
+
+def _academic_sql() -> str:
+    from scrapy_spark.functions import analysis
+
+    return f"""
+    WITH rows AS (
+      SELECT doc_id, {_ENRICHED_SQL} AS t, {_URL_SQL} AS url FROM documents
+    )
+    SELECT doc_id, {analysis.sql_academic_select('t', 'url')}
+    FROM rows
+    """
+
+
+@_q("academic_classification", _academic_sql())
+def academic_classification(spark, sf_dir):
+    """Academic indicator classification (content_analysis.py:369-462):
+    course/research/policy/faculty keyword-family match counts (doubled
+    integer units so the reference's 1.5x URL-path boost stays exact),
+    primary content_type with the reference's first-max tie-break, integer-
+    milli confidence, and the first semester mention. All JVM regex +
+    arithmetic; DuckDB twin generated from the same pattern constants."""
+    from scrapy_spark.functions import analysis
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        _enriched_text_spark(d).alias("t"),
+        _url_spark().alias("url"),
+    )
+    cols = analysis.academic_cols(F.col("t"), F.col("url"))
+    return r.select("doc_id", *cols.values())
+
+
+@_q(
+    "domain_latency_percentiles",
+    """
+    WITH r AS (
+      SELECT concat('h', CAST(user_id % 25 AS VARCHAR), '.uconn.edu') AS domain,
+             CAST(round(value * 1000000) AS BIGINT) AS rt,
+             event_id, event_type
+      FROM events
+    ),
+    ranked AS (
+      SELECT domain, rt, event_type,
+             row_number() OVER (PARTITION BY domain ORDER BY rt, event_id) AS rk,
+             count(*) OVER (PARTITION BY domain) AS n
+      FROM r
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS error_rate,
+           max(CASE WHEN rk = (50 * n + 99) // 100 THEN rt END) AS p50_micros,
+           max(CASE WHEN rk = (95 * n + 99) // 100 THEN rt END) AS p95_micros,
+           max(CASE WHEN rk = (99 * n + 99) // 100 THEN rt END) AS p99_micros,
+           greatest(CAST(5000000 AS BIGINT),
+                    max(CASE WHEN rk = (95 * n + 99) // 100 THEN rt END) * 3)
+             AS optimal_timeout_micros
+    FROM ranked GROUP BY domain
+    """,
+)
+def domain_latency_percentiles(spark, sf_dir):
+    """Per-domain response-time percentile rollups + failure-pattern counts
+    (analytics_engine.py:91-189): p50/p95/p99 latency, error counts/rate,
+    and the reference's optimal-timeout rule (max(5s, 3 x p95)).
+
+    EXACT discrete percentiles, engine-portable: latencies quantized to
+    integer micros, ranked per domain with a deterministic (rt, event_id)
+    tie-break, and the q-th percentile picked at integer index
+    ceil(q*n) == (q*n + 99) div 100 — pure integer arithmetic, identical in
+    both engines (built-in continuous percentile/quantile_cont interpolate
+    with engine-specific float op order and cannot hash-match; at
+    production scale swap in approx_percentile and drop the hash gate).
+    The per-domain window sort is the exact-quantile cost — bounded by the
+    largest single domain's row count, the standard shape for exact
+    per-group order statistics."""
+    e = load(spark, sf_dir, "events")
+    r = e.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 25).cast("string"), F.lit(".uconn.edu")
+        ).alias("domain"),
+        F.round(F.col("value") * 1000000).cast("long").alias("rt"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("domain").orderBy("rt", "event_id")
+    ranked = r.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("domain"))
+    )
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+
+    def _pick(p):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"({p} * n + 99) div 100"), F.col("rt"))
+        )
+
+    return ranked.groupBy("domain").agg(
+        F.count("*").alias("n_requests"),
+        err.alias("n_errors"),
+        F.round(err / F.count("*").cast("double"), 6).alias("error_rate"),
+        _pick(50).alias("p50_micros"),
+        _pick(95).alias("p95_micros"),
+        _pick(99).alias("p99_micros"),
+        F.greatest(F.lit(5000000).cast("long"), _pick(95) * 3).alias(
+            "optimal_timeout_micros"
+        ),
+    )
+
+
+@_q(
+    "warehouse_scd_versions",
+    """
+    WITH v AS (
+      SELECT user_id AS page_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS crawl_version,
+             count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    )
+    SELECT page_id,
+           CAST(max(n_versions) AS BIGINT) AS n_versions,
+           CAST(min(ts) AS VARCHAR) AS first_seen_at,
+           CAST(max(ts) AS VARCHAR) AS last_crawled_at,
+           CAST(max(CASE WHEN crawl_version = n_versions THEN event_id END)
+                AS BIGINT) AS current_event_id
+    FROM v GROUP BY page_id
+    """,
+)
+def warehouse_scd_versions(spark, sf_dir):
+    """Warehouse versioning semantics (warehouse.py:90-160 insert_page;
+    warehouse_schema.py pages table): every observation of a page gets the
+    next crawl_version and exactly one row per page is current — the SCD-2
+    update-then-supersede election, here over the events table as the
+    crawl-history analog (page_id = user_id, observation order =
+    (ts, event_id)). The live-crawl projection of the same shape is
+    sources/warehouse.star_export (fact_pages/dim_host over fetch_results,
+    tested in tests/test_sources.py). One window keyed on the page id —
+    the url_hash-partitioned layout at scale."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e.withColumn("crawl_version", F.row_number().over(w)).withColumn(
+        "n_versions", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    return v.groupBy(F.col("user_id").alias("page_id")).agg(
+        F.max("n_versions").alias("n_versions"),
+        F.min("ts").cast("string").alias("first_seen_at"),
+        F.max("ts").cast("string").alias("last_crawled_at"),
+        F.max(
+            F.when(F.col("crawl_version") == F.col("n_versions"), F.col("event_id"))
+        ).alias("current_event_id"),
+    )

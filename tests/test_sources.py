@@ -141,3 +141,49 @@ def test_flatten_for_export_and_csv_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 3
     assert sorted(back.columns) == sorted(flat.columns)
+
+
+def test_warehouse_star_export_versioning(spark):
+    """fact_pages: one is_current row per url_hash, versions ordered by
+    (generation, attempt); dim_host counts distinct pages vs fetches
+    (warehouse.py insert_page SCD-2 semantics)."""
+    from scrapy_spark.sources.warehouse import star_export
+
+    rows = [
+        # url A fetched in gen 0 and revalidated in gen 2 -> 2 versions
+        (11, "https://a.uconn.edu/x", "a.uconn.edu", 0, 1, 200, "text/html",
+         "html_page", "medium", True, True, "t0"),
+        (11, "https://a.uconn.edu/x", "a.uconn.edu", 2, 1, 200, "text/html",
+         "html_page", "medium", True, True, "t1"),
+        # url B transient 599 then success in same gen ordering by attempt
+        (22, "https://a.uconn.edu/y", "a.uconn.edu", 1, 1, 599, None,
+         "error", "error", False, False, None),
+        (22, "https://a.uconn.edu/y", "a.uconn.edu", 1, 2, 200, "text/html",
+         "html_page", "high", True, True, "t2"),
+        # url C once
+        (33, "https://b.uconn.edu/z", "b.uconn.edu", 0, 1, 200, "image/png",
+         "image", "medium", False, True, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_hash long, url string, host string, generation int, attempt int, "
+        "status_code int, content_type string, content_category string, "
+        "content_quality string, is_enrichable boolean, is_valid boolean, "
+        "title string",
+    )
+    out = star_export(df)
+    fact = {(r["url_hash"], r["crawl_version"]): r for r in out["fact_pages"].collect()}
+    assert len(fact) == 5
+    assert fact[(11, 1)]["title"] == "t0" and not fact[(11, 1)]["is_current"]
+    assert fact[(11, 2)]["title"] == "t1" and fact[(11, 2)]["is_current"]
+    assert fact[(22, 1)]["status_code"] == 599 and not fact[(22, 1)]["is_current"]
+    assert fact[(22, 2)]["is_current"]
+    # exactly one current row per page
+    cur = [k for k, r in fact.items() if r["is_current"]]
+    assert sorted(u for u, _ in cur) == [11, 22, 33]
+    dims = {r["host"]: r for r in out["dim_host"].collect()}
+    assert dims["a.uconn.edu"]["n_pages"] == 2
+    assert dims["a.uconn.edu"]["n_fetches"] == 4
+    assert dims["b.uconn.edu"]["n_pages"] == 1
+    assert dims["a.uconn.edu"]["first_generation"] == 0
+    assert dims["a.uconn.edu"]["last_generation"] == 2
