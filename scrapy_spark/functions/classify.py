@@ -72,16 +72,19 @@ def _normalized(content_type: Column) -> Column:
 
 
 def category_col(status_code: Column, content_type: Column) -> Column:
-    """Content category (redirect/error override the mime map)."""
+    """Content category (redirect/error override the mime map).
+
+    Built as ONE flat CaseWhen (chained .when on the same builder), not a
+    fold of nested .otherwise()s: the nested form produces a depth-33
+    expression tree whose analysis+codegen costs seconds per plan compile
+    (measured 5.7s cold on the crawl's per-generation write)."""
     n = _normalized(content_type)
-    cat: Column = F.lit("unknown")
-    for mime, c in MIME_TO_CATEGORY.items():
-        cat = F.when(n == mime, c).otherwise(cat)
-    return (
-        F.when((status_code >= 300) & (status_code < 400), "redirect")
-        .when(status_code >= 400, "error")
-        .otherwise(cat)
+    c = F.when((status_code >= 300) & (status_code < 400), "redirect").when(
+        status_code >= 400, "error"
     )
+    for mime, cat in MIME_TO_CATEGORY.items():
+        c = c.when(n == mime, cat)
+    return c.otherwise("unknown")
 
 
 def mime_family_col(status_code: Column, content_type: Column) -> Column:
@@ -97,13 +100,23 @@ def mime_family_col(status_code: Column, content_type: Column) -> Column:
 
 
 def quality_col(
-    status_code: Column, content_type: Column, content_length: Column
+    status_code: Column,
+    content_type: Column,
+    content_length: Column,
+    category: Column | None = None,
 ) -> Column:
     """Quality tier (content_classification.py:240-277): html by length
     (<500 low, >10000 high), documents by length (>1000 high else low),
     everything else medium; errors are 'error'. Redirects fall through to
-    the default 'medium' (reference: _classify_redirect -> MEDIUM)."""
-    cat = category_col(status_code, content_type)
+    the default 'medium' (reference: _classify_redirect -> MEDIUM).
+
+    Pass ``category`` (an already-computed category COLUMN REFERENCE) on
+    hot paths — otherwise the category chain is re-expanded inline."""
+    cat = (
+        category
+        if category is not None
+        else category_col(status_code, content_type)
+    )
     return (
         F.when(status_code >= 400, "error")
         .when(
@@ -121,11 +134,24 @@ def quality_col(
 
 
 def is_enrichable_col(
-    status_code: Column, content_type: Column, content_length: Column
+    status_code: Column,
+    content_type: Column,
+    content_length: Column,
+    category: Column | None = None,
+    quality: Column | None = None,
 ) -> Column:
-    """Stage-3 admission gate (content_classification.py:280-318)."""
-    cat = category_col(status_code, content_type)
-    q = quality_col(status_code, content_type, content_length)
+    """Stage-3 admission gate (content_classification.py:280-318). Pass
+    precomputed ``category``/``quality`` column references on hot paths."""
+    cat = (
+        category
+        if category is not None
+        else category_col(status_code, content_type)
+    )
+    q = (
+        quality
+        if quality is not None
+        else quality_col(status_code, content_type, content_length, cat)
+    )
     return (
         F.when(q == "error", F.lit(False))
         .when((q == "low") & (content_length < 100), F.lit(False))
@@ -139,9 +165,7 @@ def confidence_pct_col(status_code: Column, content_type: Column) -> Column:
     """Classification confidence as integer percent (95 known mime, 30
     unknown, 70 otherwise, 100 redirect/error) — float-free across engines."""
     n = _normalized(content_type)
-    known: Column = F.lit(False)
-    for mime in MIME_TO_CATEGORY:
-        known = known | (n == mime)
+    known = n.isin(*MIME_TO_CATEGORY)
     cat = category_col(status_code, content_type)
     return (
         F.when((status_code >= 300) & (status_code < 400), 100)
@@ -153,10 +177,10 @@ def confidence_pct_col(status_code: Column, content_type: Column) -> Column:
 
 
 def size_class_col(content_length: Column) -> Column:
-    c: Column = F.lit("very_large")
-    for limit, name in reversed(SIZE_CLASSES):
-        c = F.when(content_length < limit, name).otherwise(c)
-    return c
+    c = None
+    for limit, name in SIZE_CLASSES:
+        c = (F.when if c is None else c.when)(content_length < limit, name)
+    return c.otherwise("very_large")
 
 
 # --- DuckDB oracle twins (generated from the same tables) ------------------

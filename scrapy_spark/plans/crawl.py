@@ -362,14 +362,27 @@ class CrawlJob:
             + F.lit(120) * F.coalesce(F.size("body_links"), F.lit(0))
             + F.lit(80) * F.coalesce(F.size("image_refs"), F.lit(0)),
         )
-        results = (
-            results.withColumn(
-                "content_category", classify_fns.category_col(_st, _ct)
-            )
-            .withColumn("content_quality", classify_fns.quality_col(_st, _ct, _clen))
-            .withColumn(
-                "is_enrichable", classify_fns.is_enrichable_col(_st, _ct, _clen)
-            )
+        # sequential withColumns so quality/enrichable reference the
+        # ALREADY-COMPUTED category/quality columns — inlining the category
+        # chain three times costs seconds of analysis+codegen per generation
+        results = results.withColumn(
+            "content_category", classify_fns.category_col(_st, _ct)
+        )
+        results = results.withColumn(
+            "content_quality",
+            classify_fns.quality_col(
+                _st, _ct, _clen, category=F.col("content_category")
+            ),
+        )
+        results = results.withColumn(
+            "is_enrichable",
+            classify_fns.is_enrichable_col(
+                _st,
+                _ct,
+                _clen,
+                category=F.col("content_category"),
+                quality=F.col("content_quality"),
+            ),
         )
         staged: dict[str, list[str]] = {}
         staged["fetch_results"] = self.catalog.stage(
