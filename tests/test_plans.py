@@ -67,6 +67,9 @@ BNLJ_ALLOWLIST = {
     "pagerank_copurchase",
     "hits_copurchase",
     "w7_top_by_rank",
+    # combos containing the above as members
+    "ann_topk_methods",
+    "ann_recall_methods",
 }
 
 
