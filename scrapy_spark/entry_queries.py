@@ -1124,13 +1124,16 @@ _EDGES_SQL = """
 def _copurchase_edges(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # distinct on the (int, int) key pair BEFORE building node-id strings:
+    # the dedup shuffle moves 16-byte rows instead of two concat'd strings
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
 
 

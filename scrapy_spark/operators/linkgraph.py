@@ -42,8 +42,20 @@ def nodes_of(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_stats(edges: DataFrame) -> DataFrame:
+def _materialize_edges(edges: DataFrame, materialize: bool) -> DataFrame:
+    """Edges arrive as a live plan (e.g. the copurchase join+distinct — ~9s
+    at sf0.1) and EVERY entry point fans it out to 3-4 consumers (nodes_of
+    reads it twice, out-degree agg, the edge⋈degree join). Without
+    materialization each consumer re-derives the full plan — measured to be
+    roughly half of pagerank_exact's wall time. One eager localCheckpoint
+    makes derivation a one-time cost; on a cluster, substitute a staged
+    parquet/reliable checkpoint."""
+    return edges.localCheckpoint(eager=True) if materialize else edges
+
+
+def degree_stats(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """In/out degree per node (A8)."""
+    edges = _materialize_edges(edges, materialize)
     out_d = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
     in_d = edges.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
     return (
@@ -61,6 +73,7 @@ def pagerank(
     tol: float | None = None,
     max_iterations: int = 100,
     stats: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Iterative PageRank; returns (node, rank) max-normalized to [0,1].
 
@@ -72,6 +85,7 @@ def pagerank(
     aggregation per iteration. Pass a dict as ``stats`` to receive
     {"iterations", "final_delta"}.
     """
+    edges = _materialize_edges(edges, materialize)
     nodes = nodes_of(edges).cache()
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
@@ -144,6 +158,7 @@ def hits(
     tol: float | None = None,
     max_iterations: int = 100,
     stats: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """HITS hubs/authorities, L2-normalized per iteration (link_graph.py:249-313).
 
@@ -168,6 +183,7 @@ def hits(
     collect-free with one job per iteration. pagerank's single broadcast
     (dmass) per iteration also measures flat to 60+ iterations.
     """
+    edges = _materialize_edges(edges, materialize)
     nodes = nodes_of(edges).cache()
     n = nodes.count()
     e = edges.cache()
@@ -240,6 +256,7 @@ def pagerank_exact(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank — the driver-checkable (cross-engine hash-exact)
     variant of :func:`pagerank`.
@@ -255,6 +272,7 @@ def pagerank_exact(
     iteration (dangling mass rides a broadcast 1-row cross-join), output
     max-normalized to [0,1] doubles rounded 6dp (link_graph.py:182-247).
     """
+    edges = _materialize_edges(edges, materialize)
     nodes = nodes_of(edges).cache()
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
@@ -318,7 +336,10 @@ def pagerank_exact(
 
 
 def hits_exact(
-    edges: DataFrame, iterations: int = 5, scale: int = HITS_SCALE
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = HITS_SCALE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-point HITS — the driver-checkable variant of :func:`hits`.
 
@@ -339,6 +360,7 @@ def hits_exact(
     done ONCE at output instead. The DuckDB oracle keeps the dense unrolled
     form (entry_queries._hits_sql); results are hash-identical.
     """
+    edges = _materialize_edges(edges, materialize)
     nodes = nodes_of(edges).cache()
     n = nodes.count()
     e = edges.cache()
