@@ -54,6 +54,12 @@ HEADLINE = [
     "keyword_expansion",
     "pdf_meta",
     "embed_neardup_clusters",
+    # round-4 operators
+    "content_classification",
+    "content_recency",
+    "academic_classification",
+    "domain_latency_percentiles",
+    "warehouse_scd_versions",
 ]
 
 

@@ -116,3 +116,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["host", "event_id", "value", "rank_in_host"]
+
+
+def test_driver_registry_is_exactly_50():
+    """The external driver records rows for at most the FIRST 50 entries of
+    queries() (measured r1-r3: 46->46, 55->50, 61->50). The driver-facing
+    registry must stay at exactly 50, every entry must resolve, and every
+    entry must carry an oracle (no silent weak rows-only checks)."""
+    import __spark_entry__ as e
+    from scrapy_spark.entry_queries import DRIVER_QUERY_NAMES, QUERIES
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert list(qs) == DRIVER_QUERY_NAMES
+    assert len(qs) == 50
+    assert set(osql) == set(qs)
+    # combo members remain individually registered for the local sweep
+    for member in (
+        "a5_source_breakdown", "a7_source_success_rate", "a6_section_stats",
+        "so1_union_distinct", "so2_set_difference", "w2_fifo_order",
+        "w4_random_order", "f7_bad_pattern_filter", "f8_throttled_source_filter",
+        "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
+        "ann_lsh_recall", "ann_ivf_recall", "text_quality_score",
+        "text_token_count", "text_langid", "doc_fingerprint",
+        "dedup_minhash_clusters", "dedup_simhash", "multimodal_binary_meta",
+        "pdf_meta", "content_classification", "content_recency",
+        "academic_classification", "embed_neardup_pairs",
+    ):
+        assert member in QUERIES, member
