@@ -3018,3 +3018,66 @@ assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
 assert len(set(DRIVER_QUERY_NAMES)) == 50
 for _n in DRIVER_QUERY_NAMES:
     assert _n in QUERIES, _n
+
+
+def _page_importance_sql() -> str:
+    """pagerank ⋈ hits ⋈ degrees on node + degree centrality — the
+    reference's importance_scores row (link_graph.py:315-365)."""
+    return f"""
+    WITH pr AS ({QUERIES["pagerank_copurchase"][1]}),
+    ha AS ({QUERIES["hits_copurchase"][1]}),
+    deg AS ({QUERIES["a8_degree_stats"][1]}),
+    nn AS (SELECT count(*) AS n FROM deg)
+    SELECT pr.node, pr.rank AS pagerank_score,
+           ha.hub AS hub_score, ha.authority AS authority_score,
+           CAST(deg.in_degree AS BIGINT) AS inlink_count,
+           CAST(deg.out_degree AS BIGINT) AS outlink_count,
+           round((deg.in_degree + deg.out_degree)
+                 / (2.0 * (nn.n - 1)), 6) AS degree_centrality
+    FROM pr JOIN ha USING (node) JOIN deg ON deg.node = pr.node
+    CROSS JOIN nn
+    """
+
+
+@_q("page_importance", _page_importance_sql())
+def page_importance(spark, sf_dir):
+    """Per-page importance view (link_graph.py:315-365 get_page_importance /
+    importance_scores): fixed-point PageRank ⋈ HITS hub/authority ⋈ in/out
+    degrees, plus degree centrality (in+out)/(2(n-1)) — one joined result
+    per node, the reference's importance_scores table as a DataFrame.
+    Local-sweep query (driver list is capped at 50; members are all
+    driver-verified)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from scrapy_spark.operators.linkgraph import (
+        degree_stats,
+        hits_exact,
+        pagerank_exact,
+    )
+
+    pr = pagerank_exact(edges, iterations=5, materialize=False).select(
+        "node", F.col("rank").alias("pagerank_score")
+    )
+    ha = hits_exact(edges, iterations=5, materialize=False).select(
+        "node", F.col("hub").alias("hub_score"),
+        F.col("authority").alias("authority_score"),
+    )
+    deg = degree_stats(edges, materialize=False).select(
+        "node",
+        F.col("in_degree").cast("long").alias("inlink_count"),
+        F.col("out_degree").cast("long").alias("outlink_count"),
+    )
+    n = deg.agg(F.count("*").alias("n"))
+    return (
+        pr.join(ha, "node")
+        .join(deg, "node")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "node", "pagerank_score", "hub_score", "authority_score",
+            "inlink_count", "outlink_count",
+            F.round(
+                (F.col("inlink_count") + F.col("outlink_count"))
+                / (2.0 * (F.col("n") - 1)),
+                6,
+            ).alias("degree_centrality"),
+        )
+    )

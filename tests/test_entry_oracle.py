@@ -51,7 +51,12 @@ def _normalize(rows, colnames):
     return sorted(out)
 
 
-NAMES = sorted(entry_mod.queries().keys())
+# sweep the FULL fine-grained registry (combo members included), not just
+# the 50 driver-facing names — __spark_entry__.queries() is the curated
+# 50-entry subset (driver cap), QUERIES is everything
+from scrapy_spark.entry_queries import QUERIES as _ALL_QUERIES  # noqa: E402
+
+NAMES = sorted(_ALL_QUERIES.keys())
 
 
 def _canon_type(t):
@@ -77,9 +82,9 @@ def _canon_type(t):
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    qs = entry_mod.queries()
-    osql = entry_mod.oracle_sql()
-    df = qs[name](spark, SF_DIR)
+    fn, sql = _ALL_QUERIES[name]
+    osql = {name: sql} if sql is not None else {}
+    df = fn(spark, SF_DIR)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
     if name not in osql:
