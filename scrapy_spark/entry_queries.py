@@ -3081,3 +3081,84 @@ def page_importance(spark, sf_dir):
             ).alias("degree_centrality"),
         )
     )
+
+
+@_q(
+    "request_patterns",
+    """
+    WITH r AS (
+      SELECT concat('h', CAST(user_id % 25 AS VARCHAR), '.uconn.edu') AS domain,
+             CASE event_type WHEN 'error' THEN 'timeout'
+                             WHEN 'signup' THEN 'rate_limited'
+                             ELSE 'success' END AS outcome
+      FROM events
+    ),
+    d AS (
+      SELECT domain, count(*) AS n,
+             CAST(sum(CASE WHEN outcome = 'timeout' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_timeout,
+             CAST(sum(CASE WHEN outcome = 'rate_limited' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rate_limited
+      FROM r GROUP BY domain
+    )
+    SELECT 'high_timeout_domains' AS pattern_type, domain, n,
+           n_timeout AS n_hits,
+           round(n_timeout / CAST(n AS DOUBLE), 6) AS hit_rate
+    FROM d WHERE n > 10 AND n_timeout / CAST(n AS DOUBLE) > 0.15
+    UNION ALL
+    SELECT 'aggressive_rate_limiting' AS pattern_type, domain, n,
+           n_rate_limited AS n_hits,
+           round(n_rate_limited / CAST(n AS DOUBLE), 6) AS hit_rate
+    FROM d WHERE n_rate_limited > 5
+    """,
+)
+def request_patterns(spark, sf_dir):
+    """Cross-domain failure-pattern identification
+    (analytics_engine.py:189-260 identify_patterns): flag domains whose
+    timeout rate exceeds the threshold over a minimum sample, and domains
+    with repeated rate-limiting — the reference's RequestPattern rows as a
+    tagged union of per-domain aggregates (events as the request-log analog,
+    same domain key as domain_latency_percentiles; thresholds scaled to the
+    synthetic outcome mix). One groupBy on the domain key, two filters over
+    the same aggregate — no second pass over the log."""
+    e = load(spark, sf_dir, "events")
+    outcome = (
+        F.when(F.col("event_type") == "error", "timeout")
+        .when(F.col("event_type") == "signup", "rate_limited")
+        .otherwise("success")
+    )
+    r = e.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 25).cast("string"), F.lit(".uconn.edu")
+        ).alias("domain"),
+        outcome.alias("outcome"),
+    )
+    d = r.groupBy("domain").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("outcome") == "timeout", 1).otherwise(0)).alias(
+            "n_timeout"
+        ),
+        F.sum(F.when(F.col("outcome") == "rate_limited", 1).otherwise(0)).alias(
+            "n_rate_limited"
+        ),
+    )
+    d = d.localCheckpoint(eager=False)
+    timeouts = d.filter(
+        (F.col("n") > 10) & (F.col("n_timeout") / F.col("n").cast("double") > 0.15)
+    ).select(
+        F.lit("high_timeout_domains").alias("pattern_type"),
+        "domain",
+        "n",
+        F.col("n_timeout").alias("n_hits"),
+        F.round(F.col("n_timeout") / F.col("n").cast("double"), 6).alias("hit_rate"),
+    )
+    limited = d.filter(F.col("n_rate_limited") > 5).select(
+        F.lit("aggressive_rate_limiting").alias("pattern_type"),
+        "domain",
+        "n",
+        F.col("n_rate_limited").alias("n_hits"),
+        F.round(F.col("n_rate_limited") / F.col("n").cast("double"), 6).alias(
+            "hit_rate"
+        ),
+    )
+    return timeouts.unionByName(limited)
