@@ -96,19 +96,39 @@ def _extract_all(text: Column, pattern: str, group: int) -> Column:
 def dates_col(text: Column) -> Column:
     """array<date> of every date the reference's pattern chain finds:
     ISO yyyy-mm-dd, 'Month D, YYYY', and semester anchors — filtered to the
-    reference's sane range (year 1990-2050)."""
-    # explicit 1-arg lambda: F.to_date's optional `format` param would
-    # otherwise receive transform's element index
-    iso = F.transform(_extract_all(text, ISO_DATE, 1), lambda s: F.to_date(s))
+    reference's sane range (year 1990-2050; applied uniformly to all three
+    branches, a deterministic recast of the reference's per-branch
+    strptime/except checks). Calendar-invalid matches ('2024-13-45',
+    'February 30, 2024') become NULL in BOTH engines (Spark non-ANSI
+    to_date/make_date; DuckDB TRY_CAST in the generated twin) and NULLs are
+    dropped by the range filter — tests/test_analysis.py pins this on
+    adversarial fixtures."""
+    # try_to_date, NOT to_date/make_date: Spark 4 defaults to ANSI mode, so
+    # a calendar-invalid match ('2024-13-45', 'February 30, 2024') in real
+    # page text would ABORT the whole query instead of yielding NULL
+    # (caught by tests/test_analysis.py adversarial fixtures). The DuckDB
+    # twin uses TRY_CAST the same way. 1-arg lambda: try_to_date's optional
+    # `format` param would otherwise receive transform's element index.
+    iso = F.transform(
+        _extract_all(text, ISO_DATE, 1), lambda s: F.try_to_date(s)
+    )
     months = F.array(*[F.lit(m) for m in MONTH_NAMES])
     md = F.transform(
         _extract_all(text, MONTH_DATE, 0),
-        lambda s: F.make_date(
-            F.regexp_extract(s, r"(\d{4})", 1).cast("int"),
-            F.array_position(
-                months, F.regexp_extract(s, r"^([A-Za-z]+)", 1)
-            ).cast("int"),
-            F.regexp_extract(s, r"\b(\d{1,2})\b", 1).cast("int"),
+        lambda s: F.try_to_date(
+            F.concat(
+                F.regexp_extract(s, r"(\d{4})", 1),
+                F.lit("-"),
+                F.lpad(
+                    F.array_position(
+                        months, F.regexp_extract(s, r"^([A-Za-z]+)", 1)
+                    ).cast("string"),
+                    2,
+                    "0",
+                ),
+                F.lit("-"),
+                F.lpad(F.regexp_extract(s, r"\b(\d{1,2})\b", 1), 2, "0"),
+            )
         ),
     )
     sem = F.transform(
@@ -210,13 +230,14 @@ def sql_dates(text: str) -> str:
     return f"""list_filter(
       list_concat(list_concat(
         list_transform(regexp_extract_all({text}, '{ISO_DATE}', 1),
-                       s -> CAST(s AS DATE)),
+                       s -> TRY_CAST(s AS DATE)),
         list_transform(regexp_extract_all({text}, '{MONTH_DATE}', 0),
-          s -> make_date(
-            CAST(regexp_extract(s, '(\\d{{4}})', 1) AS INTEGER),
-            CAST(list_position([{months}],
-                               regexp_extract(s, '^([A-Za-z]+)', 1)) AS INTEGER),
-            CAST(regexp_extract(s, '\\b(\\d{{1,2}})\\b', 1) AS INTEGER)))),
+          s -> TRY_CAST(concat(
+            regexp_extract(s, '(\\d{{4}})', 1), '-',
+            lpad(CAST(list_position([{months}],
+                      regexp_extract(s, '^([A-Za-z]+)', 1)) AS VARCHAR), 2, '0'),
+            '-',
+            lpad(regexp_extract(s, '\\b(\\d{{1,2}})\\b', 1), 2, '0')) AS DATE))),
         list_transform(regexp_extract_all({text}, '{SEMESTER}', 0),
           s -> make_date(
             CAST(regexp_extract(s, '(\\d{{4}})', 1) AS INTEGER),
