@@ -70,6 +70,7 @@ BNLJ_ALLOWLIST = {
     # combos containing the above as members
     "ann_topk_methods",
     "ann_recall_methods",
+    "page_importance",
 }
 
 
