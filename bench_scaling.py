@@ -40,7 +40,7 @@ BENCH_PARAMS = dict(max_generations=3, per_host_budget=700, gen_cap=None)
 FETCH_LATENCY_S = 0.05
 
 
-def run_once(cpus: int) -> dict:
+def run_once(cpus: int, budget: int | None = None) -> dict:
     from scrapy_spark.plans.crawl import CrawlJob
     from scrapy_spark.plans.oracle import CrawlParams
     from scrapy_spark.session import get_spark
@@ -52,7 +52,10 @@ def run_once(cpus: int) -> dict:
         shuffle_partitions=cpus,
     )
     cfg = SynthConfig(**BENCH_CFG)
-    params = CrawlParams(**BENCH_PARAMS)
+    p = dict(BENCH_PARAMS)
+    if budget is not None:
+        p["per_host_budget"] = budget
+    params = CrawlParams(**p)
 
     # warmup: tiny crawl in a scratch dir — absorbs JVM JIT + Python-UDF
     # worker startup so the timed run measures steady-state throughput
@@ -90,9 +93,56 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=None)
+    ap.add_argument(
+        "--data-scale",
+        action="store_true",
+        help="data-size scaling: same local[32], 1x vs 2x per-host budget "
+        "-> appends a section to BENCH/BASELINE.md",
+    )
     args = ap.parse_args()
     if args.once:
-        print(json.dumps(run_once(args.cpus)))
+        print(json.dumps(run_once(args.cpus, args.budget)))
+        return
+    if args.data_scale:
+        res = {}
+        for budget in (700, 1400):
+            out = subprocess.run(
+                [sys.executable, __file__, "--once", "--cpus", "32",
+                 "--budget", str(budget)],
+                capture_output=True, text=True, cwd=str(REPO), timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            res[budget] = json.loads(line)
+            print(line)
+        r1, r2 = res[700], res[1400]
+        ratio = (r2["urls"] / r1["urls"]) / (r2["secs"] / r1["secs"])
+        md = f"""
+
+## Data-size scaling (same local[32], 1x vs 2x per-host budget)
+
+Throughput must stay ~flat as the INPUT doubles (linear total work — the
+other axis of the 10^10-URL design point next to core-scaling above):
+
+| per-host budget | URLs | seconds | URLs/sec |
+|---|---|---|---|
+| 700 (1x)  | {r1["urls"]} | {r1["secs"]} | {r1["urls_per_sec"]} |
+| 1400 (2x) | {r2["urls"]} | {r2["secs"]} | {r2["urls_per_sec"]} |
+
+**Throughput retention at {r2["urls"] / r1["urls"]:.2f}x the URLs =
+{r2["urls_per_sec"] / r1["urls_per_sec"]:.3f}** (1.0 = perfectly linear;
+work-normalized efficiency {ratio:.3f}).
+
+Reproduce: `python bench_scaling.py --data-scale` (appends this section).
+"""
+        out_path = REPO / "BENCH" / "BASELINE.md"
+        base = out_path.read_text()
+        marker = "\n\n## Data-size scaling"
+        if marker in base:
+            base = base[: base.index(marker)]
+        out_path.write_text(base + md)
+        print(json.dumps({"throughput_retention":
+                          round(r2["urls_per_sec"] / r1["urls_per_sec"], 3)}))
         return
 
     results = {}
