@@ -61,6 +61,25 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--workdir", required=True)
     v.add_argument("--master", default=None)
 
+    x = sub.add_parser(
+        "export",
+        help="flat-file export of a catalog table "
+        "(exporters.py CSV/JSONExporter semantics: structs->dotted columns, "
+        "arrays->JSON, binary->base64, compressed part files)",
+    )
+    x.add_argument("--workdir", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--table", default="fetch_results")
+    x.add_argument("--format", choices=["csv", "json"], default="csv")
+    x.add_argument("--compression", default="gzip")
+    x.add_argument(
+        "--drop-bytes",
+        action="store_true",
+        help="exclude the image/PDF bytes column (bytes discipline: export "
+        "metadata without re-reading payloads)",
+    )
+    x.add_argument("--master", default=None)
+
     w = sub.add_parser(
         "warehouse",
         help="dimensional (star-schema) export of fetch_results "
@@ -130,6 +149,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "vacuum":
             removed = SnapshotCatalog(args.workdir).vacuum()
             print(json.dumps({"removed_files": len(removed)}))
+        elif args.cmd == "export":
+            from scrapy_spark.sources.exporters import export_csv, export_json
+
+            cat = SnapshotCatalog(args.workdir)
+            df = cat.read(spark, args.table)
+            if df is None:
+                print(f"no table {args.table} in {args.workdir}", file=sys.stderr)
+                return 2
+            if args.drop_bytes and "bytes" in df.columns:
+                df = df.drop("bytes")
+            if args.format == "csv":
+                export_csv(df, args.out, compression=args.compression)
+            else:
+                export_json(df, args.out, compression=args.compression)
+            n = spark.read.format(args.format).option("header", True).load(args.out).count()
+            print(json.dumps({"table": args.table, "format": args.format, "rows": n}))
         elif args.cmd == "warehouse":
             from scrapy_spark.sources.warehouse import star_export
 
