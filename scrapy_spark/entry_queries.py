@@ -2689,6 +2689,86 @@ def warehouse_scd_versions(spark, sf_dir):
     )
 
 
+# character-bigram language profiles (top bigrams of common function words;
+# standard n-gram-profile language ID a la Cavnar-Trenkle, tiny fixed form)
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+    "de": ["en", "er", "ch", "de", "ei", "te", "in", "nd", "ie", "ge"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr"]
+_LANG_MIN_SCORE = 5
+
+
+def _langid_ngram_sql() -> str:
+    score_exprs = {}
+    for lang in _LANG_ORDER:
+        prof = ", ".join(f"'{b}'" for b in _LANG_PROFILES[lang])
+        score_exprs[lang] = (
+            f"CAST(len(list_filter(bg, b -> list_contains([{prof}], b)))"
+            f" AS BIGINT)"
+        )
+    best = "greatest(" + ", ".join(score_exprs[x] for x in _LANG_ORDER) + ")"
+    guess = "'other'"
+    for lang in reversed(_LANG_ORDER):
+        guess = (
+            f"CASE WHEN ({score_exprs[lang]}) = ({best}) THEN '{lang}' "
+            f"ELSE {guess} END"
+        )
+    cols = ",\n".join(
+        f"           {score_exprs[lang]} AS {lang}_bigrams" for lang in _LANG_ORDER
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> substring(t, CAST(i AS INTEGER), 2)) AS bg
+      FROM (SELECT doc_id, lower(text) AS t FROM documents)
+    )
+    SELECT doc_id,
+{cols},
+           CASE WHEN ({best}) < {_LANG_MIN_SCORE} THEN 'other'
+                ELSE ({guess}) END AS lang_ngram
+    FROM b
+    """
+
+
+@_q("text_langid_ngram", _langid_ngram_sql())
+def text_langid_ngram(spark, sf_dir):
+    """Character-bigram language ID (the task brief's n-gram heuristic,
+    Cavnar-Trenkle-style with tiny fixed profiles): per-language score =
+    count of text bigrams inside that language's top-bigram profile,
+    predicted language = first-max over (en, es, de, fr) or 'other' below a
+    minimum evidence threshold. Pure JVM array ops (transform over a
+    position sequence → filter/array_contains), no UDFs; the stopword
+    variant (text_langid) stays as the cheap short-text fallback."""
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
+        lambda i: F.substring(t, i.cast("int"), 2),
+    )
+    b = d.select("doc_id", bg.alias("bg"))
+    scores = {}
+    for lang in _LANG_ORDER:
+        prof = F.array(*[F.lit(x) for x in _LANG_PROFILES[lang]])
+        scores[lang] = F.size(
+            F.filter(F.col("bg"), lambda x: F.array_contains(prof, x))
+        ).cast("long")
+    best = F.greatest(*[scores[x] for x in _LANG_ORDER])
+    guess = F.lit("other")
+    for lang in reversed(_LANG_ORDER):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return b.select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_bigrams") for lang in _LANG_ORDER],
+        F.when(best < _LANG_MIN_SCORE, F.lit("other"))
+        .otherwise(guess)
+        .alias("lang_ngram"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-registry combos + the 50-entry driver list.
 #
@@ -2874,24 +2954,32 @@ QUERIES["ann_recall_methods"] = (ann_recall_methods, _combo_ann_recall_sql())
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
-           t.n_ws_tokens, t.n_bpe_ish, l.lang, l.lang_guess, f.fingerprint
+           t.n_ws_tokens, t.n_bpe_ish, l.lang, l.lang_guess, f.fingerprint,
+           g.lang_ngram
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
     JOIN {_sub("doc_fingerprint")} f USING (doc_id)
+    JOIN {_sub("text_langid_ngram")} g USING (doc_id)
     """
 
 
 @_q("text_analysis", None)
 def text_analysis(spark, sf_dir):
     """COMBO: the per-document text-analysis suite — quality scoring,
-    token counting (whitespace + BPE-ish), language-ID, and the rolling-hash
-    fingerprint — joined on doc_id."""
+    token counting (whitespace + BPE-ish), language-ID (stopword AND
+    character-bigram n-gram variants), and the rolling-hash fingerprint —
+    joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
     f = QUERIES["doc_fingerprint"][0](spark, sf_dir)
-    return q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id")
+    g = QUERIES["text_langid_ngram"][0](spark, sf_dir).select(
+        "doc_id", "lang_ngram"
+    )
+    return (
+        q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
+    )
 
 
 QUERIES["text_analysis"] = (text_analysis, _combo_text_analysis_sql())
