@@ -440,3 +440,36 @@ def top_by(df: DataFrame, metric: str, k: int, key: str = "node") -> DataFrame:
     from .topk import topk_total_order
 
     return topk_total_order(df, [F.col(metric).desc(), F.col(key).asc()], k)
+
+
+def write_bucketed_edges(
+    spark, edges: DataFrame, table: str, buckets: int = 64
+) -> None:
+    """Persist the edge table BUCKETED on src — the co-partition layout the
+    iterative joins switch to beyond BROADCAST_NODES (module note above):
+    each iteration then shuffles only the small (node, rank) side into the
+    edge bucketing, and the edge side streams straight from its buckets —
+    zero per-iteration exchange on the dominant table. Same layout family
+    as the bucketed url_seen set (operators/dedup.write_bucketed_seen)."""
+    (
+        edges.write.bucketBy(buckets, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_contribs(spark, edges_table: str, ranks: DataFrame) -> DataFrame:
+    """One PageRank contribution step against a bucketed edge table:
+    edges ⋈ ranks on src with the EDGE side exchange-free (plan-asserted in
+    tests/test_linkgraph.py). ``ranks``: (node, r) with integer fixed-point
+    ranks; the edge table must carry (src, dst, out_deg)."""
+    e = spark.table(edges_table)
+    r = ranks.select(F.col("node").alias("src"), "r")
+    return (
+        e.join(r, "src")
+        .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("contrib"))
+    )

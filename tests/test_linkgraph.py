@@ -147,3 +147,48 @@ def test_hits_convergence_mode(spark, graph):
     for k in fixed:
         assert abs(conv[k][0] - fixed[k][0]) < 1e-4
         assert abs(conv[k][1] - fixed[k][1]) < 1e-4
+
+
+def test_bucketed_edge_join_no_edge_exchange(spark, tmp_path):
+    """The beyond-broadcast co-partition path: with edges bucketed on src,
+    the per-iteration contribution join must NOT exchange or sort the edge
+    side — only the small rank side shuffles into the bucketing — and the
+    contributions must equal the broadcast path's exactly."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.operators.linkgraph import (
+        bucketed_contribs,
+        write_bucketed_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)]
+        + [(f"n{i}", f"n{(i + 13) % 50}") for i in range(50)],
+        "src string, dst string",
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = edges.join(out_deg, "src")
+    spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+    write_bucketed_edges(spark, e, "bucketed_edges_test", buckets=8)
+
+    ranks = spark.createDataFrame(
+        [(f"n{i}", 1_000_000 + i) for i in range(200)], "node string, r long"
+    )
+    df = bucketed_contribs(spark, "bucketed_edges_test", ranks)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # edge side: scan of the bucketed table with no exchange above it —
+    # the ONLY pre-join exchange in the plan is the rank side's
+    scan_part = plan.split("FileScan")[0]
+    n_exchanges_before_agg = plan.count("Exchange hashpartitioning(src")
+    assert n_exchanges_before_agg <= 1, plan  # ranks only, never edges
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+    # value parity vs the plain (broadcast-style) join
+    expect = (
+        e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+        .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("contrib"))
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
