@@ -191,6 +191,32 @@ def main(argv: list[str] | None = None) -> int:
                 lin.groupBy("generation").sum("scheduled", "fetched", "failed", "images").orderBy(
                     "generation"
                 ).show(100, truncate=False)
+            # pending-frontier size estimate: approx_count_distinct (HLL) —
+            # the idiomatic 10^10-scale upgrade of an exact COUNT(DISTINCT)
+            # over the next generation's raw candidates (SURVEY §2.5 note);
+            # column-pruned scan, one cheap job, never on the crawl hot path
+            cands = cat.read(spark, "candidates")
+            if cands is not None:
+                from pyspark.sql import functions as F
+
+                est = cands.agg(
+                    F.max("generation").alias("next_generation"),
+                    F.approx_count_distinct("raw_url").alias(
+                        "est_distinct_pending_urls"
+                    ),
+                    F.count("*").alias("raw_candidate_rows"),
+                ).collect()[0]
+                print(
+                    json.dumps(
+                        {
+                            "next_generation": est["next_generation"],
+                            "est_distinct_pending_urls": est[
+                                "est_distinct_pending_urls"
+                            ],
+                            "raw_candidate_rows": est["raw_candidate_rows"],
+                        }
+                    )
+                )
         return 0
     finally:
         spark.stop()
