@@ -1,0 +1,123 @@
+"""REAL-HTTP end-to-end: fetch_frontier with the http_resolver plug-in
+against a loopback HTTP server (no external network — closes the
+"real-HTTP e2e" deferral honestly). The server serves a small site built
+with the repo's own codecs: HTML pages, a PNG from functions/imagefn, a PDF
+from functions/pdffn with an embedded /URI link. Asserts the full Arrow
+batch path: statuses, title parse, absolute link resolution, byte-exact
+binary payloads, fetch-time PDF /URI extraction, 404 and
+connection-refused (599 transient) classification."""
+
+from __future__ import annotations
+
+import socket
+import threading
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_spark.functions.imagefn import encode_png
+from scrapy_spark.functions.pdffn import encode_pdf
+from scrapy_spark.operators.fetch import fetch_frontier, http_resolver
+from scrapy_spark.sources.synth import SynthConfig
+
+
+@pytest.fixture(scope="module")
+def site(tmp_path_factory):
+    root = tmp_path_factory.mktemp("site")
+    png = encode_png(
+        np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    )
+    pdf = encode_pdf(
+        ["hello loopback world"],
+        title="e2e doc",
+        author="tester",
+        link_uris=["http://127.0.0.1/page2.html"],
+    )
+    (root / "i").mkdir()
+    (root / "index.html").write_text(
+        "<html><head><title>E2E Index</title></head><body>"
+        '<a href="/page2.html">two</a> <a href="doc.pdf">doc</a>'
+        '<img src="/i/img1.png" alt="a test image">'
+        "</body></html>"
+    )
+    (root / "page2.html").write_text(
+        "<html><head><title>Page Two</title></head><body>fin</body></html>"
+    )
+    (root / "i" / "img1.png").write_bytes(png)
+    (root / "doc.pdf").write_bytes(pdf)
+
+    class Handler(SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    # a port that is closed for the connection-refused case
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+    yield {"port": port, "dead_port": dead_port, "png": png, "pdf": pdf}
+    srv.shutdown()
+
+
+def test_real_http_fetch_end_to_end(spark, site):
+    base = f"http://127.0.0.1:{site['port']}"
+    urls = [
+        f"{base}/index.html",
+        f"{base}/page2.html",
+        f"{base}/i/img1.png",
+        f"{base}/doc.pdf",
+        f"{base}/missing.html",
+        f"http://127.0.0.1:{site['dead_port']}/nope",
+    ]
+    selected = spark.createDataFrame(
+        [
+            (u, i, "127.0.0.1", 0, 1.0, "seed", "a test image" if "img" in u
+             else None, None, i, 1)
+            for i, u in enumerate(urls)
+        ],
+        "url string, url_hash long, host string, depth int, score double, "
+        "source_type string, anchor string, source_url string, "
+        "rank_in_host int, attempt int",
+    )
+    fetched = fetch_frontier(
+        selected,
+        SynthConfig(seed=1, n_hosts=1, n_pages=1, n_images=1),
+        fetch_partitions=2,
+        resolver_factory=lambda: http_resolver(timeout_s=5),
+    )
+    rows = {r["url"]: r for r in fetched.collect()}
+    assert len(rows) == len(urls)
+
+    idx = rows[f"{base}/index.html"]
+    assert idx["status_code"] == 200 and idx["content_type"] == "text/html"
+    assert idx["title"] == "E2E Index"
+    assert idx["is_valid"]
+    # relative hrefs resolved absolute against the page URL
+    assert f"{base}/page2.html" in idx["body_links"]
+    assert f"{base}/doc.pdf" in idx["body_links"]
+    refs = {r["image_id"]: r["alt"] for r in idx["image_refs"]}
+    assert refs == {f"{base}/i/img1.png": "a test image"}
+
+    png_row = rows[f"{base}/i/img1.png"]
+    assert png_row["status_code"] == 200 and png_row["fmt"] == "png"
+    assert bytes(png_row["bytes"]) == site["png"]  # byte-exact through Arrow
+
+    pdf_row = rows[f"{base}/doc.pdf"]
+    assert pdf_row["status_code"] == 200 and pdf_row["fmt"] == "pdf"
+    assert bytes(pdf_row["bytes"]) == site["pdf"]
+    # /URI annotations extracted INSIDE the fetch UDF (bytes discipline)
+    assert pdf_row["pdf_uris"] == ["http://127.0.0.1/page2.html"]
+
+    assert rows[f"{base}/missing.html"]["status_code"] == 404
+    assert rows[f"{base}/missing.html"]["error_type"] is not None
+    dead = rows[f"http://127.0.0.1:{site['dead_port']}/nope"]
+    assert dead["status_code"] == 599  # transient class -> retry policy
