@@ -52,6 +52,23 @@ def _build_parser() -> argparse.ArgumentParser:
         help="TTL-cached pagination range guessing (PaginationCache semantics)",
     )
     c.add_argument("--master", default=None, help="override spark master")
+    c.add_argument(
+        "--http",
+        action="store_true",
+        help="fetch over REAL HTTP (operators/fetch.http_resolver) instead "
+        "of the synthetic web; pair with --seed-url and --domain",
+    )
+    c.add_argument(
+        "--seed-url",
+        action="append",
+        default=None,
+        help="explicit seed URL (repeatable); replaces the synthetic seed CSV",
+    )
+    c.add_argument(
+        "--domain",
+        default="uconn.edu",
+        help="crawl domain allow-list suffix (default uconn.edu)",
+    )
 
     r = sub.add_parser("report", help="print per-generation metrics/lineage")
     r.add_argument("--workdir", required=True)
@@ -112,7 +129,13 @@ def main(argv: list[str] | None = None) -> int:
                 rate_control=args.rate_control,
                 revalidate=args.revalidate,
                 pagination_guess=args.pagination_guess,
+                domain=args.domain,
             )
+            resolver_factory = None
+            if args.http:
+                from scrapy_spark.operators.fetch import http_resolver
+
+                resolver_factory = lambda: http_resolver()  # noqa: E731
             job = CrawlJob(
                 spark,
                 cfg,
@@ -120,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.workdir,
                 salt_buckets=args.salt_buckets,
                 use_bloom=args.bloom,
+                resolver_factory=resolver_factory,
+                seed_urls=args.seed_url,
             )
             stats = job.run(resume=args.resume)
             for s in stats:

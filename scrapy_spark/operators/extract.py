@@ -99,13 +99,23 @@ def extract_candidates(fetched: DataFrame, heuristic_mining: bool = True) -> Dat
             (F.col("depth") + 1).alias("depth"),
         )
         .select(
-            F.concat(
-                F.lit("https://img"),
-                F.pmod(gidx, F.lit(N_IMG_HOSTS)).cast("string"),
-                F.lit(".uconn.edu/i/"),
-                F.col("ref.image_id"),
-                F.lit(".png"),
-            ).alias("raw_url"),
+            # real-HTML pages (http_resolver) carry the already-resolved
+            # absolute image URL as image_id — pass it through; synthetic
+            # ids reconstruct the deterministic image host URL (oracle twin
+            # has the same branch)
+            F.when(
+                F.col("ref.image_id").startswith("http"), F.col("ref.image_id")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://img"),
+                    F.pmod(gidx, F.lit(N_IMG_HOSTS)).cast("string"),
+                    F.lit(".uconn.edu/i/"),
+                    F.col("ref.image_id"),
+                    F.lit(".png"),
+                )
+            )
+            .alias("raw_url"),
             F.col("source_url"),
             F.lit("img_tag").alias("source_type"),
             F.col("ref.alt").alias("anchor"),

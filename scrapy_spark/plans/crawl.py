@@ -102,6 +102,7 @@ class CrawlJob:
         fetch_latency_s: float = 0.0,
         fetch_partitions: int | None = None,
         resolver_factory=None,
+        seed_urls: list[str] | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -116,6 +117,9 @@ class CrawlJob:
         # None = deterministic synthetic web; operators/fetch.http_resolver
         # is the real-network plug-in (same Arrow batch loop)
         self.resolver_factory = resolver_factory
+        # explicit seed list (real-site crawls: pair with http_resolver and
+        # params.domain); None = the synthetic web's seed CSV
+        self.seed_urls = seed_urls
         self._robots = None
 
     def robots_df(self) -> DataFrame:
@@ -125,7 +129,12 @@ class CrawlJob:
         return self._robots
 
     def _gen0_candidates(self) -> DataFrame:
-        seeds = self.spark.createDataFrame(synth.build_seeds(self.cfg))
+        if self.seed_urls is not None:
+            seeds = self.spark.createDataFrame(
+                [(u,) for u in self.seed_urls], "url string"
+            )
+        else:
+            seeds = self.spark.createDataFrame(synth.build_seeds(self.cfg))
         return seeds_to_candidates(seeds, domain=self.params.domain)
 
     def run(self, resume: bool = False) -> list[GenStats]:

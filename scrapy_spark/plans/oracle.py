@@ -462,7 +462,13 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                     if nc is not None:
                         next_cands.append(nc)
                 for ref in r["image_refs"]:
-                    iu = synth.image_url(cfg, ref["image_id"])
+                    # twin of extract.py: real-HTML refs carry the absolute
+                    # URL already; synthetic ids reconstruct the image host
+                    iu = (
+                        ref["image_id"]
+                        if ref["image_id"].startswith("http")
+                        else synth.image_url(cfg, ref["image_id"])
+                    )
                     nc = _candidate(iu, c["url"], "img_tag", ref["alt"], c["depth"] + 1, params.domain)
                     if nc is not None:
                         next_cands.append(nc)
