@@ -116,17 +116,24 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Decode image bytes. Only PNG is implemented in this sandbox.
+    """Decode image bytes. PNG and baseline JPEG are implemented
+    from scratch (this module + functions/jpegfn — the reference handles
+    them via PIL, content_handlers.py:236).
 
-    STUB: jpeg/gif/webp decode needs codec libraries not present in the
-    container (reference handles them via PIL, content_handlers.py:236).
-    The Spark-side plumbing (binary column, UDF batch shape) is identical
-    for all formats; only the codec call differs.
+    STUB: gif/webp decode still needs codec libraries not present in the
+    container. The Spark-side plumbing (binary column, UDF batch shape) is
+    identical for all formats; only the codec call differs.
     """
     fmt = fmt.lower()
     if fmt == "png":
         return decode_png(data)
-    raise NotImplementedError(f"{fmt} codec unavailable in this environment (PNG only)")
+    if fmt in ("jpeg", "jpg"):
+        from .jpegfn import decode_jpeg
+
+        return decode_jpeg(data)
+    raise NotImplementedError(
+        f"{fmt} codec unavailable in this environment (PNG + baseline JPEG only)"
+    )
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:

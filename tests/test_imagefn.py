@@ -50,6 +50,15 @@ def test_psnr_degrades():
     assert 0 < val < float("inf")
 
 
-def test_non_png_fmt_stubbed():
+def test_remaining_fmt_stubs_and_jpeg_real():
+    # gif/webp stay stubbed (no codec libs in the container)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "jpeg")
+        decode_image(b"GIF89a", "gif")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP", "webp")
+    # jpeg is REAL now (from-scratch baseline codec, functions/jpegfn)
+    from scrapy_spark.functions.jpegfn import encode_jpeg
+
+    px = synth_pixels("img0000000000000009", 24, 16)
+    out = decode_image(encode_jpeg(px), "jpeg")
+    assert psnr(px, out) >= 40.0

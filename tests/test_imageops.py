@@ -34,12 +34,20 @@ def test_image_meta_matches_table(spark, images_df):
 def test_unavailable_codec_is_data_not_failure(spark, images_df):
     from pyspark.sql import functions as F
 
-    jpegish = images_df.limit(3).withColumn("fmt", F.lit("jpeg"))
-    rows = extract_image_meta(jpegish).collect()
+    # truly-absent codec (webp) -> NotImplementedError recorded as data
+    webpish = images_df.limit(3).withColumn("fmt", F.lit("webp"))
+    rows = extract_image_meta(webpish).collect()
     assert len(rows) == 3
     for r in rows:
         assert not r["decode_ok"]
         assert "NotImplementedError" in r["decode_error"]
+    # mislabeled bytes (PNG payload tagged jpeg) -> ValueError recorded,
+    # never a task failure (jpeg decode is real now, functions/jpegfn)
+    jpegish = images_df.limit(3).withColumn("fmt", F.lit("jpeg"))
+    rows = extract_image_meta(jpegish).collect()
+    for r in rows:
+        assert not r["decode_ok"]
+        assert "ValueError" in r["decode_error"]
 
 
 def test_psnr_parity_operator(spark, images_df):

@@ -1,0 +1,99 @@
+"""From-scratch baseline JPEG codec (functions/jpegfn): round-trip fidelity
+per the input_hint's lossy bar (PSNR >= 40 dB), structural validity, and the
+decode_image wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scrapy_spark.functions import jpegfn
+from scrapy_spark.functions.imagefn import decode_image, psnr, synth_pixels
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    return {
+        "synth": synth_pixels("img0000000000000042", 40, 28),
+        "gradient": np.linspace(0, 255, 64 * 48 * 3)
+        .reshape(48, 64, 3)
+        .astype(np.uint8),
+        "noise": rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+        "flat": np.full((8, 8, 3), 127, np.uint8),
+        "odd": synth_pixels("img0000000000000001", 13, 9),
+    }
+
+
+def test_roundtrip_psnr_at_least_40db():
+    """PSNR >= 40 dB at the default quality for EVERY case — including
+    uniform random noise, the worst case for DCT coding."""
+    for name, px in _cases().items():
+        data = jpegfn.encode_jpeg(px)
+        out = jpegfn.decode_jpeg(data)
+        assert out.shape == px.shape, name
+        p = psnr(px, out)
+        assert p >= 40.0, (name, p)
+
+
+def test_grayscale_input_roundtrip():
+    g = np.arange(0, 256, 8, dtype=np.uint8).reshape(4, 8).repeat(4, 0).repeat(2, 1)
+    out = jpegfn.decode_jpeg(jpegfn.encode_jpeg(g))
+    assert out.shape == (16, 16, 3)
+    assert psnr(np.stack([g] * 3, -1), out) >= 40.0
+
+
+def test_structure_and_magic():
+    data = jpegfn.encode_jpeg(_cases()["synth"])
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:24]
+    assert jpegfn.is_jpeg(data)
+    assert not jpegfn.is_jpeg(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        jpegfn.decode_jpeg(b"\x89PNG\r\n\x1a\n not a jpeg")
+
+
+def test_progressive_rejected_not_misdecoded():
+    """A SOF2 (progressive) stream must raise NotImplementedError, never
+    silently produce wrong pixels."""
+    data = bytearray(jpegfn.encode_jpeg(_cases()["flat"]))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpegfn.decode_jpeg(bytes(data))
+
+
+def test_quality_monotone_size_and_fidelity():
+    px = _cases()["synth"]
+    sizes, errs = [], []
+    for q in (50, 80, 97):
+        d = jpegfn.encode_jpeg(px, quality=q)
+        sizes.append(len(d))
+        errs.append(psnr(px, jpegfn.decode_jpeg(d)))
+    assert sizes == sorted(sizes)  # higher quality -> more bytes
+    assert errs == sorted(errs)  # ... and higher PSNR
+
+
+def test_decode_image_wiring():
+    px = _cases()["gradient"]
+    data = jpegfn.encode_jpeg(px)
+    for fmt in ("jpeg", "jpg", "JPEG"):
+        out = decode_image(data, fmt)
+        assert psnr(px, out) >= 40.0
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP", "webp")
+
+
+def test_byte_stuffing_roundtrip():
+    """Blocks engineered to emit 0xFF bytes in the entropy stream must
+    round-trip (stuffed 0xFF00 on write, unstuffed on read)."""
+    rng = np.random.default_rng(1234)
+    for trial in range(5):
+        px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        d = jpegfn.encode_jpeg(px, quality=90)
+        scan = d[d.index(b"\xff\xda") :]
+        out = jpegfn.decode_jpeg(d)
+        assert out.shape == px.shape
+        if b"\xff\x00" in scan:
+            break
+    else:
+        pytest.fail("no stuffed byte produced across trials")
