@@ -107,6 +107,14 @@ def image_dims(cfg: SynthConfig, image_id: str) -> tuple[int, int]:
     return w, h
 
 
+def image_fmt(cfg: SynthConfig, image_id: str) -> str:
+    """Deterministic format mix: ~1/8 of images are LOSSY baseline JPEG
+    (functions/jpegfn — makes the per-row PSNR>=40dB branch of the
+    input_hint invariant real instead of vacuously exact), the rest
+    lossless PNG."""
+    return "jpeg" if _h(cfg.seed, "ifmt", image_id) % 8 == 0 else "png"
+
+
 def image_caption(cfg: SynthConfig, image_id: str) -> str:
     k = _h(cfg.seed, "cap", image_id)
     ws = [WORDS[(k >> (8 * i)) % len(WORDS)] for i in range(4)]
@@ -287,13 +295,20 @@ def build_images(cfg: SynthConfig) -> pd.DataFrame:
         iid = image_id_at(cfg, gidx)
         w, h = image_dims(cfg, iid)
         px = synth_pixels(iid, w, h)
+        fmt = image_fmt(cfg, iid)
+        if fmt == "jpeg":
+            from ..functions.jpegfn import encode_jpeg
+
+            data = encode_jpeg(px)
+        else:
+            data = encode_png(px)
         rows.append(
             {
                 "image_id": iid,
-                "bytes": encode_png(px),
+                "bytes": data,
                 "w": np.int32(w),
                 "h": np.int32(h),
-                "fmt": "png",
+                "fmt": fmt,
                 "caption": image_caption(cfg, iid),
                 "phash": np.int64(phash64(px)),
             }
@@ -474,17 +489,24 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
     if iid is not None:
         w, h = image_dims(cfg, iid)
         px = synth_pixels(iid, w, h)
+        fmt = image_fmt(cfg, iid)
+        if fmt == "jpeg":
+            from ..functions.jpegfn import encode_jpeg
+
+            data = encode_jpeg(px)
+        else:
+            data = encode_png(px)
         return {
             "status_code": 200,
-            "content_type": "image/png",
+            "content_type": f"image/{fmt}",
             "title": None,
             "body_links": [],
             "image_refs": [],
             "raw_snippets": [],
-            "bytes": encode_png(px),
+            "bytes": data,
             "w": w,
             "h": h,
-            "fmt": "png",
+            "fmt": fmt,
         }
     pd_ = parse_pdf_url(cfg, url)
     if pd_ is not None:

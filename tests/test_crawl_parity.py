@@ -119,27 +119,40 @@ def test_content_classification_parity(oracle, spark_run):
 
 
 def test_caption_and_bytes_parity(oracle, spark_run):
-    """Per-row invariant vs reference: caption equality + PSNR >= 40 dB
-    (exact for lossless PNG) — BASELINE.json input_hint."""
+    """Per-row invariant vs reference: caption equality + decoded-pixel
+    PSNR >= 40 dB — exact (infinite) for lossless PNG, finite-but->=40 for
+    the LOSSY JPEG fraction vs the ORIGINAL pixels (BASELINE.json
+    input_hint: 'PSNR>=40dB for lossy')."""
+    from scrapy_spark.functions.jpegfn import decode_jpeg
+    from scrapy_spark.sources import synth as synth_mod
+
     ours = {
         (r["url"], r["attempt"], r["generation"]): (r["bytes"], r["caption"])
         for r in spark_run["results"]
     }
-    n_images = n_pdfs = 0
+    n_png = n_jpeg = n_pdfs = 0
     for o in oracle.scheduled:
         b, cap = ours[(o["url"], o["attempt"], o["generation"])]
         assert cap == o["caption"], o["url"]
         if o["bytes"] is None:
             assert b is None
-        else:
-            assert bytes(b) == o["bytes"]  # byte-identical (lossless)
-            if o["content_type"] == "image/png":
-                n_images += 1
-                p = psnr(decode_png(bytes(b)), decode_png(o["bytes"]))
-                assert p == float("inf") and p >= 40.0
-            elif o["content_type"] == "application/pdf":
-                n_pdfs += 1
-    assert n_images > 10
+            continue
+        assert bytes(b) == o["bytes"]  # byte-identical across ENGINES always
+        if o["content_type"] == "image/png":
+            n_png += 1
+            p = psnr(decode_png(bytes(b)), decode_png(o["bytes"]))
+            assert p == float("inf")
+        elif o["content_type"] == "image/jpeg":
+            n_jpeg += 1
+            iid = synth_mod.parse_image_url(CFG, o["url"])
+            w, h = synth_mod.image_dims(CFG, iid)
+            original = synth_mod.synth_pixels(iid, w, h)
+            p = psnr(original, decode_jpeg(bytes(b)))
+            assert 40.0 <= p < float("inf"), (o["url"], p)  # genuinely lossy
+        elif o["content_type"] == "application/pdf":
+            n_pdfs += 1
+    assert n_png > 10
+    assert n_jpeg > 2  # the lossy branch is exercised, not vacuous
     assert n_pdfs > 3  # pdf_link candidates fetched + byte-exact
 
 

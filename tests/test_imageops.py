@@ -22,13 +22,29 @@ def images_df(spark, tmp_path_factory):
 
 def test_image_meta_matches_table(spark, images_df):
     meta = {r["image_id"]: r for r in extract_image_meta(images_df).collect()}
-    src = {r["image_id"]: r for r in images_df.select("image_id", "w", "h", "phash").collect()}
+    src = {
+        r["image_id"]: r
+        for r in images_df.select("image_id", "w", "h", "fmt", "phash").collect()
+    }
     assert len(meta) == 25
+    n_jpeg = 0
     for iid, m in meta.items():
         assert m["decode_ok"], iid
         assert m["decoded_w"] == src[iid]["w"]
         assert m["decoded_h"] == src[iid]["h"]
-        assert m["decoded_phash"] == src[iid]["phash"]  # stored phash reproducible
+        if src[iid]["fmt"] == "png":
+            # lossless: stored phash reproduced bit-exactly
+            assert m["decoded_phash"] == src[iid]["phash"]
+        else:
+            # lossy jpeg: the PERCEPTUAL hash must survive compression
+            # within a small hamming distance — that robustness is phash's
+            # entire job
+            n_jpeg += 1
+            ham = bin(
+                (m["decoded_phash"] ^ src[iid]["phash"]) & ((1 << 64) - 1)
+            ).count("1")
+            assert ham <= 6, (iid, ham)
+    assert n_jpeg >= 1  # the mix includes lossy rows
 
 
 def test_unavailable_codec_is_data_not_failure(spark, images_df):
@@ -42,8 +58,13 @@ def test_unavailable_codec_is_data_not_failure(spark, images_df):
         assert not r["decode_ok"]
         assert "NotImplementedError" in r["decode_error"]
     # mislabeled bytes (PNG payload tagged jpeg) -> ValueError recorded,
-    # never a task failure (jpeg decode is real now, functions/jpegfn)
-    jpegish = images_df.limit(3).withColumn("fmt", F.lit("jpeg"))
+    # never a task failure (jpeg decode is real now, functions/jpegfn);
+    # filter to actual-PNG rows first — the synth image mix includes real
+    # JPEGs that would decode successfully
+    jpegish = (
+        images_df.filter(F.col("fmt") == "png").limit(3)
+        .withColumn("fmt", F.lit("jpeg"))
+    )
     rows = extract_image_meta(jpegish).collect()
     for r in rows:
         assert not r["decode_ok"]
