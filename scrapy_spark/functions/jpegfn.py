@@ -185,6 +185,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate the accumulator to the pending bits — without this it
+        # grows into an unbounded big-int and every shift goes quadratic
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -223,15 +226,26 @@ class _BitReader:
         self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # truncate consumed history — unbounded big-int otherwise (same
+        # quadratic-growth hazard as the writer accumulator)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def read_symbol(self, table) -> int:
+        # peek a 16-bit window once and test prefixes — one fill + one
+        # consume per symbol instead of a read(1) call per bit
         self._fill()
-        code = 0
+        window = (
+            (self.acc << (16 - self.nbits))
+            if self.nbits < 16
+            else (self.acc >> (self.nbits - 16))
+        ) & 0xFFFF
         for length in range(1, 17):
-            code = (code << 1) | self.read(1)
+            code = window >> (16 - length)
             sym = table.get((length, code))
             if sym is not None:
+                self.nbits -= length
+                self.acc &= (1 << self.nbits) - 1
                 return sym
         raise ValueError("invalid Huffman code in JPEG scan")
 
@@ -309,45 +323,55 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 97) -> bytes:
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
+    # vectorized transform: every 8x8 block of every component DCT'd,
+    # quantized, and zigzagged in a handful of numpy ops; only the entropy
+    # coding stays a per-coefficient python loop (bounded by the NONZERO
+    # count thanks to np.nonzero, not 64 per block)
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(nby * nbx, 3, 8, 8)
+        - 128.0
+    )
+    coef = np.einsum("ij,bcjk,lk->bcil", _D8, blocks, _D8)
+    qt = np.stack([lq2, cq2, cq2])  # per-component tables
+    qcoef = np.round(coef / qt[None, :, :, :]).astype(np.int64)
+    zz_all = qcoef.reshape(nby * nbx, 3, 64)[:, :, ZIGZAG]
+
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                block = padded[by : by + 8, bx : bx + 8, comp] - 128.0
-                coef = _D8 @ block @ _D8.T
-                qt = lq2 if comp == 0 else cq2
-                q = np.round(coef / qt).astype(np.int64)
-                zz = q.reshape(64)[ZIGZAG]
-                dct_codes = (dc_l, ac_l) if comp == 0 else (dc_c, ac_c)
-                dc_tab, ac_tab = dct_codes
-                # DC
-                diff = int(zz[0] - prev_dc[comp])
-                prev_dc[comp] = int(zz[0])
-                ssss = _magnitude_category(diff)
-                code, length = dc_tab[ssss]
+    tabs = ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
+    for b in range(nby * nbx):
+        for comp in range(3):
+            zz = zz_all[b, comp]
+            dc_tab, ac_tab = tabs[comp]
+            # DC
+            diff = int(zz[0]) - prev_dc[comp]
+            prev_dc[comp] = int(zz[0])
+            ssss = _magnitude_category(diff)
+            code, length = dc_tab[ssss]
+            bw.write(code, length)
+            if ssss:
+                bw.write(_encode_magnitude(diff, ssss), ssss)
+            # AC: iterate only the nonzero coefficients
+            (nz,) = np.nonzero(zz[1:])
+            prev_k = 0
+            for k in nz + 1:
+                run = int(k) - prev_k - 1
+                prev_k = int(k)
+                while run > 15:
+                    code, length = ac_tab[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                v = int(zz[k])
+                ssss = _magnitude_category(v)
+                code, length = ac_tab[(run << 4) | ssss]
                 bw.write(code, length)
-                if ssss:
-                    bw.write(_encode_magnitude(diff, ssss), ssss)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tab[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    ssss = _magnitude_category(v)
-                    code, length = ac_tab[(run << 4) | ssss]
-                    bw.write(code, length)
-                    bw.write(_encode_magnitude(v, ssss), ssss)
-                    run = 0
-                if run:
-                    code, length = ac_tab[0x00]  # EOB
-                    bw.write(code, length)
+                bw.write(_encode_magnitude(v, ssss), ssss)
+            if prev_k != 63:
+                code, length = ac_tab[0x00]  # EOB
+                bw.write(code, length)
     bw.flush()
 
     out = bytearray()
