@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.classify import py_classify
 from ..functions.errors import classify_error
 from ..plans.oracle import VALID_CONTENT_TYPES
 from ..sources.synth import SynthConfig, resolve, zipf_page_counts
@@ -44,7 +45,8 @@ FETCH_SCHEMA = (
     "body_links array<string>, "
     "image_refs array<struct<image_id:string,alt:string>>, "
     "raw_snippets array<struct<kind:string,text:string>>, "
-    "pdf_uris array<string>"
+    "pdf_uris array<string>, "
+    "content_category string, content_quality string, is_enrichable boolean"
 )
 
 IN_COLS = [
@@ -233,6 +235,23 @@ def fetch_frontier(
 
                     if pdffn.is_pdf(r["bytes"]):
                         pdf_uris = pdffn.pdf_link_uris(r["bytes"])
+                # stage-2→3 classification computed HERE, row-side, with the
+                # same python twin the sequential oracle uses
+                # (functions/classify.py_classify): the declarative
+                # when-chain form (the content_classification driver query)
+                # is equivalent but costs seconds of DRIVER-SERIAL plan
+                # analysis per generation — measured as an N→4N scaling
+                # efficiency loss, since serial driver work hurts the wide
+                # configuration relatively more. content_length = payload
+                # size, or the structured-page body-size proxy.
+                clen = (
+                    len(r["bytes"])
+                    if r["bytes"] is not None
+                    else 500
+                    + 120 * len(r["body_links"] or [])
+                    + 80 * len(r["image_refs"] or [])
+                )
+                cat, qual, enrichable = py_classify(sc, ct or "", clen)
                 out_rows.append(
                     {
                         "url": row.url,
@@ -261,6 +280,9 @@ def fetch_frontier(
                         "image_refs": r["image_refs"],
                         "raw_snippets": r.get("raw_snippets") or [],
                         "pdf_uris": pdf_uris,
+                        "content_category": cat,
+                        "content_quality": qual,
+                        "is_enrichable": enrichable,
                     }
                 )
             yield pd.DataFrame(out_rows)

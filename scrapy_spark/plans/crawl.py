@@ -25,7 +25,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import classify as classify_fns
 from ..functions import errors as errors_mod
 from ..operators import dedup as dedup_ops
 from ..operators import pagination as pagination_ops
@@ -357,42 +356,16 @@ class CrawlJob:
                 F.lit(None).cast("string")
             ),
         )
-        # content classification (stage-2→3 admission filter,
-        # content_classification.py:126-415): category/quality/is_enrichable
-        # as pure when-chains (functions/classify.py); content_length is the
-        # binary payload size, or a deterministic body-size proxy for
-        # structured pages (mirrored exactly in plans/oracle.py). Downstream
-        # extraction admits only enrichable rows.
-        _st = F.col("status_code")
-        _ct = F.coalesce(F.col("content_type"), F.lit(""))
-        _clen = F.coalesce(
-            F.octet_length("bytes"),
-            F.lit(500)
-            + F.lit(120) * F.coalesce(F.size("body_links"), F.lit(0))
-            + F.lit(80) * F.coalesce(F.size("image_refs"), F.lit(0)),
-        )
-        # sequential withColumns so quality/enrichable reference the
-        # ALREADY-COMPUTED category/quality columns — inlining the category
-        # chain three times costs seconds of analysis+codegen per generation
-        results = results.withColumn(
-            "content_category", classify_fns.category_col(_st, _ct)
-        )
-        results = results.withColumn(
-            "content_quality",
-            classify_fns.quality_col(
-                _st, _ct, _clen, category=F.col("content_category")
-            ),
-        )
-        results = results.withColumn(
-            "is_enrichable",
-            classify_fns.is_enrichable_col(
-                _st,
-                _ct,
-                _clen,
-                category=F.col("content_category"),
-                quality=F.col("content_quality"),
-            ),
-        )
+        # stage-2→3 classification columns (content_category /
+        # content_quality / is_enrichable) arrive FROM THE FETCH UDF
+        # (operators/fetch.py, functions/classify.py_classify — the same
+        # twin the sequential oracle runs). They were originally JVM
+        # when-chains here; even flattened, three CaseWhen columns cost
+        # seconds of driver-serial plan analysis PER GENERATION, which
+        # measured as an N→4N scaling-efficiency loss. Row-side computation
+        # inside the already-running Arrow batch is plan-free and
+        # parity-exact by construction. The declarative when-chain form
+        # remains the SQL-analytics surface (content_classification query).
         staged: dict[str, list[str]] = {}
         staged["fetch_results"] = self.catalog.stage(
             results.select(*RESULT_COLS), "fetch_results", gen
