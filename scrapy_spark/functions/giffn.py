@@ -1,0 +1,260 @@
+"""GIF87a codec from scratch — numpy + stdlib only.
+
+Closes the gif-decode stub with a real implementation: single-image,
+non-interlaced GIF87a with a global color table and full LZW
+compression/decompression (variable code width, clear/EOI codes, code
+table growth to 12 bits).
+
+GIF is inherently palettized: images with <= 256 distinct colors
+round-trip PIXEL-EXACT (the common case for real-web GIFs — logos, line
+art, UI chrome). Richer images are quantized to a 256-entry palette
+(6x7x6 color cube) at encode time; the decoder then reproduces the
+QUANTIZED pixels exactly — the quantization is the format's semantics,
+not codec error, and is pinned separately in tests/test_gif.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+# --- palette ---------------------------------------------------------------
+
+
+def _build_palette(px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(palette[n,3] uint8, indices[h,w]) — exact palette when the image has
+    <= 256 distinct colors, else a 6x7x6 color-cube quantization."""
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    packed = (
+        flat[:, 0].astype(np.int32) << 16
+        | flat[:, 1].astype(np.int32) << 8
+        | flat[:, 2].astype(np.int32)
+    )
+    uniq, inverse = np.unique(packed, return_inverse=True)
+    if len(uniq) <= 256:
+        pal = np.stack(
+            [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+        ).astype(np.uint8)
+        return pal, inverse.reshape(h, w).astype(np.int32)
+    # 6x7x6 cube (252 entries)
+    r = np.minimum(flat[:, 0].astype(np.int32) * 6 // 256, 5)
+    g = np.minimum(flat[:, 1].astype(np.int32) * 7 // 256, 6)
+    b = np.minimum(flat[:, 2].astype(np.int32) * 6 // 256, 5)
+    idx = (r * 7 + g) * 6 + b
+    rr = np.arange(6) * 255 // 5
+    gg = np.arange(7) * 255 // 6
+    bb = np.arange(6) * 255 // 5
+    pal = np.zeros((252, 3), dtype=np.uint8)
+    k = 0
+    for i in range(6):
+        for j in range(7):
+            for l in range(6):
+                pal[k] = (rr[i], gg[j], bb[l])
+                k += 1
+    return pal, idx.reshape(h, w).astype(np.int32)
+
+
+def quantize_for_gif(px: np.ndarray) -> np.ndarray:
+    """The pixels a GIF round-trip reproduces exactly."""
+    pal, idx = _build_palette(px)
+    return pal[idx]
+
+
+# --- LZW -------------------------------------------------------------------
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        # GIF packs codes LSB-first
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for v in indices.reshape(-1).tolist():
+        cur = prefix + bytes([v])
+        if cur in table:
+            prefix = cur
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([v])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return eoi
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = np.empty(n_pixels, dtype=np.int32)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        for b in entry:
+            if n_out >= n_pixels:
+                break
+            out[n_out] = b
+            n_out += 1
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError("truncated GIF pixel data")
+    return out
+
+
+# --- container -------------------------------------------------------------
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """uint8 RGB (h, w, 3) or grayscale (h, w) -> GIF87a bytes."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects uint8 RGB (h, w, 3) or (h, w)")
+    h, w = px.shape[:2]
+    pal, idx = _build_palette(px)
+    # global color table size: next power of two >= len(pal), min 2
+    bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    # image descriptor
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code_size = max(2, bits)
+    out += bytes([min_code_size])
+    lzw = _lzw_encode(idx, min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> uint8 RGB (h, w, 3). Single-image, non-interlaced,
+    global color table; 89a extension blocks are skipped."""
+    if not is_gif(data):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF without a color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            img = lct[np.clip(idx, 0, len(lct) - 1)].reshape(ih, iw, 3)
+            if (iw, ih) != (w, h) or ix or iy:
+                canvas = np.zeros((h, w, 3), dtype=np.uint8)
+                canvas[iy : iy + ih, ix : ix + iw] = img
+                return canvas
+            return img.astype(np.uint8)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")

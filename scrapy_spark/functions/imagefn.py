@@ -116,11 +116,12 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Decode image bytes. PNG and baseline JPEG are implemented
-    from scratch (this module + functions/jpegfn — the reference handles
-    them via PIL, content_handlers.py:236).
+    """Decode image bytes. PNG, baseline JPEG, and GIF87a/89a are
+    implemented from scratch (this module + functions/jpegfn +
+    functions/giffn — the reference handles them via PIL,
+    content_handlers.py:236).
 
-    STUB: gif/webp decode still needs codec libraries not present in the
+    STUB: webp decode still needs codec libraries not present in the
     container. The Spark-side plumbing (binary column, UDF batch shape) is
     identical for all formats; only the codec call differs.
     """
@@ -131,8 +132,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .jpegfn import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from .giffn import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
-        f"{fmt} codec unavailable in this environment (PNG + baseline JPEG only)"
+        f"{fmt} codec unavailable in this environment (PNG/JPEG/GIF only)"
     )
 
 

@@ -1,0 +1,71 @@
+"""From-scratch GIF87a codec (functions/giffn): LZW round-trips, palette
+semantics (pixel-exact for <= 256 colors, quantized-exact otherwise), and
+decode_image wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scrapy_spark.functions import giffn
+from scrapy_spark.functions.imagefn import decode_image
+
+
+def test_palette_friendly_pixel_exact():
+    """Real-web GIF content (logos, line art, <= 256 colors) round-trips
+    PIXEL-EXACT — GIF is lossless within its palette."""
+    logo = np.zeros((20, 30, 3), np.uint8)
+    logo[5:15, 5:25] = (200, 30, 30)
+    logo[8:12, 10:20] = (30, 30, 200)
+    out = giffn.decode_gif(giffn.encode_gif(logo))
+    assert np.array_equal(out, logo)
+
+
+def test_grayscale_256_colors_exact():
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    out = giffn.decode_gif(giffn.encode_gif(ramp))
+    assert np.array_equal(out, np.stack([ramp] * 3, axis=-1))
+
+
+def test_rich_image_quantized_exact():
+    """>256-color content quantizes at encode time; the DECODER then
+    reproduces the quantized pixels exactly — quantization is format
+    semantics, not codec error."""
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (15, 21, 3), dtype=np.uint8)
+    out = giffn.decode_gif(giffn.encode_gif(noise))
+    assert not np.array_equal(out, noise)
+    assert np.array_equal(out, giffn.quantize_for_gif(noise))
+
+
+def test_lzw_table_growth_and_reset():
+    """An image large/complex enough to push LZW past several width bumps
+    (and possibly a table reset at 4096 codes) still round-trips exactly."""
+    rng = np.random.default_rng(9)
+    # 64 colors -> exact palette; 9000 pixels of varied runs
+    vals = (rng.integers(0, 64, (75, 120), dtype=np.uint8) * 4).astype(np.uint8)
+    px = np.stack([vals, vals // 2, 255 - vals], axis=-1)
+    out = giffn.decode_gif(giffn.encode_gif(px))
+    assert np.array_equal(out, px)
+
+
+def test_structure_and_rejects():
+    d = giffn.encode_gif(np.full((4, 4, 3), 9, np.uint8))
+    assert d[:6] == b"GIF87a" and d[-1:] == b"\x3b"
+    assert giffn.is_gif(d)
+    with pytest.raises(ValueError):
+        giffn.decode_gif(b"\x89PNG\r\n\x1a\n")
+    # interlaced flag must be rejected, not mis-decoded
+    broken = bytearray(d)
+    idx = bytes(d).index(b"\x2c")
+    broken[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        giffn.decode_gif(bytes(broken))
+
+
+def test_decode_image_wiring():
+    logo = np.full((6, 6, 3), 77, np.uint8)
+    out = decode_image(giffn.encode_gif(logo), "gif")
+    assert np.array_equal(out, logo)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP", "webp")

@@ -50,15 +50,16 @@ def test_psnr_degrades():
     assert 0 < val < float("inf")
 
 
-def test_remaining_fmt_stubs_and_jpeg_real():
-    # gif/webp stay stubbed (no codec libs in the container)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a", "gif")
+def test_remaining_fmt_stubs_and_real_codecs():
+    # webp stays stubbed (no codec libs in the container)
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFFxxxxWEBP", "webp")
-    # jpeg is REAL now (from-scratch baseline codec, functions/jpegfn)
+    # jpeg and gif are REAL now (from-scratch codecs jpegfn/giffn)
+    from scrapy_spark.functions.giffn import encode_gif
     from scrapy_spark.functions.jpegfn import encode_jpeg
 
     px = synth_pixels("img0000000000000009", 24, 16)
     out = decode_image(encode_jpeg(px), "jpeg")
     assert psnr(px, out) >= 40.0
+    flat = np.full((5, 7, 3), 42, np.uint8)
+    assert np.array_equal(decode_image(encode_gif(flat), "gif"), flat)
