@@ -110,9 +110,39 @@ def image_dims(cfg: SynthConfig, image_id: str) -> tuple[int, int]:
 def image_fmt(cfg: SynthConfig, image_id: str) -> str:
     """Deterministic format mix: ~1/8 of images are LOSSY baseline JPEG
     (functions/jpegfn — makes the per-row PSNR>=40dB branch of the
-    input_hint invariant real instead of vacuously exact), the rest
-    lossless PNG."""
-    return "jpeg" if _h(cfg.seed, "ifmt", image_id) % 8 == 0 else "png"
+    input_hint invariant real instead of vacuously exact), ~1/16 are GIF
+    (functions/giffn; their SOURCE pixels are posterized to <= 64 colors so
+    the palettized format stays pixel-exact — the real-web GIF case), the
+    rest lossless PNG."""
+    k = _h(cfg.seed, "ifmt", image_id)
+    if k % 8 == 0:
+        return "jpeg"
+    if k % 16 == 1:
+        return "gif"
+    return "png"
+
+
+def image_pixels(cfg: SynthConfig, image_id: str, w: int, h: int) -> np.ndarray:
+    """Source pixels for an image, format-aware: GIF sources are posterized
+    (4 levels/channel -> <= 64 distinct colors) so GIF encoding is exactly
+    lossless; other formats use the full-range synthetic pixels."""
+    px = synth_pixels(image_id, w, h)
+    if image_fmt(cfg, image_id) == "gif":
+        return ((px // 64) * 64 + 32).astype(np.uint8)
+    return px
+
+
+def encode_image(cfg: SynthConfig, image_id: str, px: np.ndarray) -> bytes:
+    fmt = image_fmt(cfg, image_id)
+    if fmt == "jpeg":
+        from ..functions.jpegfn import encode_jpeg
+
+        return encode_jpeg(px)
+    if fmt == "gif":
+        from ..functions.giffn import encode_gif
+
+        return encode_gif(px)
+    return encode_png(px)
 
 
 def image_caption(cfg: SynthConfig, image_id: str) -> str:
@@ -294,14 +324,9 @@ def build_images(cfg: SynthConfig) -> pd.DataFrame:
     for gidx in range(cfg.n_images):
         iid = image_id_at(cfg, gidx)
         w, h = image_dims(cfg, iid)
-        px = synth_pixels(iid, w, h)
+        px = image_pixels(cfg, iid, w, h)
         fmt = image_fmt(cfg, iid)
-        if fmt == "jpeg":
-            from ..functions.jpegfn import encode_jpeg
-
-            data = encode_jpeg(px)
-        else:
-            data = encode_png(px)
+        data = encode_image(cfg, iid, px)
         rows.append(
             {
                 "image_id": iid,
@@ -488,14 +513,9 @@ def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> 
     iid = parse_image_url(cfg, url)
     if iid is not None:
         w, h = image_dims(cfg, iid)
-        px = synth_pixels(iid, w, h)
+        px = image_pixels(cfg, iid, w, h)
         fmt = image_fmt(cfg, iid)
-        if fmt == "jpeg":
-            from ..functions.jpegfn import encode_jpeg
-
-            data = encode_jpeg(px)
-        else:
-            data = encode_png(px)
+        data = encode_image(cfg, iid, px)
         return {
             "status_code": 200,
             "content_type": f"image/{fmt}",

@@ -123,6 +123,7 @@ def test_caption_and_bytes_parity(oracle, spark_run):
     PSNR >= 40 dB — exact (infinite) for lossless PNG, finite-but->=40 for
     the LOSSY JPEG fraction vs the ORIGINAL pixels (BASELINE.json
     input_hint: 'PSNR>=40dB for lossy')."""
+    from scrapy_spark.functions.giffn import decode_gif
     from scrapy_spark.functions.jpegfn import decode_jpeg
     from scrapy_spark.sources import synth as synth_mod
 
@@ -130,7 +131,7 @@ def test_caption_and_bytes_parity(oracle, spark_run):
         (r["url"], r["attempt"], r["generation"]): (r["bytes"], r["caption"])
         for r in spark_run["results"]
     }
-    n_png = n_jpeg = n_pdfs = 0
+    n_png = n_jpeg = n_gif = n_pdfs = 0
     for o in oracle.scheduled:
         b, cap = ours[(o["url"], o["attempt"], o["generation"])]
         assert cap == o["caption"], o["url"]
@@ -146,13 +147,22 @@ def test_caption_and_bytes_parity(oracle, spark_run):
             n_jpeg += 1
             iid = synth_mod.parse_image_url(CFG, o["url"])
             w, h = synth_mod.image_dims(CFG, iid)
-            original = synth_mod.synth_pixels(iid, w, h)
+            original = synth_mod.image_pixels(CFG, iid, w, h)
             p = psnr(original, decode_jpeg(bytes(b)))
             assert 40.0 <= p < float("inf"), (o["url"], p)  # genuinely lossy
+        elif o["content_type"] == "image/gif":
+            n_gif += 1
+            iid = synth_mod.parse_image_url(CFG, o["url"])
+            w, h = synth_mod.image_dims(CFG, iid)
+            original = synth_mod.image_pixels(CFG, iid, w, h)
+            # palettized but pixel-exact for <=64-color sources
+            p = psnr(original, decode_gif(bytes(b)))
+            assert p == float("inf"), (o["url"], p)
         elif o["content_type"] == "application/pdf":
             n_pdfs += 1
     assert n_png > 10
     assert n_jpeg > 2  # the lossy branch is exercised, not vacuous
+    assert n_gif >= 1  # the palettized branch too
     assert n_pdfs > 3  # pdf_link candidates fetched + byte-exact
 
 
