@@ -87,7 +87,7 @@ def _build_parser() -> argparse.ArgumentParser:
     x.add_argument("--workdir", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--table", default="fetch_results")
-    x.add_argument("--format", choices=["csv", "json"], default="csv")
+    x.add_argument("--format", choices=["csv", "json", "orc"], default="csv")
     x.add_argument("--compression", default="gzip")
     x.add_argument(
         "--drop-bytes",
@@ -186,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
                 df = df.drop("bytes")
             if args.format == "csv":
                 export_csv(df, args.out, compression=args.compression)
+            elif args.format == "orc":
+                # columnar interchange sink (Spark-native; no flattening
+                # needed — ORC carries the nested schema)
+                df.write.mode("overwrite").option(
+                    "compression",
+                    "zlib" if args.compression == "gzip" else args.compression,
+                ).orc(args.out)
             else:
                 export_json(df, args.out, compression=args.compression)
             n = spark.read.format(args.format).option("header", True).load(args.out).count()
