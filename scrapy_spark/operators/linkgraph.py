@@ -17,7 +17,7 @@ results) rather than convergence-tested when used in oracle-checked paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

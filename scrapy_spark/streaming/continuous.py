@@ -16,7 +16,7 @@ micro-batching. Two genuinely streaming pieces are still useful:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
