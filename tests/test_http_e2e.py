@@ -35,17 +35,24 @@ def site(tmp_path_factory):
         author="tester",
         link_uris=["http://127.0.0.1/page2.html"],
     )
+    from scrapy_spark.functions.giffn import encode_gif
+
+    logo = np.zeros((10, 14, 3), np.uint8)
+    logo[2:8, 3:11] = (10, 200, 60)
+    gif = encode_gif(logo)
     (root / "i").mkdir()
     (root / "index.html").write_text(
         "<html><head><title>E2E Index</title></head><body>"
         '<a href="/page2.html">two</a> <a href="doc.pdf">doc</a>'
         '<img src="/i/img1.png" alt="a test image">'
+        '<img src="/i/logo.gif" alt="a gif logo">'
         "</body></html>"
     )
     (root / "page2.html").write_text(
         "<html><head><title>Page Two</title></head><body>fin</body></html>"
     )
     (root / "i" / "img1.png").write_bytes(png)
+    (root / "i" / "logo.gif").write_bytes(gif)
     (root / "doc.pdf").write_bytes(pdf)
 
     class Handler(SimpleHTTPRequestHandler):
@@ -64,7 +71,14 @@ def site(tmp_path_factory):
     s.bind(("127.0.0.1", 0))
     dead_port = s.getsockname()[1]
     s.close()
-    yield {"port": port, "dead_port": dead_port, "png": png, "pdf": pdf}
+    yield {
+        "port": port,
+        "dead_port": dead_port,
+        "png": png,
+        "pdf": pdf,
+        "gif": gif,
+        "logo": logo,
+    }
     srv.shutdown()
 
 
@@ -105,7 +119,10 @@ def test_real_http_fetch_end_to_end(spark, site):
     assert f"{base}/page2.html" in idx["body_links"]
     assert f"{base}/doc.pdf" in idx["body_links"]
     refs = {r["image_id"]: r["alt"] for r in idx["image_refs"]}
-    assert refs == {f"{base}/i/img1.png": "a test image"}
+    assert refs == {
+        f"{base}/i/img1.png": "a test image",
+        f"{base}/i/logo.gif": "a gif logo",
+    }
 
     png_row = rows[f"{base}/i/img1.png"]
     assert png_row["status_code"] == 200 and png_row["fmt"] == "png"
@@ -154,6 +171,16 @@ def test_real_http_crawl_job(spark, site, tmp_path):
     img = rows[f"{base}/i/img1.png"]
     assert img["generation"] == 1 and bytes(img["bytes"]) == site["png"]
     assert img["source_type"] == "img_tag" and img["caption"] == "a test image"
+    # a real-web GIF flows through fetch AND decodes with the from-scratch
+    # codec, pixel-exact (palettized content)
+    gif_row = rows[f"{base}/i/logo.gif"]
+    assert gif_row["content_type"] == "image/gif"
+    assert bytes(gif_row["bytes"]) == site["gif"]
+    from scrapy_spark.functions.imagefn import decode_image
+
+    assert np.array_equal(
+        decode_image(bytes(gif_row["bytes"]), "gif"), site["logo"]
+    )
     pdf = rows[f"{base}/doc.pdf"]
     assert pdf["source_type"] == "pdf_link"
     assert bytes(pdf["bytes"]) == site["pdf"]
