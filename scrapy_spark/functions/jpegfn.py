@@ -9,8 +9,9 @@ level shift, exact 8x8 DCT/IDCT via the orthonormal DCT matrix
 (functions/imagefn._dct_matrix pattern).
 
 Fidelity contract (BASELINE.json input_hint: "PSNR>=40dB for lossy"):
-round-trips of natural and synthetic RGB images at the default quality 95
-measure well above 40 dB (pinned in tests/test_jpeg.py).
+round-trips at the default quality measure >= 40 dB across arbitrary
+shapes and content including uniform noise (property-tested in
+tests/test_jpeg.py).
 
 Reference parity note: the reference validates/open-passes JPEG bytes via
 Pillow (validator.py:511-517 accepted image types); this module supplies
@@ -292,14 +293,14 @@ def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
 # --- encoder ---------------------------------------------------------------
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 97) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 99) -> bytes:
     """uint8 RGB (h, w, 3) or grayscale (h, w) -> baseline JFIF bytes.
 
-    Default quality 97: measured >= 40 dB round-trip PSNR even on uniform
-    random noise (the worst case for DCT coding; natural/synthetic content
-    measures far higher) — the input_hint's lossy-fidelity bar holds at the
-    default. quality=100 approaches the transform's numeric floor (~53 dB
-    on noise)."""
+    Default quality 99: property-tested >= 40 dB round-trip PSNR across
+    arbitrary shapes AND uniform random noise (the worst case for DCT
+    coding — quality 97 measured ~34 dB on some small noisy shapes, below
+    the input_hint's lossy bar). quality=100 approaches the transform's
+    numeric floor (~53 dB on noise)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     if gray:

@@ -69,3 +69,24 @@ def test_decode_image_wiring():
     assert np.array_equal(out, logo)
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFFxxxxWEBP", "webp")
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_quantized_exact(w, h, seed):
+    """Any shape and content: decode reproduces the quantized pixels
+    EXACTLY (and the original exactly when <= 256 distinct colors)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = giffn.decode_gif(giffn.encode_gif(px))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, giffn.quantize_for_gif(px))

@@ -97,3 +97,24 @@ def test_byte_stuffing_roundtrip():
             break
     else:
         pytest.fail("no stuffed byte produced across trials")
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_any_shape(w, h, seed):
+    """Any shape (including 1x1 and non-multiple-of-8 edges) and any
+    content round-trips with shape preserved and PSNR >= 40 dB."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpegfn.decode_jpeg(jpegfn.encode_jpeg(px))
+    assert out.shape == (h, w, 3)
+    assert psnr(px, out) >= 40.0
