@@ -477,3 +477,38 @@ def test_pagination_cache_parity(spark, tmp_path_factory):
     assert guesses, "no pagination guesses scheduled - fixture ineffective"
     assert any(r["is_valid"] for r in guesses)  # guessed real pages
     assert any(not r["is_valid"] for r in guesses)  # probed past the end
+
+
+def test_lineage_path_traces_to_seed(oracle, spark_run):
+    """get_lineage_path semantics (lineage.py:240-280): any fetched URL
+    walks back through its discovery edges to a seed, matching a python
+    walk over the oracle's rows hop for hop."""
+    from scrapy_spark.operators.lineage_path import lineage_path
+
+    spark = spark_run["job"].spark
+    fr = spark_run["job"].catalog.read(spark, "fetch_results")
+    # pick a deep mined/linked page (guaranteed non-seed)
+    deep = sorted(
+        (r for r in oracle.scheduled if r["depth"] >= 2 and r["is_valid"]),
+        key=lambda r: (-r["depth"], r["url"]),
+    )[0]
+    path = lineage_path(fr, deep["url"])
+    assert path and path[0]["url"] == deep["url"]
+    assert path[-1]["source_type"] == "seed" or path[-1]["source_url"] is None
+    # python twin over oracle rows (first fetch of each url wins, like the
+    # operator's (generation, depth) order)
+    by_url = {}
+    for r in sorted(oracle.scheduled, key=lambda r: (r["generation"], r["depth"])):
+        by_url.setdefault(r["url"], r)
+    want = []
+    cur, seen = deep["url"], set()
+    while cur and cur not in seen:
+        seen.add(cur)
+        row = by_url.get(cur)
+        if row is None:
+            break
+        want.append((row["url"], row["source_url"], row["source_type"]))
+        cur = row["source_url"]
+    got = [(p["url"], p["source_url"], p["source_type"]) for p in path]
+    assert got == want
+    assert len(path) >= 2  # genuinely multi-hop
