@@ -97,6 +97,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     x.add_argument("--master", default=None)
 
+    ln = sub.add_parser(
+        "lineage",
+        help="trace a fetched URL backwards through its discovery edges to "
+        "the seed (lineage.py get_lineage_path semantics)",
+    )
+    ln.add_argument("--workdir", required=True)
+    ln.add_argument("--url", required=True)
+    ln.add_argument("--master", default=None)
+
     w = sub.add_parser(
         "warehouse",
         help="dimensional (star-schema) export of fetch_results "
@@ -197,6 +206,37 @@ def main(argv: list[str] | None = None) -> int:
                 export_json(df, args.out, compression=args.compression)
             n = spark.read.format(args.format).option("header", True).load(args.out).count()
             print(json.dumps({"table": args.table, "format": args.format, "rows": n}))
+        elif args.cmd == "lineage":
+            from scrapy_spark.operators.lineage_path import lineage_path
+
+            cat = SnapshotCatalog(args.workdir)
+            fr = cat.read(spark, "fetch_results")
+            if fr is None:
+                print("no fetch_results in " + args.workdir, file=sys.stderr)
+                return 2
+            path = lineage_path(fr, args.url)
+            if not path:
+                print(json.dumps({"url": args.url, "path": [], "found": False}))
+                return 2
+            print(
+                json.dumps(
+                    {
+                        "url": args.url,
+                        "found": True,
+                        "hops": len(path),
+                        "path": [
+                            {
+                                "url": p["url"],
+                                "source_url": p["source_url"],
+                                "source_type": p["source_type"],
+                                "generation": p["generation"],
+                                "depth": p["depth"],
+                            }
+                            for p in path
+                        ],
+                    }
+                )
+            )
         elif args.cmd == "warehouse":
             from scrapy_spark.sources.warehouse import star_export
 
