@@ -97,6 +97,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     x.add_argument("--master", default=None)
 
+    q = sub.add_parser(
+        "query",
+        help="run a registered analytics query by name over a parquet "
+        "table directory (the datalake-analytics surface; list names "
+        "with --list)",
+    )
+    q.add_argument("--name", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--show", type=int, default=20)
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--master", default=None)
+
     ln = sub.add_parser(
         "lineage",
         help="trace a fetched URL backwards through its discovery edges to "
@@ -206,6 +218,19 @@ def main(argv: list[str] | None = None) -> int:
                 export_json(df, args.out, compression=args.compression)
             n = spark.read.format(args.format).option("header", True).load(args.out).count()
             print(json.dumps({"table": args.table, "format": args.format, "rows": n}))
+        elif args.cmd == "query":
+            from scrapy_spark.entry_queries import QUERIES
+
+            if args.list or args.name is None:
+                for name in QUERIES:
+                    print(name)
+                return 0
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r} (use --list)", file=sys.stderr)
+                return 2
+            df = QUERIES[args.name][0](spark, args.sf_dir)
+            df.show(args.show, truncate=False)
+            print(json.dumps({"query": args.name, "rows": df.count()}))
         elif args.cmd == "lineage":
             from scrapy_spark.operators.lineage_path import lineage_path
 
