@@ -112,7 +112,14 @@ def main() -> None:
                  "--budget", str(budget)],
                 capture_output=True, text=True, cwd=str(REPO), timeout=3600,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                sys.stderr.write(out.stderr)
+                sys.exit(
+                    f"child run (budget={budget}) failed "
+                    f"(rc={out.returncode}, no JSON line) — stderr above"
+                )
+            line = lines[-1]
             res[budget] = json.loads(line)
             print(line)
         r1, r2 = res[700], res[1400]
@@ -151,7 +158,14 @@ Reproduce: `python bench_scaling.py --data-scale` (appends this section).
             [sys.executable, __file__, "--once", "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=str(REPO), timeout=3600,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr)
+            sys.exit(
+                f"child run (cpus={cpus}) failed "
+                f"(rc={out.returncode}, no JSON line) — stderr above"
+            )
+        line = lines[-1]
         results[cpus] = json.loads(line)
         print(line)
 

@@ -296,6 +296,13 @@ def main(argv: list[str] | None = None) -> int:
             if cands is not None:
                 from pyspark.sql import functions as F
 
+                # candidates holds EVERY committed generation's staged rows
+                # (crawl.py filters generation==gen on read); the pending set
+                # is only the next generation's — filter first or the estimate
+                # overcounts by all already-processed generations
+                cands = cands.filter(
+                    F.col("generation") == cat.committed_generation() + 1
+                )
                 est = cands.agg(
                     F.max("generation").alias("next_generation"),
                     F.approx_count_distinct("raw_url").alias(

@@ -3106,14 +3106,12 @@ DRIVER_QUERY_NAMES: list[str] = [
     "heuristic_url_mining",
     "keyword_expansion",
     "content_analysis",
-    "domain_latency_percentiles",
+    "domain_health",
     "warehouse_scd_versions",
 ]
-
-assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
-assert len(set(DRIVER_QUERY_NAMES)) == 50
-for _n in DRIVER_QUERY_NAMES:
-    assert _n in QUERIES, _n
+# NOTE: "domain_health" = combo(domain_latency_percentiles ⋈ request_patterns)
+# on the shared domain grain — defined at the bottom of this module, so the
+# registry-closure asserts run at the very end of the file (after every @_q).
 
 
 def _page_importance_sql() -> str:
@@ -3258,3 +3256,57 @@ def request_patterns(spark, sf_dir):
         ),
     )
     return timeouts.unionByName(limited)
+
+
+def _combo_domain_health_sql() -> str:
+    return f"""
+    SELECT l.domain, l.n_requests, l.n_errors, l.error_rate,
+           l.p50_micros, l.p95_micros, l.p99_micros, l.optimal_timeout_micros,
+           p.timeout_hits, p.timeout_rate, p.ratelimit_hits, p.ratelimit_rate
+    FROM {_sub("domain_latency_percentiles")} l
+    LEFT JOIN (
+      SELECT domain,
+             max(CASE WHEN pattern_type = 'high_timeout_domains'
+                      THEN n_hits END) AS timeout_hits,
+             max(CASE WHEN pattern_type = 'high_timeout_domains'
+                      THEN hit_rate END) AS timeout_rate,
+             max(CASE WHEN pattern_type = 'aggressive_rate_limiting'
+                      THEN n_hits END) AS ratelimit_hits,
+             max(CASE WHEN pattern_type = 'aggressive_rate_limiting'
+                      THEN hit_rate END) AS ratelimit_rate
+      FROM {_sub("request_patterns")} GROUP BY domain
+    ) p USING (domain)
+    """
+
+
+@_q("domain_health", None)
+def domain_health(spark, sf_dir):
+    """COMBO: per-domain health view — latency percentile rollups (C4,
+    analytics_engine.py:91-189) LEFT JOIN the cross-domain failure patterns
+    (C5, analytics_engine.py:189-260) pivoted to one row per flagged domain.
+    Shared domain grain, one shuffle key; pattern columns are NULL for
+    healthy domains (exactly the rows C5's thresholds exclude), so both
+    member semantics are driver-verified in one 25-row result."""
+    lat = QUERIES["domain_latency_percentiles"][0](spark, sf_dir)
+    rp = QUERIES["request_patterns"][0](spark, sf_dir)
+
+    def _pick(pt, col):
+        return F.max(F.when(F.col("pattern_type") == pt, F.col(col)))
+
+    pivot = rp.groupBy("domain").agg(
+        _pick("high_timeout_domains", "n_hits").alias("timeout_hits"),
+        _pick("high_timeout_domains", "hit_rate").alias("timeout_rate"),
+        _pick("aggressive_rate_limiting", "n_hits").alias("ratelimit_hits"),
+        _pick("aggressive_rate_limiting", "hit_rate").alias("ratelimit_rate"),
+    )
+    return lat.join(F.broadcast(pivot), "domain", "left")
+
+
+QUERIES["domain_health"] = (domain_health, _combo_domain_health_sql())
+
+
+# registry-closure checks (kept at module end so every @_q has registered)
+assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
+assert len(set(DRIVER_QUERY_NAMES)) == 50
+for _n in DRIVER_QUERY_NAMES:
+    assert _n in QUERIES, _n

@@ -36,7 +36,11 @@ def lineage_path(
         visited.add(current)
         rows = (
             edges.filter(F.col("url") == current)
-            .orderBy(F.col("generation").asc(), F.col("depth").asc())
+            # total order: (generation, depth) alone is not unique if a URL
+            # ever gains two rows at the same coordinates (e.g. retry /
+            # revalidate placement changes) — append deterministic final keys
+            # so the hop choice can never become shuffle-order-dependent
+            .orderBy("generation", "depth", "source_type", "source_url")
             .limit(1)
             .collect()
         )
