@@ -15,10 +15,11 @@ container, so this module provides:
   matmul -> top-left 8x8 median threshold);
 - ``psnr`` for the parity check (J8 in SURVEY §2.4).
 
-JPEG/GIF/WEBP codecs are NOT available in this environment; ``decode_image``
-raises NotImplementedError for them (clearly-marked stub per the build rules).
-All callers batch through Arrow (mapInPandas/pandas UDF) — no per-row Python
-at the Spark API level.
+JPEG/GIF/WEBP(VP8L) codecs are from-scratch siblings (functions/jpegfn,
+functions/giffn, functions/webpfn) wired through ``decode_image``; only
+lossy-VP8 WebP remains a labeled NotImplementedError. All callers batch
+through Arrow (mapInPandas/pandas UDF) — no per-row Python at the Spark API
+level.
 """
 
 from __future__ import annotations
@@ -116,15 +117,13 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Decode image bytes. PNG, baseline JPEG, and GIF87a/89a are
-    implemented from scratch (this module + functions/jpegfn +
-    functions/giffn — the reference handles them via PIL,
-    content_handlers.py:236).
-
-    STUB: webp decode still needs codec libraries not present in the
-    container. The Spark-side plumbing (binary column, UDF batch shape) is
-    identical for all formats; only the codec call differs.
-    """
+    """Decode image bytes. PNG, baseline JPEG, GIF87a/89a, and lossless
+    WebP (VP8L) are implemented from scratch (this module +
+    functions/jpegfn + functions/giffn + functions/webpfn — the reference
+    handles them via PIL, content_handlers.py:236; it accepts image/webp
+    at validator.py:511-520). Lossy-VP8 WebP raises a labeled
+    NotImplementedError inside webpfn (the VP8L subset is the lossless
+    format; no from-scratch path to the lossy predictor stack here)."""
     fmt = fmt.lower()
     if fmt == "png":
         return decode_png(data)
@@ -136,8 +135,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .giffn import decode_gif
 
         return decode_gif(data)
+    if fmt == "webp":
+        from .webpfn import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        f"{fmt} codec unavailable in this environment (PNG/JPEG/GIF only)"
+        f"{fmt} codec unavailable in this environment (PNG/JPEG/GIF/WEBP only)"
     )
 
 

@@ -1,0 +1,578 @@
+"""WebP lossless (VP8L) codec from scratch — numpy + stdlib only.
+
+Closes the last image-decode stub: the reference accepts ``image/webp``
+(``Scraping_project/src/stage2/validator.py:511-520``) and decodes it via
+PIL (``content_handlers.py:236``); PIL is absent here, so this module
+implements the public "WebP Lossless Bitstream Specification" (VP8L)
+directly, the same way functions/jpegfn and functions/giffn close the
+JPEG/GIF stubs.
+
+Implemented subset (lossless is exact — every encoded image round-trips
+PIXEL-EXACT):
+
+- RIFF/WEBP container with a VP8L chunk (encoder + decoder);
+- LSB-first bitstream, canonical prefix codes transmitted DEFLATE-style
+  (code-length code in the VP8L symbol order, zero-run codes 17/18,
+  repeat code 16, the optional max-symbol short-circuit on read);
+- "simple" 1/2-symbol prefix codes and full package-merge length-limited
+  (15 / 7) Huffman codes;
+- the subtract-green transform (the only transform the encoder emits);
+- LZ77 backward references with the *linear* distance codes
+  (dist_code > 120) and the full length/distance prefix+extra-bits
+  scheme — the encoder emits distance-1 runs, the decoder handles any
+  linear distance;
+- the color cache (hash 0x1e35a7bd, 1-11 bits) on both sides
+  (encoder opt-in via ``use_color_cache=True``).
+
+NOT implemented (clearly-labeled NotImplementedError, never wrong pixels):
+lossy VP8 / VP8X-extended files, the predictor / color / color-indexing
+transforms, meta-Huffman entropy images, and the 2D distance-map codes
+1..120 (the spec's neighborhood table; this encoder never emits them).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+
+import numpy as np
+
+_HASH_MUL = 0x1E35A7BD
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+_MAX_CODE_LEN = 15  # symbol codes
+_MAX_CL_CODE_LEN = 7  # code-length code (stored in 3 bits)
+_NUM_LENGTH_CODES = 24
+_NUM_DIST_CODES = 40
+_MAX_LZ_LENGTH = 4096
+
+
+def is_webp(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+
+
+# --- bit I/O (LSB-first per the VP8L spec) ---------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        """n bits of value, LSB-first."""
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman code bits, MSB of the code first (DEFLATE convention)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.byte = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_sym(self, tree) -> int:
+        kind, payload = tree
+        if kind == "trivial":
+            return payload
+        table, maxlen = payload
+        code = 0
+        for length in range(1, maxlen + 1):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+# --- canonical Huffman ------------------------------------------------------
+
+
+def _package_merge(freqs: list[tuple[int, int]], limit: int) -> dict[int, int]:
+    """Length-limited optimal code lengths (package-merge). ``freqs`` is a
+    list of (count, symbol) with >= 2 entries; returns {symbol: length}."""
+    base = sorted((c, (s,)) for c, s in freqs)
+    lists = list(base)
+    for _ in range(limit - 1):
+        packaged = []
+        for i in range(0, len(lists) - 1, 2):
+            packaged.append((lists[i][0] + lists[i + 1][0], lists[i][1] + lists[i + 1][1]))
+        lists = sorted(base + packaged)
+    lengths: Counter = Counter()
+    for _, syms in lists[: 2 * len(base) - 2]:
+        lengths.update(syms)
+    return dict(lengths)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (code, length)} — canonical assignment: shorter codes first,
+    ties by symbol value (DEFLATE / VP8L)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    last_len = None
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        length = lengths[sym]
+        if last_len is None:
+            code = 0
+        else:
+            code = (code + 1) << (length - last_len)
+        codes[sym] = (code, length)
+        last_len = length
+    return codes
+
+
+def _decode_tree(lengths: dict[int, int]):
+    """Build the decoder-side tree representation from {symbol: length}."""
+    used = {s: l for s, l in lengths.items() if l > 0}
+    if not used:
+        raise ValueError("empty prefix code")
+    if len(used) == 1:
+        return ("trivial", next(iter(used)))
+    codes = _canonical_codes(used)
+    table = {(l, c): s for s, (c, l) in codes.items()}
+    return ("table", (table, max(used.values())))
+
+
+# --- length / distance prefix coding ---------------------------------------
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_code, extra_bits, extra_value)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    x = value - 1
+    b = x.bit_length() - 1
+    s = (x >> (b - 1)) & 1
+    prefix = 2 * b + s
+    extra_bits = b - 1
+    offset = (2 + s) << extra_bits
+    return prefix, extra_bits, x - offset
+
+
+def _prefix_decode(prefix: int, br: _BitReader) -> int:
+    if prefix < 4:
+        return prefix + 1
+    extra_bits = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+# --- Huffman code (de)serialization ----------------------------------------
+
+
+def _write_code_lengths(bw: _BitWriter, lengths: dict[int, int], alphabet: int) -> None:
+    """Serialize one prefix code: simple form when <= 2 used symbols fit the
+    8-bit fields, else the code-length-coded normal form."""
+    used = sorted((s for s, l in lengths.items() if l > 0))
+    if len(used) <= 2 and (not used or used[-1] < 256):
+        bw.write(1, 1)  # simple
+        if not used:
+            used = [0]
+        bw.write(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        return
+
+    bw.write(0, 1)  # normal
+    # RLE the full-alphabet length sequence: literals 0-15, 16 = repeat the
+    # previous nonzero length 3-6x, 17/18 = zero runs 3-10 / 11-138
+    seq = [lengths.get(s, 0) for s in range(alphabet)]
+    tokens: list[tuple[int, int, int]] = []  # (cl_symbol, extra_bits, extra_val)
+    i = 0
+    prev_nonzero = 8
+    while i < len(seq):
+        v = seq[i]
+        run = 1
+        while i + run < len(seq) and seq[i + run] == v:
+            run += 1
+        if v == 0:
+            left = run
+            while left >= 11:
+                take = min(left, 138)
+                tokens.append((18, 7, take - 11))
+                left -= take
+            while left >= 3:
+                take = min(left, 10)
+                tokens.append((17, 3, take - 3))
+                left -= take
+            tokens.extend((0, 0, 0) for _ in range(left))
+        else:
+            emitted_literal = v != prev_nonzero
+            left = run
+            if emitted_literal:
+                tokens.append((v, 0, 0))
+                left -= 1
+            while left >= 3:
+                take = min(left, 6)
+                tokens.append((16, 2, take - 3))
+                left -= take
+            tokens.extend((v, 0, 0) for _ in range(left))
+            prev_nonzero = v
+        i += run
+
+    hist = Counter(t[0] for t in tokens)
+    if len(hist) == 1:
+        cl_lengths = {next(iter(hist)): 1}
+    else:
+        cl_lengths = _package_merge([(c, s) for s, c in hist.items()], _MAX_CL_CODE_LEN)
+    # number of 3-bit length slots to cover every used cl symbol in order
+    positions = [
+        _CODE_LENGTH_ORDER.index(s) for s in cl_lengths
+    ]
+    num = max(4, max(positions) + 1)
+    bw.write(num - 4, 4)
+    for s in _CODE_LENGTH_ORDER[:num]:
+        bw.write(cl_lengths.get(s, 0), 3)
+    bw.write(0, 1)  # no max-symbol short-circuit: full alphabet is coded
+    cl_codes = _canonical_codes({s: l for s, l in cl_lengths.items()}) if len(
+        cl_lengths
+    ) > 1 else {}
+    for sym, extra_bits, extra_val in tokens:
+        if cl_codes:
+            code, ln = cl_codes[sym]
+            bw.write_code(code, ln)
+        # single-symbol code-length code: 0 bits per token symbol
+        if extra_bits:
+            bw.write(extra_val, extra_bits)
+
+
+def _read_code_lengths(br: _BitReader, alphabet: int):
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        if num_symbols == 1:
+            return ("trivial", sym0)
+        sym1 = br.read(8)
+        # two 1-bit codes; canonical order = ascending symbol (the encoder
+        # writes them ascending, so read order == canonical order)
+        return ("table", ({(1, 0): sym0, (1, 1): sym1}, 1))
+
+    num = br.read(4) + 4
+    cl_lengths: dict[int, int] = {}
+    for s in _CODE_LENGTH_ORDER[:num]:
+        ln = br.read(3)
+        if ln:
+            cl_lengths[s] = ln
+    cl_tree = _decode_tree(cl_lengths)
+
+    if br.read(1):  # max-symbol short-circuit present
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+
+    lengths: dict[int, int] = {}
+    sym = 0
+    prev_nonzero = 8
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = br.read_sym(cl_tree)
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev_nonzero = cl
+            sym += 1
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym < alphabet:
+                    lengths[sym] = prev_nonzero
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _decode_tree(lengths)
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _cache_index(argb: int, bits: int) -> int:
+    return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def encode_webp(
+    pixels: np.ndarray, use_color_cache: bool = False, cache_bits: int = 6
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a lossless WebP (VP8L)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    if w > 16384 or h > 16384 or w < 1 or h < 1:
+        raise ValueError("VP8L dimensions must be 1..16384")
+
+    # subtract-green transform (spec transform type 2)
+    px = pixels.astype(np.int32)
+    g = px[:, :, 1]
+    r = (px[:, :, 0] - g) & 0xFF
+    b = (px[:, :, 2] - g) & 0xFF
+    flat = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1).tolist()
+
+    cache_size = (1 << cache_bits) if use_color_cache else 0
+    green_alphabet = 256 + _NUM_LENGTH_CODES + cache_size
+    cache = [0] * cache_size
+
+    # event stream: ('lit', argb) | ('copy', run_len) | ('cache', index)
+    events: list[tuple[str, int]] = []
+    n = len(flat)
+    i = 0
+    while i < n:
+        if i > 0 and flat[i] == flat[i - 1]:
+            run = 1
+            while i + run < n and flat[i + run] == flat[i - 1] and run < _MAX_LZ_LENGTH:
+                run += 1
+            if run >= 4:
+                events.append(("copy", run))
+                if cache_size:
+                    cache[_cache_index(flat[i - 1], cache_bits)] = flat[i - 1]
+                i += run
+                continue
+        v = flat[i]
+        if cache_size:
+            idx = _cache_index(v, cache_bits)
+            if cache[idx] == v:
+                events.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = v
+        events.append(("lit", v))
+        i += 1
+
+    greens: list[int] = []
+    reds: list[int] = []
+    blues: list[int] = []
+    alphas: list[int] = []
+    dists: list[int] = []
+    dist_code_1 = 1 + 120  # linear distance code for dist == 1
+    for kind, val in events:
+        if kind == "lit":
+            greens.append((val >> 8) & 0xFF)
+            reds.append((val >> 16) & 0xFF)
+            blues.append(val & 0xFF)
+            alphas.append((val >> 24) & 0xFF)
+        elif kind == "copy":
+            greens.append(256 + _prefix_encode(val)[0])
+            dists.append(_prefix_encode(dist_code_1)[0])
+        else:
+            greens.append(256 + _NUM_LENGTH_CODES + val)
+
+    def _lengths(stream: list[int], limit: int = _MAX_CODE_LEN) -> dict[int, int]:
+        hist = Counter(stream)
+        if not hist:
+            return {0: 1}
+        if len(hist) == 1:
+            return {next(iter(hist)): 1}
+        return _package_merge([(c, s) for s, c in hist.items()], limit)
+
+    code_sets = [
+        (_lengths(greens), green_alphabet),
+        (_lengths(reds), 256),
+        (_lengths(blues), 256),
+        (_lengths(alphas), 256),
+        (_lengths(dists), _NUM_DIST_CODES),
+    ]
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)  # VP8L signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    if cache_size:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    bw.write(0, 1)  # no meta-Huffman (single code group)
+    for lengths, alphabet in code_sets:
+        _write_code_lengths(bw, lengths, alphabet)
+
+    def _codes(lengths: dict[int, int]):
+        used = {s: l for s, l in lengths.items() if l > 0}
+        if len(used) == 1:
+            return {next(iter(used)): (0, 0)}  # trivial: zero bits
+        return _canonical_codes(used)
+
+    cg, cr, cb, ca, cd = (_codes(ls) for ls, _ in code_sets)
+    for kind, val in events:
+        if kind == "lit":
+            for codes, sym in (
+                (cg, (val >> 8) & 0xFF),
+                (cr, (val >> 16) & 0xFF),
+                (cb, val & 0xFF),
+                (ca, (val >> 24) & 0xFF),
+            ):
+                code, ln = codes[sym]
+                bw.write_code(code, ln)
+        elif kind == "copy":
+            prefix, eb, ev = _prefix_encode(val)
+            code, ln = cg[256 + prefix]
+            bw.write_code(code, ln)
+            if eb:
+                bw.write(ev, eb)
+            dprefix, deb, dev = _prefix_encode(dist_code_1)
+            code, ln = cd[dprefix]
+            bw.write_code(code, ln)
+            if deb:
+                bw.write(dev, deb)
+        else:
+            code, ln = cg[256 + _NUM_LENGTH_CODES + val]
+            bw.write_code(code, ln)
+
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a lossless WebP (VP8L) to (h, w, 3) uint8 RGB (alpha dropped —
+    the encoder in this repo always writes opaque pixels)."""
+    if not is_webp(data):
+        raise ValueError("not a RIFF/WEBP container")
+    # walk RIFF chunks for VP8L
+    off = 12
+    payload = None
+    while off + 8 <= len(data):
+        tag = data[off : off + 4]
+        (size,) = struct.unpack("<I", data[off + 4 : off + 8])
+        body = data[off + 8 : off + 8 + size]
+        if tag == b"VP8L":
+            payload = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy VP8 / extended VP8X WebP not in this subset (VP8L only)"
+            )
+        off += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms: list[int] = []
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype != 2:
+            raise NotImplementedError(
+                "VP8L predictor/color/color-indexing transforms not in this "
+                "subset (subtract-green only)"
+            )
+        transforms.append(ttype)
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if br.read(1):
+        raise NotImplementedError("VP8L meta-Huffman (entropy image) not in this subset")
+
+    green_alphabet = 256 + _NUM_LENGTH_CODES + cache_size
+    tg = _read_code_lengths(br, green_alphabet)
+    tr = _read_code_lengths(br, 256)
+    tb = _read_code_lengths(br, 256)
+    ta = _read_code_lengths(br, 256)
+    td = _read_code_lengths(br, _NUM_DIST_CODES)
+
+    n = w * h
+    out = [0] * n
+    cache = [0] * cache_size
+    pos = 0
+    while pos < n:
+        s = br.read_sym(tg)
+        if s < 256:
+            red = br.read_sym(tr)
+            blue = br.read_sym(tb)
+            alpha = br.read_sym(ta)
+            v = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = v
+            if cache_size:
+                cache[_cache_index(v, cache_bits)] = v
+            pos += 1
+        elif s < 256 + _NUM_LENGTH_CODES:
+            length = _prefix_decode(s - 256, br)
+            dist_code = _prefix_decode(br.read_sym(td), br)
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D distance-map codes (1..120) not in this subset "
+                    "(linear distances only)"
+                )
+            dist = dist_code - 120
+            if dist > pos or pos + length > n:
+                raise ValueError("invalid VP8L back-reference")
+            for _ in range(length):
+                v = out[pos - dist]
+                out[pos] = v
+                if cache_size:
+                    cache[_cache_index(v, cache_bits)] = v
+                pos += 1
+        else:
+            out[pos] = cache[s - 256 - _NUM_LENGTH_CODES]
+            pos += 1
+
+    argb = np.array(out, dtype=np.uint32).reshape(h, w)
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = ((argb >> 8) & 0xFF).astype(np.int32)
+    b = (argb & 0xFF).astype(np.int32)
+    for ttype in reversed(transforms):
+        if ttype == 2:  # inverse subtract-green
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+    return np.stack([r, g, b], axis=2).astype(np.uint8)

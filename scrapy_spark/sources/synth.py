@@ -112,13 +112,16 @@ def image_fmt(cfg: SynthConfig, image_id: str) -> str:
     (functions/jpegfn — makes the per-row PSNR>=40dB branch of the
     input_hint invariant real instead of vacuously exact), ~1/16 are GIF
     (functions/giffn; their SOURCE pixels are posterized to <= 64 colors so
-    the palettized format stays pixel-exact — the real-web GIF case), the
-    rest lossless PNG."""
+    the palettized format stays pixel-exact — the real-web GIF case),
+    ~1/16 are lossless WebP VP8L (functions/webpfn; lossless, so full-range
+    pixels round-trip exactly like PNG), the rest lossless PNG."""
     k = _h(cfg.seed, "ifmt", image_id)
     if k % 8 == 0:
         return "jpeg"
     if k % 16 == 1:
         return "gif"
+    if k % 16 == 9:
+        return "webp"
     return "png"
 
 
@@ -142,6 +145,10 @@ def encode_image(cfg: SynthConfig, image_id: str, px: np.ndarray) -> bytes:
         from ..functions.giffn import encode_gif
 
         return encode_gif(px)
+    if fmt == "webp":
+        from ..functions.webpfn import encode_webp
+
+        return encode_webp(px)
     return encode_png(px)
 
 

@@ -125,13 +125,14 @@ def test_caption_and_bytes_parity(oracle, spark_run):
     input_hint: 'PSNR>=40dB for lossy')."""
     from scrapy_spark.functions.giffn import decode_gif
     from scrapy_spark.functions.jpegfn import decode_jpeg
+    from scrapy_spark.functions.webpfn import decode_webp
     from scrapy_spark.sources import synth as synth_mod
 
     ours = {
         (r["url"], r["attempt"], r["generation"]): (r["bytes"], r["caption"])
         for r in spark_run["results"]
     }
-    n_png = n_jpeg = n_gif = n_pdfs = 0
+    n_png = n_jpeg = n_gif = n_webp = n_pdfs = 0
     for o in oracle.scheduled:
         b, cap = ours[(o["url"], o["attempt"], o["generation"])]
         assert cap == o["caption"], o["url"]
@@ -158,11 +159,20 @@ def test_caption_and_bytes_parity(oracle, spark_run):
             # palettized but pixel-exact for <=64-color sources
             p = psnr(original, decode_gif(bytes(b)))
             assert p == float("inf"), (o["url"], p)
+        elif o["content_type"] == "image/webp":
+            n_webp += 1
+            iid = synth_mod.parse_image_url(CFG, o["url"])
+            w, h = synth_mod.image_dims(CFG, iid)
+            original = synth_mod.image_pixels(CFG, iid, w, h)
+            # VP8L is lossless: full-range pixels round-trip exactly
+            p = psnr(original, decode_webp(bytes(b)))
+            assert p == float("inf"), (o["url"], p)
         elif o["content_type"] == "application/pdf":
             n_pdfs += 1
     assert n_png > 10
     assert n_jpeg > 2  # the lossy branch is exercised, not vacuous
     assert n_gif >= 1  # the palettized branch too
+    assert n_webp >= 1  # the VP8L lossless branch too
     assert n_pdfs > 3  # pdf_link candidates fetched + byte-exact
 
 

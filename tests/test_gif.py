@@ -67,8 +67,6 @@ def test_decode_image_wiring():
     logo = np.full((6, 6, 3), 77, np.uint8)
     out = decode_image(giffn.encode_gif(logo), "gif")
     assert np.array_equal(out, logo)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFFxxxxWEBP", "webp")
 
 
 # --- property tests (hypothesis) ------------------------------------------

@@ -51,12 +51,16 @@ def test_psnr_degrades():
 
 
 def test_remaining_fmt_stubs_and_real_codecs():
-    # webp stays stubbed (no codec libs in the container)
+    # all four accepted image formats have REAL from-scratch codecs now
+    # (jpegfn/giffn/webpfn); only unknown formats stay a labeled stub
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFFxxxxWEBP", "webp")
-    # jpeg and gif are REAL now (from-scratch codecs jpegfn/giffn)
+        decode_image(b"????", "tiff")
     from scrapy_spark.functions.giffn import encode_gif
     from scrapy_spark.functions.jpegfn import encode_jpeg
+    from scrapy_spark.functions.webpfn import encode_webp
+
+    px = synth_pixels("img-webp-wire", 16, 12)
+    assert np.array_equal(decode_image(encode_webp(px), "webp"), px)
 
     px = synth_pixels("img0000000000000009", 24, 16)
     out = decode_image(encode_jpeg(px), "jpeg")

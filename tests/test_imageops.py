@@ -32,8 +32,9 @@ def test_image_meta_matches_table(spark, images_df):
         assert m["decode_ok"], iid
         assert m["decoded_w"] == src[iid]["w"]
         assert m["decoded_h"] == src[iid]["h"]
-        if src[iid]["fmt"] == "png":
-            # lossless: stored phash reproduced bit-exactly
+        if src[iid]["fmt"] in ("png", "gif", "webp"):
+            # lossless round trips (gif sources are pre-posterized, webp is
+            # VP8L lossless): stored phash reproduced bit-exactly
             assert m["decoded_phash"] == src[iid]["phash"]
         else:
             # lossy jpeg: the PERCEPTUAL hash must survive compression
@@ -50,13 +51,22 @@ def test_image_meta_matches_table(spark, images_df):
 def test_unavailable_codec_is_data_not_failure(spark, images_df):
     from pyspark.sql import functions as F
 
-    # truly-absent codec (webp) -> NotImplementedError recorded as data
-    webpish = images_df.limit(3).withColumn("fmt", F.lit("webp"))
-    rows = extract_image_meta(webpish).collect()
+    # truly-absent codec (tiff) -> NotImplementedError recorded as data
+    # (webp got a real VP8L codec in functions/webpfn)
+    tiffish = images_df.limit(3).withColumn("fmt", F.lit("tiff"))
+    rows = extract_image_meta(tiffish).collect()
     assert len(rows) == 3
     for r in rows:
         assert not r["decode_ok"]
         assert "NotImplementedError" in r["decode_error"]
+    # mislabeled bytes (PNG payload tagged webp) -> ValueError recorded
+    webpish = (
+        images_df.filter(F.col("fmt") == "png").limit(2)
+        .withColumn("fmt", F.lit("webp"))
+    )
+    for r in extract_image_meta(webpish).collect():
+        assert not r["decode_ok"]
+        assert "ValueError" in r["decode_error"]
     # mislabeled bytes (PNG payload tagged jpeg) -> ValueError recorded,
     # never a task failure (jpeg decode is real now, functions/jpegfn);
     # filter to actual-PNG rows first — the synth image mix includes real
