@@ -1,12 +1,18 @@
-"""Audio/video binary-column plumbing: typed metadata + frame sampling.
+"""Audio/video binary-column operators: typed metadata + frame sampling.
 
-The reference's media extraction decodes audio/video with ffmpeg-backed
-libs (``media_extraction.py``); none of those codecs exist in this
-container, so the DECODE step is stubbed behind a deterministic fake —
-but the Spark-side contract is real and tested: opaque ``binary`` columns
-with typed metadata, Arrow-batched ``mapInPandas``, narrow typed outputs,
-uniform stride sampling. Swapping ``_fake_decode_*`` for a real codec
-changes no schema, no partitioning and no operator code.
+The reference's media extraction pulls duration/metadata from audio and
+samples frames from video (``media_extraction.py:199-347``). The decode
+step here is REAL byte-level parsing (functions/mediafn): WAV/PCM audio is
+fully decoded (rate, frames, RMS from actual samples), AVI/MJPEG video is
+container-parsed and every sampled frame is decoded by the from-scratch
+JPEG codec (functions/jpegfn) before hashing. Formats that genuinely need
+external codec libraries (MP3, H.264, ...) surface as
+``decode_ok = false`` rows with the error recorded — data, not task
+failures, and never fabricated values.
+
+Bytes discipline (same as the image path): the wide ``binary`` column
+never leaves the task — operators ``mapInPandas`` over Arrow batches and
+emit only narrow typed rows, so nothing below ever shuffles payload bytes.
 """
 
 from __future__ import annotations
@@ -18,66 +24,51 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 AUDIO_META_SCHEMA = (
-    "media_id string, sample_rate int, n_samples long, duration_s double, "
-    "rms double, decode_ok boolean"
+    "media_id string, sample_rate int, n_samples long, n_channels int, "
+    "duration_s double, rms double, decode_ok boolean, decode_error string"
 )
 
 FRAME_SCHEMA = (
     "media_id string, frame_index int, ts_s double, frame_phash long, "
-    "decode_ok boolean"
+    "decode_ok boolean, decode_error string"
 )
 
 
-def _fake_decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """DETERMINISTIC FAKE (real codec absent): derives a waveform from the
-    byte content so tests exercise true data flow. Replace with e.g.
-    soundfile.read when the library exists."""
-    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little")
-    rng = np.random.default_rng(seed)
-    n = 1600 + seed % 800
-    return 16000, (rng.standard_normal(n) * 0.1).astype(np.float32)
-
-
-def _fake_decode_video_frames(data: bytes, stride: int) -> list[tuple[int, float, int]]:
-    """DETERMINISTIC FAKE frame sampler: (frame_index, timestamp, phash)
-    per sampled frame at 25 fps; phash derives from (bytes, index)."""
-    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little")
-    n_frames = 50 + seed % 100
-    out = []
-    for i in range(0, n_frames, stride):
-        h = (seed * 1000003 + i * 0x9E3779B9) & ((1 << 63) - 1)
-        out.append((i, i / 25.0, h))
-    return out
-
-
 def extract_audio_meta(media: DataFrame) -> DataFrame:
-    """(media_id, bytes) -> per-clip audio metadata (rate, length, RMS)."""
+    """(media_id, bytes) -> per-clip audio metadata computed from the REAL
+    decoded waveform (functions/mediafn.decode_wav)."""
+    from ..functions.mediafn import decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    rate, wave = _fake_decode_audio(bytes(row.bytes))
+                    rate, samples = decode_wav(bytes(row.bytes))
+                    n_frames, n_ch = samples.shape
                     out.append(
                         {
                             "media_id": row.media_id,
                             "sample_rate": rate,
-                            "n_samples": len(wave),
-                            "duration_s": len(wave) / rate,
-                            "rms": float(np.sqrt(np.mean(wave**2))),
+                            "n_samples": n_frames,
+                            "n_channels": n_ch,
+                            "duration_s": n_frames / rate,
+                            "rms": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
                             "decode_ok": True,
+                            "decode_error": None,
                         }
                     )
-                except Exception:
+                except Exception as exc:  # unsupported codec / corrupt bytes
                     out.append(
                         {
                             "media_id": row.media_id,
                             "sample_rate": None,
                             "n_samples": None,
+                            "n_channels": None,
                             "duration_s": None,
                             "rms": None,
                             "decode_ok": False,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
                         }
                     )
             yield pd.DataFrame(out)
@@ -90,28 +81,35 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_id, bytes) -> one row per sampled frame (uniform stride).
 
+    Real pipeline: AVI container walk (functions/mediafn.parse_avi_mjpeg)
+    -> decode each SAMPLED frame's JPEG payload (functions/jpegfn) ->
+    perceptual hash (functions/imagefn.phash64). Only sampled frames are
+    decoded — the stride skips the expensive step, not just the output.
     Explodes inside the Arrow batch — the wide binary column never leaves
-    the task, only narrow frame rows do (same bytes discipline as the
-    image path)."""
+    the task, only narrow frame rows do."""
+    from ..functions.imagefn import phash64
+    from ..functions.jpegfn import decode_jpeg
+    from ..functions.mediafn import parse_avi_mjpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    for idx, ts, ph in _fake_decode_video_frames(
-                        bytes(row.bytes), every_n
-                    ):
+                    fps, payloads = parse_avi_mjpeg(bytes(row.bytes))
+                    for i in range(0, len(payloads), every_n):
+                        px = decode_jpeg(payloads[i])
                         out.append(
                             {
                                 "media_id": row.media_id,
-                                "frame_index": idx,
-                                "ts_s": ts,
-                                "frame_phash": ph,
+                                "frame_index": i,
+                                "ts_s": i / fps,
+                                "frame_phash": phash64(px),  # already signed int64
                                 "decode_ok": True,
+                                "decode_error": None,
                             }
                         )
-                except Exception:
+                except Exception as exc:
                     out.append(
                         {
                             "media_id": row.media_id,
@@ -119,6 +117,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                             "ts_s": None,
                             "frame_phash": None,
                             "decode_ok": False,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
                         }
                     )
             yield pd.DataFrame(out)

@@ -1,6 +1,7 @@
 """Multimodal plumbing: real bilinear resize/thumbnail over the PNG codec,
-and the audio/video stub operators' Spark-side contract (schema, Arrow
-batching, per-frame explode, determinism)."""
+and the audio/video operators over REAL WAV/AVI parsing
+(functions/mediafn): schema, Arrow batching, per-frame explode,
+determinism, and labeled unsupported-codec rows."""
 
 from __future__ import annotations
 
@@ -48,27 +49,106 @@ def test_thumbnail_images_spark(spark):
     assert out["bad"]["thumb"] is None  # stubbed codec -> data, not failure
 
 
-def test_audio_video_stub_operators(spark):
+def _sine(freq: float, secs: float, rate: int) -> np.ndarray:
+    t = np.arange(int(secs * rate), dtype=np.float32) / rate
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_audio_meta_from_real_wav(spark):
+    """extract_audio_meta decodes ACTUAL WAV bytes (functions/mediafn):
+    rate/duration from the header, RMS from the real samples — a 0.5-amp
+    sine's RMS is 0.5/sqrt(2)."""
+    from scrapy_spark.functions.mediafn import encode_wav
+
+    rate = 16000
+    clips = {
+        "m_sine": encode_wav(_sine(440, 1.0, rate), rate, bits=16),
+        "m_stereo": encode_wav(
+            np.stack([_sine(220, 0.5, rate), _sine(330, 0.5, rate)], axis=1),
+            rate,
+            bits=32,
+        ),
+        "m_silence": encode_wav(np.zeros(800, dtype=np.float32), 8000, bits=16),
+        "m_bad": b"ID3\x03mp3-ish-bytes",
+    }
     media = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "media_id": ["m1", "m2"],
-                "bytes": [b"clip-one-bytes", b"clip-two-bytes"],
-            }
-        )
+        pd.DataFrame({"media_id": list(clips), "bytes": list(clips.values())})
     )
     am = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
-    assert am["m1"]["decode_ok"] and am["m1"]["sample_rate"] == 16000
-    assert am["m1"]["duration_s"] == am["m1"]["n_samples"] / 16000
+    s = am["m_sine"]
+    assert s["decode_ok"] and s["sample_rate"] == rate and s["n_channels"] == 1
+    assert s["n_samples"] == rate and s["duration_s"] == 1.0
+    assert abs(s["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    st_ = am["m_stereo"]
+    assert st_["n_channels"] == 2 and st_["n_samples"] == rate // 2
+    assert am["m_silence"]["rms"] == 0.0
+    assert am["m_silence"]["duration_s"] == 0.1
+    bad = am["m_bad"]
+    assert not bad["decode_ok"] and "ValueError" in bad["decode_error"]
+
+
+def test_video_frames_from_real_avi(spark):
+    """sample_video_frames walks a REAL AVI/MJPEG container and hashes
+    JPEG-decoded frames; the stride only decodes sampled frames."""
+    from scrapy_spark.functions.imagefn import phash64, synth_pixels
+    from scrapy_spark.functions.jpegfn import decode_jpeg
+    from scrapy_spark.functions.mediafn import encode_avi_mjpeg, parse_avi_mjpeg
+
+    frames = [synth_pixels(f"vid-f{i}", 32, 24) for i in range(25)]
+    avi = encode_avi_mjpeg(frames, fps=25)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": ["v1", "v_bad"], "bytes": [avi, b"RIFF\x00\x00\x00\x00AVI "]}
+        )
+    )
     fr = sample_video_frames(media, every_n=10).collect()
-    by_id = {}
-    for r in fr:
-        by_id.setdefault(r["media_id"], []).append(r)
-    for mid, rows in by_id.items():
-        idxs = sorted(r["frame_index"] for r in rows)
-        assert idxs[0] == 0 and all(b - a == 10 for a, b in zip(idxs, idxs[1:]))
-        for r in rows:
-            assert r["ts_s"] == r["frame_index"] / 25.0
+    good = sorted(
+        (r for r in fr if r["media_id"] == "v1"), key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in good] == [0, 10, 20]
+    # timing from the stream header, hashes from the REAL decoded pixels
+    _, payloads = parse_avi_mjpeg(avi)
+    for r in good:
+        assert r["ts_s"] == r["frame_index"] / 25.0
+        assert r["frame_phash"] == phash64(decode_jpeg(payloads[r["frame_index"]]))
+    bad = [r for r in fr if r["media_id"] == "v_bad"]
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
     # determinism: same bytes -> same frames/hashes on a second run
     fr2 = sample_video_frames(media, every_n=10).collect()
     assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))
+
+
+def test_non_mjpeg_avi_is_labeled_unsupported(spark):
+    """An H.264-flavored AVI surfaces as decode_ok=false with the labeled
+    NotImplementedError — data, never a fabricated result."""
+    from scrapy_spark.functions.imagefn import synth_pixels
+    from scrapy_spark.functions.mediafn import encode_avi_mjpeg
+
+    avi = bytearray(encode_avi_mjpeg([synth_pixels("h264", 16, 16)], fps=25))
+    idx = bytes(avi).index(b"MJPG")  # strh fccHandler
+    avi[idx : idx + 4] = b"H264"
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["x"], "bytes": [bytes(avi)]})
+    )
+    rows = sample_video_frames(media).collect()
+    assert len(rows) == 1 and not rows[0]["decode_ok"]
+    assert "NotImplementedError" in rows[0]["decode_error"]
+
+
+def test_wav_24bit_decode_path():
+    """24-bit PCM has no encoder here — hand-pack a file to pin the
+    sign-extension in decode_wav."""
+    import struct
+
+    from scrapy_spark.functions.mediafn import decode_wav
+
+    vals = [0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)]
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) % 2 else b"")
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, out = decode_wav(wav)
+    assert rate == 44100 and out.shape == (5, 1)
+    expect = np.array([v / float(1 << 23) for v in vals], dtype=np.float32)
+    assert np.allclose(out[:, 0], expect)
