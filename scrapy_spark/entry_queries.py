@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scrapy_spark.operators.topk import topk_total_order
+from scrapy_spark.plans.materialize import materialize as _cut
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -754,7 +755,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # both self-join sides consume bands; without materialization each side
     # re-derives the shingle explode + minhash agg (dominant cost). On a
     # cluster, substitute a staged parquet.
-    bands = bands.localCheckpoint(eager=True)
+    bands = _cut(bands, name="q-lsh-bands")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -3141,7 +3142,7 @@ def page_importance(spark, sf_dir):
     per node, the reference's importance_scores table as a DataFrame.
     Local-sweep query (driver list is capped at 50; members are all
     driver-verified)."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _cut(_copurchase_edges(spark, sf_dir), name="q-edges")
     from scrapy_spark.operators.linkgraph import (
         degree_stats,
         hits_exact,
@@ -3236,7 +3237,7 @@ def request_patterns(spark, sf_dir):
             "n_rate_limited"
         ),
     )
-    d = d.localCheckpoint(eager=False)
+    d = _cut(d, eager=False, name="q-reqpat")
     timeouts = d.filter(
         (F.col("n") > 10) & (F.col("n_timeout") / F.col("n").cast("double") > 0.15)
     ).select(

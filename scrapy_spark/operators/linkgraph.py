@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize as _cut
+
 
 
 # After localCheckpoint the rank/score side loses size statistics, so AQE
@@ -47,10 +49,11 @@ def _materialize_edges(edges: DataFrame, materialize: bool) -> DataFrame:
     at sf0.1) and EVERY entry point fans it out to 3-4 consumers (nodes_of
     reads it twice, out-degree agg, the edge⋈degree join). Without
     materialization each consumer re-derives the full plan — measured to be
-    roughly half of pagerank_exact's wall time. One eager localCheckpoint
-    makes derivation a one-time cost; on a cluster, substitute a staged
-    parquet/reliable checkpoint."""
-    return edges.localCheckpoint(eager=True) if materialize else edges
+    roughly half of pagerank_exact's wall time. One eager cut makes
+    derivation a one-time cost; the mechanism is pluggable
+    (plans/materialize): localCheckpoint locally, staged parquet when the
+    session sets spark.scrapy_spark.materialize.dir (cluster mode)."""
+    return _cut(edges, name="edges") if materialize else edges
 
 
 def degree_stats(edges: DataFrame, materialize: bool = True) -> DataFrame:
@@ -102,8 +105,9 @@ def pagerank(
     for it in range(1, n_rounds + 1):
         # truncate plan lineage each iteration — without this the logical plan
         # doubles per iteration and Catalyst re-derives the whole history
-        # (on a cluster: reliable checkpoint dir instead of localCheckpoint)
-        ranks = ranks.localCheckpoint(eager=True)
+        # (cut mechanism pluggable via plans/materialize: durable parquet
+        # on a cluster, localCheckpoint locally)
+        ranks = _cut(ranks, name="pr-ranks")
         prev = ranks
         contribs = (
             e.join(_rank_side(ranks, n), e.src == ranks.node)
@@ -132,7 +136,7 @@ def pagerank(
             )
         )
         if tol is not None:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _cut(ranks, name="pr-ranks")
             delta = (
                 ranks.join(prev.select("node", F.col("rank").alias("_pr")), "node")
                 .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
@@ -197,7 +201,7 @@ def hits(
     it = 0
     delta = None
     for it in range(1, n_rounds + 1):
-        scores = scores.localCheckpoint(eager=True)  # truncate iterative lineage
+        scores = _cut(scores, name="hits-scores")  # truncate iterative lineage
         prev = scores
         auth = _l2_normalize(
             e.join(_rank_side(scores.select(F.col("node").alias("src"), "hub"), n), "src")
@@ -217,7 +221,7 @@ def hits(
             )
         )
         if tol is not None:
-            scores = scores.localCheckpoint(eager=True)
+            scores = _cut(scores, name="hits-scores")
             delta = (
                 scores.join(
                     prev.select(
@@ -284,7 +288,7 @@ def pagerank_exact(
     n_dangling = dangling.count()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for it in range(1, iterations + 1):
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = _cut(ranks, name="prx-ranks")
         if it == 1:
             # first iteration: every rank is exactly `scale`, so the
             # rank-side join is algebraically a constant — contribs and
@@ -373,7 +377,7 @@ def hits_exact(
         # no extra job (the broadcast materializes it), and the FIXED
         # 5-iteration count stays far below the unbounded-loop pathologies
         # documented on :func:`hits`.
-        raw = raw.localCheckpoint(eager=False)
+        raw = _cut(raw, eager=False, name="hitsx-raw")
         nrm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col)).cast("double")).alias("_nrm")
         ).select(
@@ -391,7 +395,7 @@ def hits_exact(
     hubs = nodes.withColumn("hq", F.lit(scale).cast("long"))
     auth = None
     for it in range(1, iterations + 1):
-        hubs = hubs.localCheckpoint(eager=True)
+        hubs = _cut(hubs, name="hitsx-hubs")
         if it == 1:
             # uniform initial hubs: araw is exactly in_degree * scale —
             # same values, no rank-side join on the first pass

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize as _cut
+
 
 def cap_posting_lists(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles whose posting list exceeds ``max_doc_freq`` docs.
@@ -52,17 +54,18 @@ def minhash_components(
     only decrease, so a fixed iteration count is deterministic and each
     iteration propagates labels one bucket-hop further (diameter-bounded
     convergence; the synthetic corpus' components have small diameter,
-    asserted in tests). Labels ride localCheckpoints between iterations
-    exactly like the PageRank loop; ``materialize`` localCheckpoints the
-    bands table itself — it is consumed twice per iteration, and when it
+    asserted in tests). Labels ride lineage cuts (plans/materialize)
+    between iterations exactly like the PageRank loop; ``materialize``
+    cuts the bands table itself — it is consumed twice per iteration, and when it
     arrives as a live plan (shingle explode + minhash aggs) re-deriving it
-    2*iterations times dominates the cost. On a cluster, substitute a
-    staged parquet."""
+    2*iterations times dominates the cost. On a cluster, set the
+    materializer staging dir (plans/materialize) to make the cuts durable
+    parquet instead of executor-local blocks."""
     if materialize:
-        bands = bands.localCheckpoint(eager=True)
+        bands = _cut(bands, name="lsh-bands")
     labels = bands.groupBy("doc_id").agg(F.min("doc_id").alias("label"))
     for _ in range(iterations):
-        labels = labels.localCheckpoint(eager=True)
+        labels = _cut(labels, name="lsh-labels")
         bucket_min = (
             bands.join(labels, "doc_id")
             .groupBy("bv")
@@ -133,17 +136,17 @@ def ngram_jaccard_pairs(
     exact shingles; the join key is the shingle, so the shuffle is the
     inverted index itself.
 
-    ``materialize=True`` localCheckpoints the (capped) shingle table before
+    ``materialize=True`` cuts the (capped) shingle table before
     fan-out: it has FOUR downstream consumers (hot-list agg, both self-join
     branches, per-doc sizes), and without materialization each one re-derives
     the shingle explode+distinct from the raw text — the dominant cost. On a
-    cluster, substitute a reliable checkpoint/staged parquet."""
+    cluster, the materializer staging dir makes the cuts durable."""
     if max_doc_freq is not None:
         if materialize:
-            shingles = shingles.localCheckpoint(eager=True)
+            shingles = _cut(shingles, name="shingles-raw")
         shingles = cap_posting_lists(shingles, max_doc_freq)
     if materialize:
-        shingles = shingles.localCheckpoint(eager=True)
+        shingles = _cut(shingles, name="shingles")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -1,0 +1,55 @@
+"""Pluggable mid-plan materializer for multiply-consumed DataFrames.
+
+Iterative loops (PageRank/HITS label propagation), LSH band tables and
+edge lists are consumed by several downstream jobs; re-computing their
+lineage each time is quadratic-ish, so they get cut. Locally the right
+cut is ``localCheckpoint`` (executor-local shuffle-free blocks) — but on
+a real cluster those blocks die with the executor, so the production cut
+is a staged parquet round-trip (restart-safe, and readable by speculative
+re-attempts). This module makes that swap a CONFIG choice instead of a
+code edit — every operator calls ``materialize(df)`` and the session
+decides the mechanism:
+
+- default: ``df.localCheckpoint(eager=...)`` (single-node / dev);
+- ``spark.conf.set("spark.scrapy_spark.materialize.dir", <path>)`` or env
+  ``SPARK_GRAFT_MATERIALIZE_DIR``: stage the frame as parquet under that
+  directory and read it back (cluster mode; the write is the
+  materialization, so eager/lazy does not apply).
+
+The parquet path trades one write+read for lineage safety — the same
+trade SnapshotCatalog makes for crawl tables (sources/catalog.py), just
+without commit semantics because these tables are transient per-query.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+_CONF_KEY = "spark.scrapy_spark.materialize.dir"
+_ENV_KEY = "SPARK_GRAFT_MATERIALIZE_DIR"
+
+
+def staging_dir(spark) -> str | None:
+    """The configured durable staging directory, or None for local mode."""
+    try:
+        d = spark.conf.get(_CONF_KEY, None)
+    except Exception:
+        d = None
+    return d or os.environ.get(_ENV_KEY) or None
+
+
+def materialize(df: DataFrame, eager: bool = True, name: str = "mid") -> DataFrame:
+    """Cut the lineage of a multiply-consumed mid-plan DataFrame.
+
+    ``eager`` only affects the localCheckpoint path (lazy is right when a
+    following broadcast subquery will materialize the frame anyway —
+    see linkgraph.py); the parquet path is inherently eager."""
+    d = staging_dir(df.sparkSession)
+    if d is None:
+        return df.localCheckpoint(eager=eager)
+    path = os.path.join(d, f"{name}-{uuid.uuid4().hex}.parquet")
+    df.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)
