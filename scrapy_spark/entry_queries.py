@@ -2509,12 +2509,24 @@ def _url_spark():
     )
 
 
+def _as_of() -> str:
+    """The recency anchor date: SPARK_GRAFT_AS_OF (set BEFORE process
+    launch — both the Spark query and the generated oracle SQL read it, so
+    setting it mid-process would desynchronize them) or the pinned
+    analysis.AS_OF default that keeps driver reruns deterministic."""
+    import os
+
+    from scrapy_spark.functions import analysis
+
+    return os.environ.get("SPARK_GRAFT_AS_OF", analysis.AS_OF)
+
+
 def _recency_sql() -> str:
     from scrapy_spark.functions import analysis
 
     return f"""
     WITH rows AS (SELECT doc_id, {_ENRICHED_SQL} AS t FROM documents)
-    SELECT doc_id, {analysis.sql_recency_select('t')}
+    SELECT doc_id, {analysis.sql_recency_select('t', as_of=_as_of())}
     FROM rows
     """
 
@@ -2532,7 +2544,7 @@ def content_recency(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     r = d.select("doc_id", _enriched_text_spark(d).alias("t"))
-    cols = analysis.recency_cols(F.col("t"))
+    cols = analysis.recency_cols(F.col("t"), as_of=_as_of())
     return r.select("doc_id", *cols.values())
 
 
@@ -2609,7 +2621,9 @@ def domain_latency_percentiles(spark, sf_dir):
     ceil(q*n) == (q*n + 99) div 100 — pure integer arithmetic, identical in
     both engines (built-in continuous percentile/quantile_cont interpolate
     with engine-specific float op order and cannot hash-match; at
-    production scale swap in approx_percentile and drop the hash gate).
+    production scale swap in approx_percentile and drop the hash gate —
+    that swap EXISTS as the non-driver twin ``domain_latency_approx``
+    below: one pass, no per-domain sort, skew-immune).
     The per-domain window sort is the exact-quantile cost — bounded by the
     largest single domain's row count, the standard shape for exact
     per-group order statistics."""
@@ -2643,6 +2657,48 @@ def domain_latency_percentiles(spark, sf_dir):
         F.greatest(F.lit(5000000).cast("long"), _pick(95) * 3).alias(
             "optimal_timeout_micros"
         ),
+    )
+
+
+@_q("domain_latency_approx", None)
+def domain_latency_approx(spark, sf_dir):
+    """The 100x-scale twin of ``domain_latency_percentiles``: ONE
+    aggregation pass with ``approx_percentile`` (t-digest style sketch,
+    map-side partial merge) instead of the per-domain window sort — a
+    skewed domain costs its share of one shuffle, never a stage-straggling
+    sort. Sketch results are engine-specific, so there is no DuckDB hash
+    oracle (rows-only check); the local test instead pins the approx
+    values within rank tolerance of the exact form's."""
+    e = load(spark, sf_dir, "events")
+    r = e.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 25).cast("string"), F.lit(".uconn.edu")
+        ).alias("domain"),
+        F.round(F.col("value") * 1000000).cast("long").alias("rt"),
+        "event_type",
+    )
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    pcts = F.percentile_approx("rt", [0.5, 0.95, 0.99], 10000)
+    return (
+        r.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_requests"),
+            err.alias("n_errors"),
+            F.round(err / F.count("*").cast("double"), 6).alias("error_rate"),
+            pcts.alias("_p"),
+        )
+        .select(
+            "domain",
+            "n_requests",
+            "n_errors",
+            "error_rate",
+            F.col("_p")[0].alias("p50_micros"),
+            F.col("_p")[1].alias("p95_micros"),
+            F.col("_p")[2].alias("p99_micros"),
+            F.greatest(F.lit(5000000).cast("long"), F.col("_p")[1] * 3).alias(
+                "optimal_timeout_micros"
+            ),
+        )
     )
 
 

@@ -153,12 +153,16 @@ def _season_pick(s: Column, idx: int) -> Column:
     return c
 
 
-def recency_cols(text: Column) -> dict[str, Column]:
+def recency_cols(text: Column, as_of: str = AS_OF) -> dict[str, Column]:
     """date_count / most_recent_date / days_since_update / recent flags
-    (content_analysis.py:283-366), relative to the pinned AS_OF."""
+    (content_analysis.py:283-366), relative to ``as_of`` ('YYYY-MM-DD').
+
+    The default stays the PINNED AS_OF so the driver oracle is exact and
+    reruns are deterministic; real-crawl callers pass today's date (the
+    reference uses wall-clock ``datetime.now()``, content_analysis.py:300)."""
     dates = dates_col(text)
     most = F.array_max(dates)
-    days = F.datediff(F.lit(AS_OF).cast("date"), most)
+    days = F.datediff(F.lit(as_of).cast("date"), most)
     return {
         "date_count": F.size(dates).alias("date_count"),
         "most_recent_date": most.cast("string").alias("most_recent_date"),
@@ -246,11 +250,12 @@ def sql_dates(text: str) -> str:
       d -> year(d) >= 1990 AND year(d) <= 2050)"""
 
 
-def sql_recency_select(text: str) -> str:
-    """SELECT fragment producing the recency columns from ``{text}``."""
+def sql_recency_select(text: str, as_of: str = AS_OF) -> str:
+    """SELECT fragment producing the recency columns from ``{text}``;
+    ``as_of`` mirrors :func:`recency_cols` (same pinned default)."""
     dates = sql_dates(text)
     most = f"list_aggregate({dates}, 'max')"
-    days = f"date_diff('day', {most}, DATE '{AS_OF}')"
+    days = f"date_diff('day', {most}, DATE '{as_of}')"
     return f"""
            len({dates}) AS date_count,
            CAST({most} AS VARCHAR) AS most_recent_date,

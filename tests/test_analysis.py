@@ -104,3 +104,32 @@ def test_academic_twins_agree(spark):
     assert tie["research_score2"] == tie["policy_score2"]
     assert tie["content_type"] == "research"
     assert got[10]["content_type"] == "general"
+
+
+def test_recency_as_of_parameter(spark):
+    """as_of is a real parameter on both twins (default stays pinned):
+    shifting the anchor by 100 days shifts days_since_update by exactly
+    100 and can flip the recent flags — in BOTH engines identically."""
+    shifted = "2024-10-09"  # AS_OF 2024-07-01 + 100 days
+    got = {
+        r["rid"]: r
+        for r in _spark_rows(
+            spark, analysis.recency_cols(F.col("t"), as_of=shifted)
+        )
+    }
+    want = {
+        r["rid"]: r
+        for r in _ddb(
+            f"SELECT rid, {analysis.sql_recency_select('t', as_of=shifted)} FROM rows"
+        )
+    }
+    base = {
+        r["rid"]: r
+        for r in _spark_rows(spark, analysis.recency_cols(F.col("t")))
+    }
+    for rid in got:
+        for k in ("date_count", "most_recent_date", "days_since_update",
+                  "has_recent_content", "has_very_recent_content"):
+            assert got[rid][k] == want[rid][k], (rid, k)
+        if base[rid]["days_since_update"] is not None:
+            assert got[rid]["days_since_update"] == base[rid]["days_since_update"] + 100

@@ -148,3 +148,28 @@ def test_driver_registry_is_exactly_50():
         "academic_classification", "embed_neardup_pairs",
     ):
         assert member in QUERIES, member
+
+
+def test_domain_latency_approx_tracks_exact(spark):
+    """The 100x-path approx twin stays within sketch tolerance of the
+    hash-exact window form (accuracy 10000 -> rank error <= n/10000, i.e.
+    exact on these group sizes for p50/p95; p99 may land a neighbor rank)."""
+    from scrapy_spark.entry_queries import QUERIES
+
+    exact = {
+        r["domain"]: r
+        for r in QUERIES["domain_latency_percentiles"][0](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["domain"]: r
+        for r in QUERIES["domain_latency_approx"][0](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) >= 10
+    for dom, a in approx.items():
+        e = exact[dom]
+        assert a["n_requests"] == e["n_requests"]
+        assert a["n_errors"] == e["n_errors"]
+        assert a["error_rate"] == e["error_rate"]
+        for p in ("p50_micros", "p95_micros", "p99_micros"):
+            # within 1% relative of the exact discrete percentile
+            assert abs(a[p] - e[p]) <= max(1, 0.01 * e[p]), (dom, p, a[p], e[p])
