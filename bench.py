@@ -8,6 +8,12 @@ The crawl bench runs a 3-generation crawl over a deterministic synthetic web
 (~10k scheduled+fetched URLs incl. PNG image payloads) and reports
 urls/sec — the BASELINE.json north metric. Scaling evidence (local[8] vs
 local[32]) is produced by bench_scaling.py -> BENCH/BASELINE.md.
+
+When the input is the default sf0.1, a `data_scale` block re-times the
+data-proportional query subset on a derived 10x dataset (cached at
+.bench_sf1/, sources/scale_testdata) — the query-suite data-scaling
+decade recorded in BENCH/BASELINE.md. Disable with
+SPARK_GRAFT_DATA_SCALE=0.
 """
 
 from __future__ import annotations
@@ -60,6 +66,28 @@ HEADLINE = [
     "academic_classification",
     "domain_latency_percentiles",
     "warehouse_scd_versions",
+]
+
+# data-scaling subset: the queries whose cost is data-proportional (the
+# sub-second names in HEADLINE are scheduling-overhead-dominated at sf0.1
+# and would only measure fixed costs twice); quadratic-by-design baselines
+# (ann_cosine_topk brute force) are excluded — their scaling story is the
+# bucketed/IVF variants.
+DATA_SCALE_QUERIES = [
+    "q1_pricing_summary",
+    "a14_hourly_success_rate",
+    "w1_frontier_rank_topk",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "embed_neardup_clusters",
+    "text_quality_score",
+    "pagerank_copurchase",
+    "domain_latency_approx",
+    "warehouse_scd_versions",
+    "sessionize_events",
 ]
 
 
@@ -131,6 +159,42 @@ def main() -> None:
         fn, _sql = QUERIES[name]
         timings[name] = round(run_query(spark, fn, sf_dir), 3)
 
+    # data-size scaling block (VERDICT r4 #6): derive a 10x dataset from
+    # the bench input (sources/scale_testdata: linear-work replication —
+    # key offsets, disjoint replica shingles, orthogonally-permuted
+    # embeddings) and re-time a representative subset. Evidence target:
+    # time ratio <= data ratio per query (linear or better — fixed
+    # scheduling overhead amortizes). Cached under the repo; skipped for
+    # non-default inputs (smoke runs at sf0.01) and on any failure the
+    # main bench line still prints.
+    data_scale: dict = {}
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_DATA_SCALE", "1") == "1":
+        try:
+            from scrapy_spark.sources.scale_testdata import ensure_scaled
+
+            t0 = time.perf_counter()
+            sf1_dir = ensure_scaled(
+                spark, sf_dir, str(REPO / ".bench_sf1"), factor=10
+            )
+            gen_s = round(time.perf_counter() - t0, 3)
+            _session_gc()
+            sf1_t: dict[str, float] = {}
+            for name in DATA_SCALE_QUERIES:
+                fn, _sql = QUERIES[name]
+                sf1_t[name] = round(run_query(spark, fn, sf1_dir), 3)
+            data_scale = {
+                "factor": 10,
+                "ensure_s": gen_s,
+                "sf1_queries": sf1_t,
+                "time_ratio": {
+                    n: round(sf1_t[n] / timings[n], 2)
+                    for n in sf1_t
+                    if timings.get(n)
+                },
+            }
+        except Exception as exc:  # never lose the main bench line
+            data_scale = {"error": f"{type(exc).__name__}: {exc}"}
+
     # GC once, between the query section and the crawl: measured ~35% crawl
     # slowdown from accumulated dead blocks, while per-query GC pauses bleed
     # into the NEXT query's first job (worse than the pollution for short
@@ -154,6 +218,7 @@ def main() -> None:
                 "crawl_urls_fetched": crawl_urls,
                 "crawl_urls_per_sec": round(crawl_urls / crawl_secs, 1),
                 "cpus": cpus,
+                "data_scale": data_scale,
             }
         )
     )
