@@ -144,10 +144,18 @@ Reproduce: `python bench_scaling.py --data-scale` (appends this section).
 """
         out_path = REPO / "BENCH" / "BASELINE.md"
         base = out_path.read_text()
+        # replace only OUR section; preserve any sections appended after it
+        # (e.g. the query-suite data-scaling block bench.py documents)
         marker = "\n\n## Data-size scaling"
+        tail = ""
         if marker in base:
-            base = base[: base.index(marker)]
-        out_path.write_text(base + md)
+            cut = base.index(marker)
+            rest = base[cut + 1 :]
+            nxt = rest.find("\n\n## ")
+            if nxt != -1:
+                tail = rest[nxt:]
+            base = base[:cut]
+        out_path.write_text(base + md + tail)
         print(json.dumps({"throughput_retention":
                           round(r2["urls_per_sec"] / r1["urls_per_sec"], 3)}))
         return
@@ -200,7 +208,17 @@ the work is the same, only parallelism differs):
 Reproduce: `python bench_scaling.py` (writes this file).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    # rewriting the core block must not clobber appended sections (data-size
+    # scaling, query-suite scaling) — keep everything from the first "## "
+    # section that follows the core block
+    tail = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    out_path.write_text(md + tail)
     print(json.dumps({"efficiency": round(eff, 3), "t8": t8, "t32": t32}))
 
 

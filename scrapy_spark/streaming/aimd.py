@@ -6,8 +6,12 @@ concurrency when the success rate drops below 0.95, add 2 otherwise;
 per-domain circuit breaker in ``retry_strategies.py:256-390``). In the
 rebuild the politeness *budget* lives in frontier selection; this operator is
 the streaming-side controller that produces the per-host budget for the next
-generation from a live stream of fetch events — state is kept per host with
-``applyInPandasWithState`` (Arrow-batched, no per-row Python at the API).
+generation from a live stream of fetch events — state is kept per host,
+Arrow-batched, no per-row Python at the API. The transition function is a
+pure shared core (:func:`_aimd_step`) exposed through BOTH stateful APIs:
+``applyInPandasWithState`` (this Spark pin's stable path) and
+``transformWithStateInPandas`` (the Spark-4 successor, RocksDB-backed) —
+output parity between the two is pinned in tests/test_streaming.py.
 
 State per host: (concurrency, total, failures, consecutive_failures).
 Circuit breaker: after >= 5 consecutive failures the host's budget drops to
@@ -59,22 +63,26 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (host,) = key
-    if state.exists:
-        conc, total, failures, consec = state.get
+def _aimd_step(
+    host: str,
+    state_tuple: tuple[int, int, int, int] | None,
+    parts: list[pd.DataFrame],
+) -> tuple[tuple[int, int, int, int], pd.DataFrame] | None:
+    """Pure AIMD transition shared by BOTH stateful APIs: (state, batch) ->
+    (new state, one output row). Keeping it API-free pins that the
+    applyInPandasWithState and transformWithStateInPandas operators are the
+    same controller."""
+    if state_tuple is not None:
+        conc, total, failures, consec = state_tuple
     else:
         conc, total, failures, consec = AIMD_START, 0, 0, 0
-    # consecutive-failure tracking needs a deterministic event order: batch
-    # arrival order is partition/shuffle-dependent, so sort by event
-    # time/sequence before scanning
-    parts = list(pdfs)
     if not parts:
-        return
+        return None
     batch = pd.concat(parts, ignore_index=True)
-    # composite sort key: a single column (e.g. ts) leaves same-timestamp
-    # events in concat order, which is shuffle/partition-dependent — use
-    # every available ordering column as a tie-break chain
+    # consecutive-failure tracking needs a deterministic event order: batch
+    # arrival order is partition/shuffle-dependent, so sort by every
+    # available ordering column as a tie-break chain (a single column,
+    # e.g. ts, leaves same-timestamp events in concat order)
     order_cols = [c for c in ("ts", "seq", "event_id", "url") if c in batch.columns]
     if order_cols:
         batch = batch.sort_values(order_cols, kind="mergesort")
@@ -91,8 +99,7 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     else:
         conc = min(AIMD_MAX, conc + AIMD_STEP)  # additive increase
     circuit_open = consec >= BREAKER_LIMIT
-    state.update((conc, total, failures, consec))
-    yield pd.DataFrame(
+    out = pd.DataFrame(
         [
             {
                 "host": host,
@@ -104,14 +111,69 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
             }
         ]
     )
+    return (conc, total, failures, consec), out
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (host,) = key
+    stepped = _aimd_step(host, state.get if state.exists else None, list(pdfs))
+    if stepped is None:
+        return
+    new_state, out = stepped
+    state.update(new_state)
+    yield out
 
 
 def aimd_budgets(fetch_events: DataFrame) -> DataFrame:
-    """fetch-event stream (host, is_valid, ...) -> per-host budget updates."""
+    """fetch-event stream (host, is_valid, ...) -> per-host budget updates.
+
+    Uses ``applyInPandasWithState`` (deprecated-track in newer Spark but
+    fully supported at this pin and needs no special state-store provider);
+    :func:`aimd_budgets_tws` is the identical controller on the successor
+    ``transformWithStateInPandas`` API — tests pin output parity."""
     return fetch_events.groupBy("host").applyInPandasWithState(
         _update,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def aimd_budgets_tws(fetch_events: DataFrame) -> DataFrame:
+    """Same AIMD controller on the Spark-4 ``transformWithStateInPandas``
+    API (the migration target once applyInPandasWithState is removed).
+    Requires the RocksDB state store provider:
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+
+    ENV-GATED in this container: the API's state-server protocol imports
+    google.protobuf, which is not installed here, so the end-to-end parity
+    test skips (tests/test_streaming.py documents the crash signature);
+    the shared ``_aimd_step`` core keeps the two operators semantically
+    identical regardless."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _AimdProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("aimd", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (host,) = key
+            prev = tuple(self._state.get()) if self._state.exists() else None
+            stepped = _aimd_step(host, prev, list(rows))
+            if stepped is None:
+                return iter(())
+            new_state, out = stepped
+            self._state.update(new_state)
+            return iter([out])
+
+        def close(self) -> None:
+            pass
+
+    return fetch_events.groupBy("host").transformWithStateInPandas(
+        _AimdProcessor(), OUTPUT_SCHEMA, "append", "none"
     )

