@@ -3008,16 +3008,140 @@ def ann_recall_methods(spark, sf_dir):
 QUERIES["ann_recall_methods"] = (ann_recall_methods, _combo_ann_recall_sql())
 
 
+# ---------------------------------------------------------------------------
+# Model-free NLP enrichment (nlp.py get_text_stats / extract_keywords_simple
+# / filter_entities) — functions/nlpfn.py holds both engines' expressions
+# ---------------------------------------------------------------------------
+
+# entity-bearing punctuated sentences appended to the lowercase synthetic
+# texts (same synthesize-the-input recipe as _enriched_text_spark): mixed
+# sentence terminators for sentence_count, capitalized runs for the entity
+# miner, a case-variant duplicate (Storrs Campus / STORRS CAMPUS) for the
+# keep-first case-insensitive dedup
+_NLP_SENTS = [
+    "The Storrs Campus hosts Data Science labs! Visit STORRS CAMPUS soon.",
+    "President Radenka Maric spoke at Gampel Pavilion? Students cheered.",
+    "Husky Research wins; the Uconn Foundation funds AI Lab work.",
+    "Jonathan The Husky met Hartford Campus staff. No rain fell.",
+    "Spring Commencement honors College Of Engineering graduates today.",
+]
+
+
+def _nlp_text_spark(d):
+    sents = F.array(*[F.lit(s) for s in _NLP_SENTS])
+    return F.concat(
+        F.col("text"), F.lit(" "),
+        F.element_at(sents, (F.col("doc_id") % 5).cast("int") + 1),
+    )
+
+
+_NLP_TEXT_SQL = (
+    "concat(text, ' ', (["
+    + ", ".join(f"'{s}'" for s in _NLP_SENTS)
+    + "])[CAST(doc_id % 5 AS INTEGER) + 1])"
+)
+
+
+def _nlp_rows_cte() -> str:
+    return f"WITH rows AS (SELECT doc_id, {_NLP_TEXT_SQL} AS t FROM documents)"
+
+
+def _nlp_stats_sql() -> str:
+    from scrapy_spark.functions import nlpfn
+
+    return f"""
+    {_nlp_rows_cte()}
+    SELECT doc_id, {nlpfn.sql_text_stats_select('t')}
+    FROM rows
+    """
+
+
+@_q("nlp_text_stats", _nlp_stats_sql())
+def nlp_text_stats(spark, sf_dir):
+    """get_text_stats (nlp.py:626-651): word/char/sentence counts and
+    average word length (exact integer millis) — pure column expressions
+    over the NLP-enriched document text."""
+    from scrapy_spark.functions import nlpfn
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
+    cols = nlpfn.text_stats_cols(F.col("t"))
+    return r.select("doc_id", *cols.values())
+
+
+def _nlp_keywords_sql() -> str:
+    from scrapy_spark.functions import nlpfn
+
+    return f"""
+    {_nlp_rows_cte()},
+    cand AS ({nlpfn.sql_keyword_candidates('t', 'doc_id', 'rows')})
+    SELECT doc_id, rank, keyword, n FROM (
+      SELECT doc_id, keyword, n,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, first_pos ASC)
+                  AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= {nlpfn.TOP_KEYWORDS}
+    """
+
+
+@_q("nlp_keywords_simple", _nlp_keywords_sql())
+def nlp_keywords_simple(spark, sf_dir):
+    """extract_keywords_simple (nlp.py:609-624): top-15 frequency keywords
+    per document with Counter.most_common's EXACT tie order (count desc,
+    first occurrence asc — most_common is a stable sort over insertion
+    order). Per-document window only (bounded by a doc's distinct words —
+    never a global sort)."""
+    from scrapy_spark.functions import nlpfn
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
+    cand = nlpfn.keyword_candidates(r, F.col("t"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("first_pos").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= nlpfn.TOP_KEYWORDS)
+        .select("doc_id", "rank", "keyword", "n")
+    )
+
+
+def _nlp_entities_sql() -> str:
+    from scrapy_spark.functions import nlpfn
+
+    return f"""
+    {_nlp_rows_cte()}
+    {nlpfn.sql_entity_rows('t', 'doc_id', 'rows')}
+    """
+
+
+@_q("nlp_entities", _nlp_entities_sql())
+def nlp_entities(spark, sf_dir):
+    """Entity spans: capitalized-run candidates (the model-free stand-in
+    for the reference's spaCy NER, nlp.py:294-313) filtered with the
+    reference's filter_entities semantics verbatim (nlp.py:558-606 —
+    <=6 words by construction, case-insensitive dedup keeping the first
+    occurrence, first-occurrence output order)."""
+    from scrapy_spark.functions import nlpfn
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
+    return nlpfn.entity_rows(r, F.col("t"), "doc_id")
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
            t.n_ws_tokens, t.n_bpe_ish, l.lang, l.lang_guess, f.fingerprint,
-           g.lang_ngram
+           g.lang_ngram,
+           s.word_count, s.char_count, s.sentence_count, s.avg_word_len_milli
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
     JOIN {_sub("doc_fingerprint")} f USING (doc_id)
     JOIN {_sub("text_langid_ngram")} g USING (doc_id)
+    JOIN {_sub("nlp_text_stats")} s USING (doc_id)
     """
 
 
@@ -3025,8 +3149,9 @@ def _combo_text_analysis_sql() -> str:
 def text_analysis(spark, sf_dir):
     """COMBO: the per-document text-analysis suite — quality scoring,
     token counting (whitespace + BPE-ish), language-ID (stopword AND
-    character-bigram n-gram variants), and the rolling-hash fingerprint —
-    joined on doc_id."""
+    character-bigram n-gram variants), the rolling-hash fingerprint, and
+    (since r5) the reference's get_text_stats columns (nlpfn) — joined on
+    doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -3034,8 +3159,10 @@ def text_analysis(spark, sf_dir):
     g = QUERIES["text_langid_ngram"][0](spark, sf_dir).select(
         "doc_id", "lang_ngram"
     )
+    s = QUERIES["nlp_text_stats"][0](spark, sf_dir)
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
+        .join(s, "doc_id")
     )
 
 
