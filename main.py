@@ -73,6 +73,13 @@ def _build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("report", help="print per-generation metrics/lineage")
     r.add_argument("--workdir", required=True)
     r.add_argument("--master", default=None)
+    r.add_argument(
+        "--prometheus",
+        default=None,
+        metavar="FILE",
+        help="also write crawl metrics in Prometheus text exposition format "
+        "('-' for stdout)",
+    )
 
     v = sub.add_parser("vacuum", help="delete orphan files from crashed generations")
     v.add_argument("--workdir", required=True)
@@ -321,6 +328,18 @@ def main(argv: list[str] | None = None) -> int:
                         }
                     )
                 )
+            if args.prometheus:
+                from scrapy_spark.sources.metrics_export import (
+                    prometheus_exposition,
+                )
+
+                text = prometheus_exposition(spark, cat)
+                if args.prometheus == "-":
+                    sys.stdout.write(text)
+                else:
+                    with open(args.prometheus, "w") as fh:
+                        fh.write(text)
+                    print(json.dumps({"prometheus_file": args.prometheus}))
         return 0
     finally:
         spark.stop()

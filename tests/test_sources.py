@@ -187,3 +187,49 @@ def test_warehouse_star_export_versioning(spark):
     assert dims["b.uconn.edu"]["n_pages"] == 1
     assert dims["a.uconn.edu"]["first_generation"] == 0
     assert dims["a.uconn.edu"]["last_generation"] == 2
+
+
+def test_prometheus_exposition(spark, tmp_path):
+    """Prometheus text-format export renders the catalog's metrics/lineage
+    facts (metrics_emitter.py / performance_metrics.py surface) with
+    spec-shaped HELP/TYPE headers and correct sums."""
+    import re
+
+    import pandas as pd
+
+    from scrapy_spark.sources.catalog import SnapshotCatalog
+    from scrapy_spark.sources.metrics_export import prometheus_exposition
+
+    cat = SnapshotCatalog(str(tmp_path / "wd"))
+    for gen, (sched, fet, fail, img) in enumerate([(10, 9, 1, 3), (20, 18, 2, 5)]):
+        lin = pd.DataFrame(
+            [{"host": "h.uconn.edu", "scheduled": sched, "fetched": fet,
+              "failed": fail, "images": img, "schema_valid": fet,
+              "generation": gen}]
+        )
+        met = pd.DataFrame(
+            [{"generation": gen, "stage": "crawl_generation",
+              "items_processed": sched, "items_per_second": float(sched) / 2.0,
+              "elapsed_seconds": 2.0}]
+        )
+        cat.commit(gen, {
+            "lineage": cat.stage_pandas(lin, "lineage", gen),
+            "metrics": cat.stage_pandas(met, "metrics", gen),
+        })
+    text = prometheus_exposition(spark, cat)
+    lines = text.strip().splitlines()
+    # every non-comment line parses as the exposition line format
+    pat = re.compile(r'^[a-z_]+(\{[a-z_]+="[^"]*"(,[a-z_]+="[^"]*")*\})? \S+$')
+    for ln in lines:
+        if not ln.startswith("#"):
+            assert pat.match(ln), ln
+    assert "crawl_generations_total 2" in text
+    assert "crawl_urls_scheduled_total 30" in text
+    assert "crawl_urls_fetched_total 27" in text
+    assert "crawl_urls_failed_total 3" in text
+    assert 'crawl_stage_items_per_second{generation="1",stage="crawl_generation"} 10' in text
+    assert "crawl_elapsed_seconds_total 4" in text
+    # HELP/TYPE precede each metric family
+    assert text.index("# TYPE crawl_urls_scheduled_total counter") < text.index(
+        "crawl_urls_scheduled_total 30"
+    )
