@@ -66,9 +66,12 @@ HEADLINE = [
     "academic_classification",
     "domain_latency_percentiles",
     "warehouse_scd_versions",
+    "domain_latency_approx",
+    "sessionize_events",
 ]
 
-# data-scaling subset: the queries whose cost is data-proportional (the
+# data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
+# baseline is missing and the time_ratio silently drops it — asserted below): the queries whose cost is data-proportional (the
 # sub-second names in HEADLINE are scheduling-overhead-dominated at sf0.1
 # and would only measure fixed costs twice); quadratic-by-design baselines
 # (ann_cosine_topk brute force) are excluded — their scaling story is the
@@ -89,6 +92,11 @@ DATA_SCALE_QUERIES = [
     "warehouse_scd_versions",
     "sessionize_events",
 ]
+
+# a data-scale query without an sf0.1 HEADLINE timing has no denominator
+assert set(DATA_SCALE_QUERIES) <= set(HEADLINE), (
+    set(DATA_SCALE_QUERIES) - set(HEADLINE)
+)
 
 
 def run_query(spark, fn, sf_dir: str) -> float:

@@ -405,6 +405,14 @@ def _entropy_encode_scan(zz_all: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
     C = np.zeros(total_tok, np.int64)
     L = np.zeros(total_tok, np.int64)
 
+    # the dense LUTs return (0, 0) for symbols outside the Huffman tables —
+    # fail LOUDLY like the old dict lookups did, never emit a 0-bit token
+    # (e.g. a magnitude category beyond the baseline tables' range)
+    if not (dcL[t, ssss_dc] > 0).all():
+        raise ValueError("DC magnitude category outside the Huffman table")
+    if nnz and not (acL[t[rws], sym_ac] > 0).all():
+        raise ValueError("AC (run,size) symbol outside the Huffman table")
+
     C[unit_base] = dcC[t, ssss_dc]
     L[unit_base] = dcL[t, ssss_dc]
     has_mag = np.flatnonzero(ssss_dc > 0)

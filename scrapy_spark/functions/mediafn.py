@@ -134,7 +134,8 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25, quality: int = 99)
         1_000_000 // fps,  # dwMicroSecPerFrame
         max_bytes * fps,  # dwMaxBytesPerSec
         0,  # padding granularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (cosmetic)
+        0,  # dwFlags: no AVIF_HASINDEX — we write no idx1 chunk, so the
+        #            file must not advertise one (0x10 IS HASINDEX)
         len(payloads),  # dwTotalFrames
         0,
         1,  # one stream

@@ -5,10 +5,11 @@ to extract width/height/format/EXIF and thumbnails
 (``Scraping_project/src/stage3/content_handlers.py:206-263,329-340``) and
 perceptually hash media (``media_extraction.py:93-196``). Spark-first
 mapping: images are opaque ``binary`` columns with typed metadata; decode /
-feature-extract run as Arrow-batched ``mapInPandas`` — schema, partitioning
-and batch shape are real; only the non-PNG codecs are stubbed
-(functions/imagefn.decode_image raises NotImplementedError for jpeg/gif/webp
-because those codec libraries aren't in this container).
+feature-extract run as Arrow-batched ``mapInPandas``. All four accepted
+image formats decode for REAL via the from-scratch codecs
+(functions/imagefn PNG, jpegfn, giffn, webpfn VP8L); only genuinely
+library-bound formats (e.g. tiff, lossy-VP8 webp) surface as labeled
+NotImplementedError rows — data, never task failures.
 
 At 100 TB the invariants here matter more than the codec: bytes enter the
 UDF via Arrow record batches (no per-row Python at the API), outputs are

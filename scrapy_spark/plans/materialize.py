@@ -41,15 +41,47 @@ def staging_dir(spark) -> str | None:
     return d or os.environ.get(_ENV_KEY) or None
 
 
+def _app_staging_dir(spark) -> str | None:
+    """Staged cuts live under <dir>/<applicationId>/ so one job's transient
+    tables are reclaimable as a unit (clear_staging) and concurrent
+    applications never collide."""
+    d = staging_dir(spark)
+    if d is None:
+        return None
+    return os.path.join(d, spark.sparkContext.applicationId)
+
+
 def materialize(df: DataFrame, eager: bool = True, name: str = "mid") -> DataFrame:
     """Cut the lineage of a multiply-consumed mid-plan DataFrame.
 
     ``eager`` only affects the localCheckpoint path (lazy is right when a
     following broadcast subquery will materialize the frame anyway —
-    see linkgraph.py); the parquet path is inherently eager."""
-    d = staging_dir(df.sparkSession)
+    see linkgraph.py); the parquet path is inherently eager.
+
+    Staged-parquet lifecycle: each cut writes a new table (the consuming
+    plans read it lazily, so the helper cannot know when it dies). Cuts are
+    grouped per application id; call :func:`clear_staging` when the job's
+    results are fully materialized (end of a query sweep / after a
+    generation commits) — mirroring how Spark's own ``cleanCheckpoints``
+    handles reliable checkpoints at application end."""
+    d = _app_staging_dir(df.sparkSession)
     if d is None:
         return df.localCheckpoint(eager=eager)
+    os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{name}-{uuid.uuid4().hex}.parquet")
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def clear_staging(spark) -> int:
+    """Delete this application's staged cuts; returns the number of staged
+    tables removed. Only safe once no live plan still reads them (i.e.
+    results have been collected/written)."""
+    import shutil
+
+    d = _app_staging_dir(spark)
+    if d is None or not os.path.isdir(d):
+        return 0
+    n = len(os.listdir(d))
+    shutil.rmtree(d, ignore_errors=True)
+    return n

@@ -505,10 +505,17 @@ def test_lineage_path_traces_to_seed(oracle, spark_run):
     path = lineage_path(fr, deep["url"])
     assert path and path[0]["url"] == deep["url"]
     assert path[-1]["source_type"] == "seed" or path[-1]["source_url"] is None
-    # python twin over oracle rows (first fetch of each url wins, like the
-    # operator's (generation, depth) order)
+    # python twin over oracle rows — the EXACT tie-break chain of the
+    # operator (lineage_path.py): (generation, depth, source_type,
+    # source_url); change them TOGETHER (CLAUDE.md tie-break rule)
     by_url = {}
-    for r in sorted(oracle.scheduled, key=lambda r: (r["generation"], r["depth"])):
+    for r in sorted(
+        oracle.scheduled,
+        key=lambda r: (
+            r["generation"], r["depth"],
+            r["source_type"] or "", r["source_url"] or "",
+        ),
+    ):
         by_url.setdefault(r["url"], r)
     want = []
     cur, seen = deep["url"], set()

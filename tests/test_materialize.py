@@ -36,23 +36,34 @@ def test_default_is_local_checkpoint(spark, clear_conf):
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
 
 
+def _staged_files(spark, root):
+    app = os.path.join(root, spark.sparkContext.applicationId)
+    return os.listdir(app) if os.path.isdir(app) else []
+
+
 def test_conf_dir_stages_parquet(spark, tmp_path, clear_conf):
     spark.conf.set(_CONF_KEY, str(tmp_path))
     df = _df(spark).filter(F.col("k") > 1)
     cut = materialize(df, name="staged")
     assert sorted(r["k"] for r in cut.collect()) == [2, 3, 4]
-    staged = [p for p in os.listdir(tmp_path) if p.startswith("staged-")]
+    staged = [p for p in _staged_files(spark, tmp_path) if p.startswith("staged-")]
     assert len(staged) == 1  # the cut IS a durable parquet table
     # and the cut frame reads from it (restart-safe, not executor blocks)
     plan = cut._jdf.queryExecution().optimizedPlan().toString()
     assert "parquet" in plan.lower()
+    # lifecycle: once results are materialized, the app's cuts reclaim as
+    # a unit (staging would otherwise grow unboundedly across a sweep)
+    from scrapy_spark.plans.materialize import clear_staging
+
+    assert clear_staging(spark) >= 1
+    assert _staged_files(spark, tmp_path) == []
 
 
 def test_env_var_fallback(spark, tmp_path, clear_conf):
     os.environ["SPARK_GRAFT_MATERIALIZE_DIR"] = str(tmp_path)
     cut = materialize(_df(spark), name="envcut")
     assert cut.count() == 4
-    assert any(p.startswith("envcut-") for p in os.listdir(tmp_path))
+    assert any(p.startswith("envcut-") for p in _staged_files(spark, tmp_path))
 
 
 def test_operator_results_identical_across_mechanisms(spark, tmp_path, clear_conf):
@@ -71,4 +82,7 @@ def test_operator_results_identical_across_mechanisms(spark, tmp_path, clear_con
     spark.conf.set(_CONF_KEY, str(tmp_path))
     staged = sorted(map(tuple, pagerank_exact(edges, iterations=3).collect()))
     assert local == staged
-    assert any(p.startswith("pr") or p.startswith("edges") for p in os.listdir(tmp_path))
+    assert any(
+        p.startswith("pr") or p.startswith("edges")
+        for p in _staged_files(spark, tmp_path)
+    )
