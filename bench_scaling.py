@@ -150,8 +150,8 @@ Reproduce: `python bench_scaling.py --data-scale` (appends this section).
         tail = ""
         if marker in base:
             cut = base.index(marker)
-            rest = base[cut + 1 :]
-            nxt = rest.find("\n\n## ")
+            rest = base[cut + 1 :]  # starts at our OWN "\n## " header
+            nxt = rest.find("\n## ", 1)  # next section AFTER ours
             if nxt != -1:
                 tail = rest[nxt:]
             base = base[:cut]
@@ -215,7 +215,7 @@ Reproduce: `python bench_scaling.py` (writes this file).
     tail = ""
     if out_path.exists():
         old = out_path.read_text()
-        idx = old.find("\n\n## ")
+        idx = old.find("\n## ")
         if idx != -1:
             tail = old[idx:]
     out_path.write_text(md + tail)
