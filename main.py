@@ -342,7 +342,15 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps({"prometheus_file": args.prometheus}))
         return 0
     finally:
-        spark.stop()
+        # reclaim any staged-parquet mid-plan cuts before the app exits
+        # (no-op unless a materializer staging dir is configured; CrawlJob
+        # already clears its own, this covers query/report/export paths)
+        from scrapy_spark.plans.materialize import clear_staging
+
+        try:
+            clear_staging(spark)
+        finally:
+            spark.stop()
 
 
 if __name__ == "__main__":

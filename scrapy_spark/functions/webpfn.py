@@ -412,9 +412,12 @@ def _read_code_lengths(br: _BitReader, alphabet: int):
         if num_symbols == 1:
             return ("trivial", sym0)
         sym1 = br.read(8)
-        # two 1-bit codes; canonical order = ascending symbol (the encoder
-        # writes them ascending, so read order == canonical order)
-        return _tree_from_codes({sym0: (0, 1), sym1: (1, 1)})
+        # two 1-bit codes; the spec builds the CANONICAL code from the
+        # lengths (both 1), so code 0 belongs to the numerically smaller
+        # symbol whatever order the file wrote them in — a spec-valid
+        # external file may write them descending
+        lo, hi = (sym0, sym1) if sym0 < sym1 else (sym1, sym0)
+        return _tree_from_codes({lo: (0, 1), hi: (1, 1)})
 
     num = br.read(4) + 4
     cl_lengths: dict[int, int] = {}

@@ -128,7 +128,7 @@ def ngram_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, shingle)-distinct rows -> near-dup pairs with Jaccard score.
 
@@ -136,11 +136,13 @@ def ngram_jaccard_pairs(
     exact shingles; the join key is the shingle, so the shuffle is the
     inverted index itself.
 
-    ``materialize=True`` cuts the (capped) shingle table before
-    fan-out: it has FOUR downstream consumers (hot-list agg, both self-join
-    branches, per-doc sizes), and without materialization each one re-derives
-    the shingle explode+distinct from the raw text — the dominant cost. On a
-    cluster, the materializer staging dir makes the cuts durable."""
+    ``materialize=True`` (the default — a live shingle plan has FOUR
+    downstream consumers here: hot-list agg, both self-join branches,
+    per-doc sizes, and without a cut each one re-derives the shingle
+    explode+distinct from the raw text, the dominant cost) cuts the
+    (capped) shingle table before fan-out. Pass ``materialize=False`` only
+    when the input is already materialized (a table read / checkpointed
+    plan). On a cluster, the materializer staging dir makes cuts durable."""
     if max_doc_freq is not None:
         if materialize:
             shingles = _cut(shingles, name="shingles-raw")

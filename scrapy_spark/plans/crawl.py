@@ -141,11 +141,21 @@ class CrawlJob:
         if not resume and self.catalog.committed_generation() >= 0:
             raise ValueError("workdir already has a crawl; pass resume=True")
         stats: list[GenStats] = []
-        for gen in range(start, self.params.max_generations):
-            st = self._run_generation(gen)
-            stats.append(st)
-            if st.scheduled == 0:
-                break
+        try:
+            for gen in range(start, self.params.max_generations):
+                st = self._run_generation(gen)
+                stats.append(st)
+                if st.scheduled == 0:
+                    break
+        finally:
+            # staged mid-plan cuts (plans/materialize) are transient
+            # per-generation; every generation's results are committed to
+            # the catalog before the next starts, so at run end (or abort)
+            # no live plan reads them — reclaim so a configured staging dir
+            # doesn't grow for the life of the application
+            from scrapy_spark.plans.materialize import clear_staging
+
+            clear_staging(self.spark)
         return stats
 
     def _revalidation_candidates(self, gen: int) -> DataFrame | None:

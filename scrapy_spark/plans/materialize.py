@@ -67,21 +67,37 @@ def materialize(df: DataFrame, eager: bool = True, name: str = "mid") -> DataFra
     d = _app_staging_dir(df.sparkSession)
     if d is None:
         return df.localCheckpoint(eager=eager)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{name}-{uuid.uuid4().hex}.parquet")
+    # no mkdir needed: the parquet committer creates parents through the
+    # Hadoop FileSystem for whatever scheme the URI names (file://, hdfs://,
+    # s3a://) — a driver-local os.makedirs would create a bogus local dir
+    # for remote URIs
+    path = d.rstrip("/") + f"/{name}-{uuid.uuid4().hex}.parquet"
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _fs_and_path(spark, path_str: str):
+    """Resolve (FileSystem, Path) for a possibly-remote staging URI via the
+    Hadoop FS API, so hdfs://, s3a:// and plain local paths all work."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
 
 
 def clear_staging(spark) -> int:
     """Delete this application's staged cuts; returns the number of staged
     tables removed. Only safe once no live plan still reads them (i.e.
-    results have been collected/written)."""
-    import shutil
-
+    results have been collected/written). Called from the production
+    lifecycle points — CrawlJob.run's finally, bench.py between sweeps,
+    main.py's command epilogue — so configured staging dirs don't grow
+    unboundedly for the life of the application."""
     d = _app_staging_dir(spark)
-    if d is None or not os.path.isdir(d):
+    if d is None:
         return 0
-    n = len(os.listdir(d))
-    shutil.rmtree(d, ignore_errors=True)
+    fs, p = _fs_and_path(spark, d)
+    if not fs.exists(p):
+        return 0
+    n = len(fs.listStatus(p))
+    fs.delete(p, True)
     return n

@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 from .catalog import SnapshotCatalog
 
 
+def _esc(v: str) -> str:
+    """Escape a label value per the exposition format: backslash, quote and
+    newline must be escaped or the line is unparseable. Current labels are
+    internal constants, but host/URL-derived labels must stay safe."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _line(name: str, value, labels: dict[str, str] | None = None) -> str:
     lab = (
-        "{" + ",".join(f'{k}="{v}"' for k, v in sorted(labels.items())) + "}"
+        "{" + ",".join(f'{k}="{_esc(v)}"' for k, v in sorted(labels.items())) + "}"
         if labels
         else ""
     )

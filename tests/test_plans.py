@@ -110,7 +110,8 @@ def test_ngram_cap_hot_list_broadcast(spark):
     from scrapy_spark.operators.neardup import ngram_jaccard_pairs
 
     df = ngram_jaccard_pairs(
-        _spark_shingles(spark, SF), threshold=0.2, max_doc_freq=1000
+        _spark_shingles(spark, SF), threshold=0.2, max_doc_freq=1000,
+        materialize=False,
     )
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p

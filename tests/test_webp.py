@@ -66,6 +66,32 @@ def test_single_color_uses_simple_codes():
     assert np.array_equal(decode_webp(data), px)
 
 
+def test_simple_two_symbol_code_is_canonical_regardless_of_write_order():
+    """A spec-valid external file may write the two simple-code symbols in
+    DESCENDING order; the canonical code built from the lengths still gives
+    code 0 to the numerically smaller symbol (this repo's encoder writes
+    ascending, so only a hand-built fixture exercises the swap)."""
+    from scrapy_spark.functions.webpfn import (
+        _BitReader,
+        _BitWriter,
+        _read_code_lengths,
+    )
+
+    for sym0, sym1 in ((200, 3), (3, 200)):  # descending then ascending
+        bw = _BitWriter()
+        bw.write(1, 1)  # simple code
+        bw.write(1, 1)  # num_symbols = 2
+        bw.write(1, 1)  # first symbol uses 8 bits
+        bw.write(sym0, 8)
+        bw.write(sym1, 8)
+        bw.write(0, 1)  # code 0 -> smaller symbol
+        bw.write(1, 1)  # code 1 -> larger symbol
+        br = _BitReader(bw.bytes())
+        tree = _read_code_lengths(br, 256)
+        assert br.read_sym(tree) == 3
+        assert br.read_sym(tree) == 200
+
+
 def test_container_structure():
     px = synth_pixels("webp-c", 10, 8)
     data = encode_webp(px)
