@@ -27,13 +27,85 @@ from ..plans.materialize import materialize as _cut
 # After localCheckpoint the rank/score side loses size statistics, so AQE
 # falls back to a per-iteration SortMergeJoin of edges x ranks. The rank
 # table is (node, score) — broadcast it while the node count is bounded
-# (default < 5M ≈ tens of MB); beyond that, co-partition edges and ranks on
-# the join key (bucketed layout) instead.
+# (default < 5M ≈ tens of MB); beyond that the iteration loops switch to the
+# bucketed co-partition layout AUTOMATICALLY (edges persisted bucketed on the
+# join key; only the rank side shuffles into the bucketing each iteration —
+# see _BucketedGraph). Callers with a pre-bucketed edge table pass it in and
+# skip the one-time write.
 BROADCAST_NODES = 5_000_000
 
 
 def _rank_side(df: DataFrame, n: int):
     return F.broadcast(df) if n <= BROADCAST_NODES else df
+
+
+class _BucketedGraph:
+    """Beyond-broadcast edge layout for the iteration loops.
+
+    Holds the bucketed edge table name(s) the per-iteration joins read from
+    — persisted bucketed+sorted on the join key so the dominant edge side is
+    exchange-free every iteration (only (node, score) shuffles into the
+    bucketing). Owns auto-created tables and drops them on close(); caller-
+    provided tables are left alone."""
+
+    def __init__(self, spark, src_table: str | None, dst_table: str | None,
+                 owned: tuple[str, ...] = ()):
+        self.spark = spark
+        self.src_table = src_table
+        self.dst_table = dst_table
+        self._owned = owned
+
+    def src_edges(self) -> DataFrame:
+        return self.spark.table(self.src_table)
+
+    def dst_edges(self) -> DataFrame:
+        return self.spark.table(self.dst_table)
+
+    def close(self) -> None:
+        for t in self._owned:
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _bucketize(
+    spark,
+    edges_with_deg: DataFrame,
+    n: int,
+    src_table: str | None,
+    dst_table: str | None = None,
+    need_dst: bool = False,
+    buckets: int = 64,
+) -> _BucketedGraph | None:
+    """Decide the beyond-broadcast layout for an iteration loop.
+
+    Returns None while the rank side is broadcastable (n <= BROADCAST_NODES)
+    and no table was passed. A caller-provided table name wins; otherwise,
+    past the threshold, the (edges + out_deg) plan is written ONCE to
+    auto-named bucketed table(s) — a one-time shuffle that replaces a
+    per-iteration one — and dropped when the loop finishes."""
+    import uuid
+
+    if src_table is not None or (need_dst and dst_table is not None):
+        return _BucketedGraph(spark, src_table, dst_table)
+    if n <= BROADCAST_NODES:
+        return None
+    tag = uuid.uuid4().hex[:12]
+    owned = []
+    st = f"lg_edges_src_{tag}"
+    write_bucketed_edges(spark, edges_with_deg, st, buckets=buckets, key="src")
+    owned.append(st)
+    dt = None
+    if need_dst:
+        dt = f"lg_edges_dst_{tag}"
+        write_bucketed_edges(spark, edges_with_deg, dt, buckets=buckets, key="dst")
+        owned.append(dt)
+    return _BucketedGraph(spark, st, dt, tuple(owned))
+
+
+def _probe(plan_probe: list | None, df: DataFrame) -> None:
+    """Append the about-to-execute physical plan (tests assert the bucketed
+    path keeps the edge side exchange-free per iteration)."""
+    if plan_probe is not None:
+        plan_probe.append(df._jdf.queryExecution().executedPlan().toString())
 
 
 def nodes_of(edges: DataFrame) -> DataFrame:
@@ -77,6 +149,9 @@ def pagerank(
     max_iterations: int = 100,
     stats: dict | None = None,
     materialize: bool = True,
+    bucketed_table: str | None = None,
+    buckets: int = 64,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Iterative PageRank; returns (node, rank) max-normalized to [0,1].
 
@@ -87,13 +162,29 @@ def pagerank(
     uses tol=1e-4, max 100). Convergence mode pays one extra delta
     aggregation per iteration. Pass a dict as ``stats`` to receive
     {"iterations", "final_delta"}.
+
+    Beyond BROADCAST_NODES the contribution join routes through a bucketed
+    edge layout automatically (one-time bucketed write, zero per-iteration
+    edge exchange); ``bucketed_table`` names a pre-bucketed (src, dst,
+    out_deg) table (:func:`write_bucketed_edges`) to skip the write.
     """
-    edges = _materialize_edges(edges, materialize)
-    nodes = nodes_of(edges).cache()
-    n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # edges with out-degree attached; cached — reused every iteration
-    e = edges.join(out_deg, "src").cache()
+    spark = edges.sparkSession
+    if bucketed_table is not None:
+        bg: _BucketedGraph | None = _BucketedGraph(spark, bucketed_table, None)
+        e = bg.src_edges()
+        nodes = nodes_of(e).cache()
+        n = nodes.count()
+        out_deg = e.select("src", "out_deg").distinct()
+    else:
+        edges = _materialize_edges(edges, materialize)
+        nodes = nodes_of(edges).cache()
+        n = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        # edges with out-degree attached; reused every iteration — cached
+        # while the rank side broadcasts, persisted bucketed beyond that
+        e = edges.join(out_deg, "src")
+        bg = _bucketize(spark, e, n, None, buckets=buckets)
+        e = bg.src_edges() if bg is not None else e.cache()
     # dangling node set is static; compute once
     dangling_nodes = nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
@@ -107,14 +198,23 @@ def pagerank(
         # doubles per iteration and Catalyst re-derives the whole history
         # (cut mechanism pluggable via plans/materialize: durable parquet
         # on a cluster, localCheckpoint locally)
+        _probe(plan_probe, ranks)
         ranks = _cut(ranks, name="pr-ranks")
         prev = ranks
-        contribs = (
-            e.join(_rank_side(ranks, n), e.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
+        if bg is not None:
+            contribs = bucketed_contribs(
+                spark,
+                bg.src_table,
+                ranks.select("node", F.col("rank").alias("r")),
+                integer=False,
+            )
+        else:
+            contribs = (
+                e.join(_rank_side(ranks, n), e.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
         # dangling mass redistributed uniformly — kept as a 1-row broadcast
         # instead of a driver collect, so each iteration is ONE job (the
         # eager localCheckpoint), not two
@@ -148,11 +248,18 @@ def pagerank(
         stats["iterations"] = it
         stats["final_delta"] = delta
     dangling_nodes.unpersist()
+    _probe(plan_probe, ranks)
+    if bg is not None:
+        # cut before dropping auto-bucketed tables: the final ranks plan
+        # still reads them until materialized
+        ranks = _cut(ranks, name="pr-ranks")
+        bg.close()
     # max-normalize (link_graph.py:244-247)
     mx = ranks.agg(F.max("rank")).collect()[0][0]
     out = ranks.select("node", (F.col("rank") / F.lit(mx)).alias("rank"))
     nodes.unpersist()
-    e.unpersist()
+    if bg is None:
+        e.unpersist()
     return out
 
 
@@ -163,8 +270,18 @@ def hits(
     max_iterations: int = 100,
     stats: dict | None = None,
     materialize: bool = True,
+    bucketed_tables: tuple[str, str] | None = None,
+    buckets: int = 64,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """HITS hubs/authorities, L2-normalized per iteration (link_graph.py:249-313).
+
+    HITS joins edges on BOTH keys per iteration (src for hub→authority, dst
+    for authority→hub), so the beyond-BROADCAST_NODES layout needs one
+    bucketed copy per orientation — ``bucketed_tables`` is (src-bucketed,
+    dst-bucketed), written by :func:`write_bucketed_edges` with
+    ``key="src"`` / ``key="dst"``; past the threshold with no tables given,
+    both copies are auto-written once and dropped at the end.
 
     Returns (node, hub, authority). Stopping modes as in :func:`pagerank`:
     fixed ``iterations`` or ``tol`` convergence on
@@ -187,10 +304,28 @@ def hits(
     collect-free with one job per iteration. pagerank's single broadcast
     (dmass) per iteration also measures flat to 60+ iterations.
     """
-    edges = _materialize_edges(edges, materialize)
-    nodes = nodes_of(edges).cache()
-    n = nodes.count()
-    e = edges.cache()
+    spark = edges.sparkSession
+    if bucketed_tables is not None:
+        bg: _BucketedGraph | None = _BucketedGraph(
+            spark, bucketed_tables[0], bucketed_tables[1]
+        )
+        e_src, e_dst = bg.src_edges(), bg.dst_edges()
+        nodes = nodes_of(e_src).cache()
+        n = nodes.count()
+    else:
+        edges = _materialize_edges(edges, materialize)
+        nodes = nodes_of(edges).cache()
+        n = nodes.count()
+        bg = _bucketize(spark, edges, n, None, need_dst=True, buckets=buckets)
+        if bg is not None:
+            e_src, e_dst = bg.src_edges(), bg.dst_edges()
+        else:
+            e_src = e_dst = edges.cache()
+
+    def _side(df: DataFrame) -> DataFrame:
+        # bucketed mode: NEVER broadcast — the score side must shuffle into
+        # the edge bucketing for the co-partition join to fire
+        return df if bg is not None else _rank_side(df, n)
 
     def _l2_normalize(raw: DataFrame, col: str) -> DataFrame:
         nrm = raw.agg(F.sqrt(F.sum(F.col(col) ** 2))).collect()[0][0] or 1.0
@@ -203,18 +338,23 @@ def hits(
     for it in range(1, n_rounds + 1):
         scores = _cut(scores, name="hits-scores")  # truncate iterative lineage
         prev = scores
-        auth = _l2_normalize(
-            e.join(_rank_side(scores.select(F.col("node").alias("src"), "hub"), n), "src")
+        araw = (
+            e_src.join(_side(scores.select(F.col("node").alias("src"), "hub")), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("authority")),
-            "authority",
+            .agg(F.sum("hub").alias("authority"))
         )
-        hub = _l2_normalize(
-            e.join(_rank_side(auth.select(F.col("node").alias("dst"), "authority"), n), "dst")
+        # probe the PRE-normalize join plans: normalization hides the edge
+        # scan behind a checkpoint, so these are where the bucketed-layout
+        # plan assertions look
+        _probe(plan_probe, araw)
+        auth = _l2_normalize(araw, "authority")
+        hraw = (
+            e_dst.join(_side(auth.select(F.col("node").alias("dst"), "authority")), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("hub")),
-            "hub",
+            .agg(F.sum("authority").alias("hub"))
         )
+        _probe(plan_probe, hraw)
+        hub = _l2_normalize(hraw, "hub")
         scores = (
             nodes.join(hub, "node", "left").join(auth, "node", "left").fillna(
                 0.0, ["hub", "authority"]
@@ -246,8 +386,13 @@ def hits(
     if stats is not None:
         stats["iterations"] = it
         stats["final_delta"] = delta
+    if bg is not None:
+        # cut before dropping auto-bucketed tables (final plan reads them)
+        scores = _cut(scores, name="hits-scores")
+        bg.close()
     nodes.unpersist()
-    e.unpersist()
+    if bg is None:
+        e_src.unpersist()
     return scores
 
 
@@ -261,9 +406,15 @@ def pagerank_exact(
     damping_pct: int = 85,
     scale: int = PR_SCALE,
     materialize: bool = True,
+    bucketed_table: str | None = None,
+    buckets: int = 64,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank — the driver-checkable (cross-engine hash-exact)
-    variant of :func:`pagerank`.
+    variant of :func:`pagerank`. Bucketed-layout routing as in
+    :func:`pagerank` (automatic past BROADCAST_NODES, or pass
+    ``bucketed_table``); integer arithmetic means the bucketed and broadcast
+    paths are bit-identical, which the plan test pins.
 
     Ranks are bigints holding ``scale`` x n x rank (mass-scaled so the
     granularity is relative to the MEAN rank at any node count: every node
@@ -276,11 +427,21 @@ def pagerank_exact(
     iteration (dangling mass rides a broadcast 1-row cross-join), output
     max-normalized to [0,1] doubles rounded 6dp (link_graph.py:182-247).
     """
-    edges = _materialize_edges(edges, materialize)
-    nodes = nodes_of(edges).cache()
-    n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e = edges.join(out_deg, "src").cache()
+    spark = edges.sparkSession
+    if bucketed_table is not None:
+        bg: _BucketedGraph | None = _BucketedGraph(spark, bucketed_table, None)
+        e = bg.src_edges()
+        nodes = nodes_of(e).cache()
+        n = nodes.count()
+        out_deg = e.select("src", "out_deg").distinct()
+    else:
+        edges = _materialize_edges(edges, materialize)
+        nodes = nodes_of(edges).cache()
+        n = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        e = edges.join(out_deg, "src")
+        bg = _bucketize(spark, e, n, None, buckets=buckets)
+        e = bg.src_edges() if bg is not None else e.cache()
     dangling = nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).cache()
@@ -288,6 +449,7 @@ def pagerank_exact(
     n_dangling = dangling.count()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for it in range(1, iterations + 1):
+        _probe(plan_probe, ranks)
         ranks = _cut(ranks, name="prx-ranks")
         if it == 1:
             # first iteration: every rank is exactly `scale`, so the
@@ -304,6 +466,11 @@ def pagerank_exact(
             )
             dmass = ranks.sparkSession.range(1).select(
                 F.lit(int(scale) * n_dangling).cast("long").alias("_dmass")
+            )
+        elif bg is not None:
+            contribs = bucketed_contribs(spark, bg.src_table, ranks)
+            dmass = ranks.join(dangling, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
             )
         else:
             contribs = (
@@ -328,13 +495,20 @@ def pagerank_exact(
                 ).alias("r"),
             )
         )
+    _probe(plan_probe, ranks)
+    if bg is not None:
+        # cut before dropping auto-bucketed tables: the final ranks plan
+        # still reads them until materialized
+        ranks = _cut(ranks, name="prx-ranks")
+        bg.close()
     mx = ranks.agg(F.max("r")).collect()[0][0]
     out = ranks.select(
         "node",
         F.round(F.col("r").cast("double") / F.lit(float(mx)), 6).alias("rank"),
     )
     nodes.unpersist()
-    e.unpersist()
+    if bg is None:
+        e.unpersist()
     dangling.unpersist()
     return out
 
@@ -344,6 +518,9 @@ def hits_exact(
     iterations: int = 5,
     scale: int = HITS_SCALE,
     materialize: bool = True,
+    bucketed_tables: tuple[str, str] | None = None,
+    buckets: int = 64,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Fixed-point HITS — the driver-checkable variant of :func:`hits`.
 
@@ -363,11 +540,31 @@ def hits_exact(
     ``nodes`` — two extra shuffles per iteration — is value-neutral and is
     done ONCE at output instead. The DuckDB oracle keeps the dense unrolled
     form (entry_queries._hits_sql); results are hash-identical.
+
+    Bucketed-layout routing as in :func:`hits` (two orientations); integer
+    arithmetic keeps bucketed and broadcast results bit-identical.
     """
-    edges = _materialize_edges(edges, materialize)
-    nodes = nodes_of(edges).cache()
-    n = nodes.count()
-    e = edges.cache()
+    spark = edges.sparkSession
+    if bucketed_tables is not None:
+        bg: _BucketedGraph | None = _BucketedGraph(
+            spark, bucketed_tables[0], bucketed_tables[1]
+        )
+        e_src, e_dst = bg.src_edges(), bg.dst_edges()
+        nodes = nodes_of(e_src).cache()
+        n = nodes.count()
+    else:
+        edges = _materialize_edges(edges, materialize)
+        nodes = nodes_of(edges).cache()
+        n = nodes.count()
+        bg = _bucketize(spark, edges, n, None, need_dst=True, buckets=buckets)
+        if bg is not None:
+            e_src, e_dst = bg.src_edges(), bg.dst_edges()
+        else:
+            e_src = e_dst = edges.cache()
+
+    def _side(df: DataFrame) -> DataFrame:
+        # bucketed mode: no broadcast — scores shuffle into the bucketing
+        return df if bg is not None else _rank_side(df, n)
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         # LAZY checkpoint: the norm's broadcast subquery and the main path
@@ -399,28 +596,38 @@ def hits_exact(
         if it == 1:
             # uniform initial hubs: araw is exactly in_degree * scale —
             # same values, no rank-side join on the first pass
-            araw = e.groupBy(F.col("dst").alias("node")).agg(
+            araw = e_src.groupBy(F.col("dst").alias("node")).agg(
                 (F.count("*") * scale).cast("long").alias("aq")
             )
         else:
             araw = (
-                e.join(
-                    _rank_side(hubs.select(F.col("node").alias("src"), "hq"), n),
+                e_src.join(
+                    _side(hubs.select(F.col("node").alias("src"), "hq")),
                     "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("hq").alias("aq"))
             )
+        # probe pre-normalize (normalization's checkpoint hides the scan)
+        _probe(plan_probe, araw)
         # no eager checkpoint: hubs is checkpointed at loop start, so this
         # plan's depth is bounded; an eager materialization here would cost
         # an extra job per iteration
         auth = _normalize(araw, "aq")
         hraw = (
-            e.join(_rank_side(auth.select(F.col("node").alias("dst"), "aq"), n), "dst")
+            e_dst.join(_side(auth.select(F.col("node").alias("dst"), "aq")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("aq").alias("hq"))
         )
+        _probe(plan_probe, hraw)
         hubs = _normalize(hraw, "hq")
+    if bg is not None:
+        # cut both score tables before dropping auto-bucketed edges — their
+        # plans read the tables until materialized (hubs' cut in _normalize
+        # is LAZY, so it may not have executed yet)
+        hubs = _cut(hubs, name="hitsx-hubs")
+        auth = _cut(auth, name="hitsx-auth")
+        bg.close()
     out = (
         nodes.join(hubs, "node", "left")
         .join(auth, "node", "left")
@@ -432,7 +639,8 @@ def hits_exact(
         )
     )
     nodes.unpersist()
-    e.unpersist()
+    if bg is None:
+        e_src.unpersist()
     return out
 
 
@@ -447,33 +655,41 @@ def top_by(df: DataFrame, metric: str, k: int, key: str = "node") -> DataFrame:
 
 
 def write_bucketed_edges(
-    spark, edges: DataFrame, table: str, buckets: int = 64
+    spark, edges: DataFrame, table: str, buckets: int = 64, key: str = "src"
 ) -> None:
-    """Persist the edge table BUCKETED on src — the co-partition layout the
-    iterative joins switch to beyond BROADCAST_NODES (module note above):
+    """Persist the edge table BUCKETED on ``key`` — the co-partition layout
+    the iterative joins switch to beyond BROADCAST_NODES (module note above):
     each iteration then shuffles only the small (node, rank) side into the
     edge bucketing, and the edge side streams straight from its buckets —
-    zero per-iteration exchange on the dominant table. Same layout family
-    as the bucketed url_seen set (operators/dedup.write_bucketed_seen)."""
+    zero per-iteration exchange on the dominant table. PageRank joins on src
+    only; HITS joins on src (hub→auth) AND dst (auth→hub), so it takes one
+    table per orientation. Same layout family as the bucketed url_seen set
+    (operators/dedup.write_bucketed_seen)."""
     (
-        edges.write.bucketBy(buckets, "src")
-        .sortBy("src")
+        edges.write.bucketBy(buckets, key)
+        .sortBy(key)
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table)
     )
 
 
-def bucketed_contribs(spark, edges_table: str, ranks: DataFrame) -> DataFrame:
+def bucketed_contribs(
+    spark, edges_table: str, ranks: DataFrame, integer: bool = True
+) -> DataFrame:
     """One PageRank contribution step against a bucketed edge table:
     edges ⋈ ranks on src with the EDGE side exchange-free (plan-asserted in
-    tests/test_linkgraph.py). ``ranks``: (node, r) with integer fixed-point
-    ranks; the edge table must carry (src, dst, out_deg)."""
+    tests/test_linkgraph.py) — the rank side is NOT broadcast: it shuffles
+    into the edge bucketing, which is the whole point past BROADCAST_NODES.
+    ``ranks``: (node, r); the edge table must carry (src, dst, out_deg).
+    ``integer`` selects the fixed-point truncating division
+    (:func:`pagerank_exact`) vs float division (:func:`pagerank`)."""
     e = spark.table(edges_table)
     r = ranks.select(F.col("node").alias("src"), "r")
+    c = F.expr("r div out_deg") if integer else F.col("r") / F.col("out_deg")
     return (
         e.join(r, "src")
-        .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+        .select(F.col("dst").alias("node"), c.alias("c"))
         .groupBy("node")
         .agg(F.sum("c").alias("contrib"))
     )

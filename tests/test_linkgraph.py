@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 
@@ -192,3 +194,175 @@ def test_bucketed_edge_join_no_edge_exchange(spark, tmp_path):
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
     spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+
+
+def _no_auto_tables(spark):
+    return [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("lg_edges_")]
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Simulate beyond-broadcast scale: with the threshold off, the
+    contribution join can only be exchange-free on the edge side if the
+    bucketed co-partition layout is actually used (on the tiny test graph
+    AQE would otherwise just broadcast the edge table and prove nothing)."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    yield
+    spark.conf.set(key, old)
+
+
+def _assert_bucketed_join_plans(plans, prefix, key, min_joins):
+    """Every probed plan whose bucketed-table scan is actually bucket-read
+    must (a) select all buckets, (b) never re-shuffle the edge scan's own
+    key column (the rank side's exchange carries a different exprId), and
+    (c) join via SortMergeJoin — the co-partition shape."""
+    joined = 0
+    for p in plans:
+        scans = [
+            ln
+            for ln in p.splitlines()
+            if f"spark_catalog.default.{prefix}" in ln and "FileScan" in ln
+        ]
+        bucketed = [ln for ln in scans if "Bucketed: true" in ln]
+        if not bucketed:
+            continue
+        joined += 1
+        for ln in bucketed:
+            assert "SelectedBucketsCount" in ln, ln
+            kid = re.search(rf"{key}#(\d+)", ln).group(1)
+            assert f"hashpartitioning({key}#{kid}" not in p, p
+        assert "SortMergeJoin" in p, p
+    assert joined >= min_joins, f"{joined} bucketed-join plans of {len(plans)}"
+
+
+def test_auto_bucketed_pagerank_exact_matches_broadcast_path(
+    spark, graph, monkeypatch, no_broadcast
+):
+    """Drive the MAIN entry point through the beyond-BROADCAST_NODES path
+    (threshold monkeypatched below the node count): the loop must auto-write
+    a bucketed edge table, every contribution iteration must read it with no
+    edge-side exchange (only the rank side shuffles into the bucketing), the
+    integer results must be bit-identical to the broadcast path, and the
+    auto tables must be dropped at the end."""
+    import scrapy_spark.operators.linkgraph as lg
+
+    df, _ = graph
+    want = sorted(map(tuple, lg.pagerank_exact(df, iterations=4).collect()))
+    monkeypatch.setattr(lg, "BROADCAST_NODES", 1)
+    probes: list[str] = []
+    got = sorted(
+        map(
+            tuple,
+            lg.pagerank_exact(
+                df, iterations=4, buckets=4, plan_probe=probes
+            ).collect(),
+        )
+    )
+    assert got == want
+    # iterations 2..4 carry the contribution join (it=1 takes the algebraic
+    # shortcut — a plain scan, legitimately not bucket-read)
+    _assert_bucketed_join_plans(probes, "lg_edges_src_", "src", min_joins=3)
+    assert _no_auto_tables(spark) == []
+
+
+def test_auto_bucketed_hits_exact_matches_broadcast_path(
+    spark, graph, monkeypatch, no_broadcast
+):
+    """Same as the pagerank test for hits_exact: BOTH join orientations go
+    through their bucketed copies (src-bucketed for hub->auth, dst-bucketed
+    for auth->hub) with no edge-side exchange; bit-identical results."""
+    import scrapy_spark.operators.linkgraph as lg
+
+    df, _ = graph
+    want = sorted(map(tuple, lg.hits_exact(df, iterations=3).collect()))
+    monkeypatch.setattr(lg, "BROADCAST_NODES", 1)
+    probes: list[str] = []
+    got = sorted(
+        map(
+            tuple,
+            lg.hits_exact(
+                df, iterations=3, buckets=4, plan_probe=probes
+            ).collect(),
+        )
+    )
+    assert got == want
+    # araw joins for it=2,3; hraw joins for it=1..3
+    _assert_bucketed_join_plans(probes, "lg_edges_src_", "src", min_joins=2)
+    _assert_bucketed_join_plans(probes, "lg_edges_dst_", "dst", min_joins=3)
+    assert _no_auto_tables(spark) == []
+
+
+def test_auto_bucketed_float_pagerank_and_hits_match(spark, graph, monkeypatch):
+    """Float variants through the same auto-bucketed path: same values as
+    the broadcast path to fp tolerance (per-key float ops are elementwise,
+    but sum order can differ across layouts, so bit-equality isn't
+    guaranteed the way it is for the integer variants)."""
+    import scrapy_spark.operators.linkgraph as lg
+
+    df, _ = graph
+    want_pr = {r["node"]: r["rank"] for r in lg.pagerank(df, iterations=4).collect()}
+    want_h = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in lg.hits(df, iterations=3).collect()
+    }
+    monkeypatch.setattr(lg, "BROADCAST_NODES", 1)
+    got_pr = {
+        r["node"]: r["rank"]
+        for r in lg.pagerank(df, iterations=4, buckets=4).collect()
+    }
+    got_h = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in lg.hits(df, iterations=3, buckets=4).collect()
+    }
+    assert set(got_pr) == set(want_pr)
+    for k in want_pr:
+        assert abs(got_pr[k] - want_pr[k]) < 1e-12, k
+    for k in want_h:
+        assert abs(got_h[k][0] - want_h[k][0]) < 1e-12, k
+        assert abs(got_h[k][1] - want_h[k][1]) < 1e-12, k
+    assert _no_auto_tables(spark) == []
+
+
+def test_caller_provided_bucketed_tables(spark, graph):
+    """Pre-bucketed tables (the cluster workflow: bucket once, analyze many
+    times) route the loops without any auto table writes and without
+    dropping the caller's tables."""
+    from pyspark.sql import functions as F
+
+    import scrapy_spark.operators.linkgraph as lg
+
+    df, _ = graph
+    out_deg = df.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = df.join(out_deg, "src")
+    spark.sql("DROP TABLE IF EXISTS t_lg_src")
+    spark.sql("DROP TABLE IF EXISTS t_lg_dst")
+    lg.write_bucketed_edges(spark, e, "t_lg_src", buckets=4, key="src")
+    lg.write_bucketed_edges(spark, e, "t_lg_dst", buckets=4, key="dst")
+
+    want_pr = sorted(map(tuple, lg.pagerank_exact(df, iterations=3).collect()))
+    got_pr = sorted(
+        map(
+            tuple,
+            lg.pagerank_exact(df, iterations=3, bucketed_table="t_lg_src").collect(),
+        )
+    )
+    assert got_pr == want_pr
+
+    want_h = sorted(map(tuple, lg.hits_exact(df, iterations=3).collect()))
+    got_h = sorted(
+        map(
+            tuple,
+            lg.hits_exact(
+                df, iterations=3, bucketed_tables=("t_lg_src", "t_lg_dst")
+            ).collect(),
+        )
+    )
+    assert got_h == want_h
+    # caller's tables survive
+    names = {t.name for t in spark.catalog.listTables()}
+    assert {"t_lg_src", "t_lg_dst"} <= names
+    spark.sql("DROP TABLE IF EXISTS t_lg_src")
+    spark.sql("DROP TABLE IF EXISTS t_lg_dst")
