@@ -1,0 +1,207 @@
+"""Adaptive per-domain request configuration — the C4 → fetch feedback loop.
+
+Rebuilds the reference's ``AdaptiveRequestConfig`` / ``SmartRequestHandler``
+(``Scraping_project/src/common/request_infrastructure.py:73-197``): each
+domain learns a timeout from its recent SUCCESSFUL response times
+(``learn_from_attempt`` :173-180 — 3× the average of the last 10, floored),
+escalates timeout and sheds a retry when timeouts dominate its recent errors
+(:186-190), and raises its inter-request delay when throttling dominates
+(:193-196); ``get_optimal_config`` (:138-155) serves base values until a
+domain has learned otherwise.
+
+Generation-batch recast — the same shape as rate_control / learned_filters:
+
+- after each generation, a tiny per-host ROLLUP delta is staged into the
+  ``adaptive_stats`` catalog table: the last ≤ WINDOW success latencies and
+  the last ≤ WINDOW error types, in schedule (rank_in_host DESC) order.
+  Downstream derivation reads ONLY these deltas, never the raw fetch
+  history (the learned-filter discipline): each generation contributes at
+  most 2·WINDOW values per host, so the table grows as gens × hosts, not
+  as fetches.
+- before the next generation, deltas combine per host — most recent
+  generation first, flatten, take WINDOW — and map to the effective config
+  (timeout_ms, max_attempts, delay_ms) with the reference's thresholds.
+- the config joins into the frontier before the fetch (per-row timeout into
+  the resolver, delay into the politeness pacing) and into the retry
+  re-enqueue predicate after it (a timeout-dominated host sheds a retry).
+
+Everything is integer arithmetic (truncating ``div``), so the Spark
+derivation and the sequential-oracle python twins below are hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference base/limit values (request_infrastructure.py:78-82,173-196),
+# times in ms. WINDOW is the "last 10 attempts" pattern-analysis slice.
+WINDOW = 10
+BASE_TIMEOUT_MS = 10_000
+MIN_TIMEOUT_MS = 5_000
+MAX_TIMEOUT_MS = 30_000
+TIMEOUT_ESCALATE = 5  # > 5 timeouts among the last WINDOW errors
+THROTTLE_ESCALATE = 3  # > 3 throttled among the last WINDOW errors
+BASE_DELAY_MS = 1_000
+MAX_DELAY_MS = 10_000
+MIN_RETRIES = 2
+
+
+def stats_delta(staged_read: DataFrame) -> DataFrame:
+    """One generation's fetch rows → per-host rollup delta.
+
+    succ_lats: latencies of the last ≤ WINDOW error-free fetches (error_type
+    IS NULL — the taxonomy's success class, redirects included, matching the
+    reference's RequestOutcome.SUCCESS bucket), newest (highest rank) first.
+    err_types: the error classes of the last ≤ WINDOW failed fetches, newest
+    first. Ordering is deterministic: rank_in_host is unique per (gen, host)
+    and array_sort on the (rank, value) struct totals it."""
+    succ = F.when(
+        F.col("error_type").isNull(),
+        F.struct(F.col("rank_in_host").alias("r"), F.col("latency_ms").alias("v")),
+    )
+    err = F.when(
+        F.col("error_type").isNotNull(),
+        F.struct(F.col("rank_in_host").alias("r"), F.col("error_type").alias("v")),
+    )
+
+    def last_n(col):
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(F.collect_list(col))), 1, WINDOW),
+            lambda x: x["v"],
+        )
+
+    return staged_read.groupBy("host").agg(
+        last_n(succ).alias("succ_lats"), last_n(err).alias("err_types")
+    )
+
+
+def adaptive_config(
+    stats: DataFrame | None, max_attempts: int
+) -> DataFrame | None:
+    """Combine staged per-generation deltas → effective per-host config.
+
+    Returns (host, timeout_ms, max_attempts, delay_ms), or None when no
+    history exists yet (callers fall back to the base config — the
+    get_optimal_config default path). Per host: order deltas newest
+    generation first, flatten, keep WINDOW values; then
+
+    - timeout: error-escalation wins when timeouts dominate recent errors
+      (min(30s, 2×base) — :186-188), else 3× the average success latency
+      floored at 5s (:178-180), else base;
+    - max_attempts: sheds one (floored at MIN_RETRIES) under timeout
+      escalation (:189-190);
+    - delay: 3× base capped at 10s when throttling dominates (:193-196).
+    """
+    if stats is None:
+        return None
+
+    def recent(col_name):
+        return F.slice(
+            F.flatten(
+                F.transform(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("generation").alias("g"),
+                                    F.col(col_name).alias("v"),
+                                )
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                )
+            ),
+            1,
+            WINDOW,
+        )
+
+    g = stats.groupBy("host").agg(
+        recent("succ_lats").alias("sl"), recent("err_types").alias("et")
+    )
+    n_s = F.size("sl")
+    avg = F.expr("aggregate(sl, 0L, (a, x) -> a + x) div size(sl)")
+    n_to = F.size(F.filter("et", lambda t: t == "timeout"))
+    n_th = F.size(F.filter("et", lambda t: t == "throttled"))
+    timeout = (
+        F.when(
+            n_to > TIMEOUT_ESCALATE,
+            F.lit(min(MAX_TIMEOUT_MS, 2 * BASE_TIMEOUT_MS)),
+        )
+        .when(n_s > 0, F.greatest(F.lit(MIN_TIMEOUT_MS), avg * 3))
+        .otherwise(F.lit(BASE_TIMEOUT_MS))
+    )
+    max_att = F.when(
+        n_to > TIMEOUT_ESCALATE, F.lit(max(MIN_RETRIES, max_attempts - 1))
+    ).otherwise(F.lit(max_attempts))
+    delay = F.when(
+        n_th > THROTTLE_ESCALATE, F.lit(min(MAX_DELAY_MS, 3 * BASE_DELAY_MS))
+    ).otherwise(F.lit(BASE_DELAY_MS))
+    return g.select(
+        "host",
+        timeout.cast("long").alias("timeout_ms"),
+        max_att.cast("int").alias("max_attempts"),
+        delay.cast("long").alias("delay_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python twins — the sequential oracle (plans/oracle.py) runs these exact
+# functions, so the learned config can never drift between engines.
+
+
+def py_stats_delta(rows: list[dict]) -> dict[str, tuple[list[int], list[str]]]:
+    """Twin of :func:`stats_delta` over one generation's row dicts."""
+    by_host: dict[str, list[dict]] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    out: dict[str, tuple[list[int], list[str]]] = {}
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: -r["rank_in_host"])
+        sl = [r["latency_ms"] for r in hr if r["error_type"] is None][:WINDOW]
+        et = [r["error_type"] for r in hr if r["error_type"] is not None][:WINDOW]
+        out[host] = (sl, et)
+    return out
+
+
+def py_config(
+    hist: dict[str, list[tuple[int, list[int], list[str]]]], max_attempts: int
+) -> dict[str, tuple[int, int, int]]:
+    """Twin of :func:`adaptive_config` over
+    host -> [(generation, succ_lats, err_types), ...] history.
+    Returns host -> (timeout_ms, max_attempts, delay_ms)."""
+    out: dict[str, tuple[int, int, int]] = {}
+    for host, entries in hist.items():
+        ordered = sorted(entries, key=lambda e: -e[0])
+        sl: list[int] = []
+        et: list[str] = []
+        for _g, s, e in ordered:
+            sl.extend(s)
+            et.extend(e)
+        sl, et = sl[:WINDOW], et[:WINDOW]
+        n_to = sum(1 for t in et if t == "timeout")
+        n_th = sum(1 for t in et if t == "throttled")
+        if n_to > TIMEOUT_ESCALATE:
+            timeout = min(MAX_TIMEOUT_MS, 2 * BASE_TIMEOUT_MS)
+        elif sl:
+            timeout = max(MIN_TIMEOUT_MS, (sum(sl) // len(sl)) * 3)
+        else:
+            timeout = BASE_TIMEOUT_MS
+        max_att = (
+            max(MIN_RETRIES, max_attempts - 1)
+            if n_to > TIMEOUT_ESCALATE
+            else max_attempts
+        )
+        delay = (
+            min(MAX_DELAY_MS, 3 * BASE_DELAY_MS)
+            if n_th > THROTTLE_ESCALATE
+            else BASE_DELAY_MS
+        )
+        out[host] = (timeout, max_att, delay)
+    return out
+
+
+def base_config(max_attempts: int) -> tuple[int, int, int]:
+    """The un-learned default (get_optimal_config's base path)."""
+    return (BASE_TIMEOUT_MS, max_attempts, BASE_DELAY_MS)

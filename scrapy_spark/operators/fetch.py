@@ -32,15 +32,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.classify import py_classify
-from ..functions.errors import classify_error
-from ..plans.oracle import VALID_CONTENT_TYPES
+from ..functions.errors import classify_error, is_retryable
+from ..plans.oracle import MAX_ATTEMPTS, VALID_CONTENT_TYPES
 from ..sources.synth import SynthConfig, resolve, zipf_page_counts
 
 FETCH_SCHEMA = (
     "url string, url_hash long, host string, depth int, score double, "
     "source_type string, anchor string, source_url string, rank_in_host int, "
     "attempt int, status_code int, content_type string, title string, "
-    "is_valid boolean, error_type string, age_days int, "
+    "is_valid boolean, error_type string, age_days int, latency_ms long, "
+    "is_final boolean, "
     "bytes binary, w int, h int, fmt string, "
     "body_links array<string>, "
     "image_refs array<struct<image_id:string,alt:string>>, "
@@ -65,12 +66,14 @@ IN_COLS = [
 
 def synth_resolver(cfg: SynthConfig):
     """Default resolver: the deterministic synthetic web. A resolver is any
-    ``(url: str, attempt: int) -> dict`` with the resolve() result shape —
-    see http_resolver for the real-network plug-in."""
+    ``(url: str, attempt: int, timeout_ms=None) -> dict`` with the resolve()
+    result shape (timeout_ms is supplied per-row on the adaptive-fetch path;
+    None = no client timeout) — see http_resolver for the real-network
+    plug-in."""
     counts = zipf_page_counts(cfg)  # tiny, recomputed per executor from cfg
 
-    def _resolve(url: str, attempt: int) -> dict:
-        return resolve(cfg, counts, url, attempt)
+    def _resolve(url: str, attempt: int, timeout_ms: int | None = None) -> dict:
+        return resolve(cfg, counts, url, attempt, timeout_ms)
 
     return _resolve
 
@@ -119,15 +122,20 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
             out.append({"kind": "meta_refresh", "text": dec(m)})
         return out
 
-    def _resolve(url: str, attempt: int) -> dict:
+    def _resolve(url: str, attempt: int, timeout_ms: int | None = None) -> dict:
         out = {
             "status_code": 599, "content_type": None, "title": None,
             "body_links": [], "image_refs": [], "raw_snippets": [],
             "bytes": None, "w": None, "h": None, "fmt": None, "age_days": None,
         }
+        t0 = time.perf_counter()
+        # adaptive per-domain timeout overrides the constructor default —
+        # the SmartRequestHandler consumption point
+        # (request_infrastructure.py:199-260)
+        eff_timeout = timeout_ms / 1000.0 if timeout_ms is not None else timeout_s
         try:
             req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            with urllib.request.urlopen(req, timeout=eff_timeout) as resp:
                 body = resp.read()
                 ct = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
                 out["status_code"] = resp.status
@@ -167,6 +175,9 @@ def http_resolver(timeout_s: float = 10.0, user_agent: str = "scrapy-spark/0.1")
             out["status_code"] = e.code
         except Exception:
             out["status_code"] = 599  # timeout/connection -> transient class
+        # measured wall time (the adaptive loop's learning signal; the
+        # synthetic resolver supplies a deterministic twin of this)
+        out["latency_ms"] = int((time.perf_counter() - t0) * 1000)
         return out
 
     return _resolve
@@ -180,6 +191,8 @@ def fetch_frontier(
     fetch_latency_s: float = 0.0,
     fetch_partitions: int | None = None,
     resolver_factory=None,
+    adaptive: bool = False,
+    adaptive_config: DataFrame | None = None,
 ) -> DataFrame:
     """Fetch the selected frontier slice; returns FETCH_SCHEMA rows.
 
@@ -201,9 +214,51 @@ def fetch_frontier(
     tiny byte sizes, so AQE would coalesce it to a handful of tasks and
     serialize the sleeps — exactly the wrong plan. Explicit repartition(N)
     keeps the fetch wide (default 4x defaultParallelism).
+
+    ``adaptive`` (CrawlParams.adaptive_fetch): every row carries a per-host
+    timeout (and pacing delay) from ``adaptive_config`` (operators/adaptive
+    — the learned table; hosts absent from it, or the whole table at
+    generation 0, use the base config), passed into the resolver per row.
+    The config is a host-keyed dim like the rate-control budgets — joined
+    without a hint so AQE sizes it.
     """
+    from . import adaptive as adaptive_mod
+
     if resolver_factory is None:
         resolver_factory = lambda: synth_resolver(cfg)  # noqa: E731
+
+    in_cols = list(IN_COLS)
+    if adaptive:
+        if adaptive_config is not None:
+            selected = selected.join(
+                adaptive_config.select(
+                    "host", "timeout_ms", "max_attempts", "delay_ms"
+                ),
+                "host",
+                "left",
+            )
+        else:
+            selected = selected.withColumns(
+                {
+                    "timeout_ms": F.lit(None).cast("long"),
+                    "max_attempts": F.lit(None).cast("int"),
+                    "delay_ms": F.lit(None).cast("long"),
+                }
+            )
+        selected = selected.withColumns(
+            {
+                "af_timeout_ms": F.coalesce(
+                    F.col("timeout_ms"), F.lit(adaptive_mod.BASE_TIMEOUT_MS)
+                ),
+                "af_max_attempts": F.coalesce(
+                    F.col("max_attempts"), F.lit(MAX_ATTEMPTS)
+                ),
+                "af_delay_ms": F.coalesce(
+                    F.col("delay_ms"), F.lit(adaptive_mod.BASE_DELAY_MS)
+                ),
+            }
+        ).drop("timeout_ms", "max_attempts", "delay_ms")
+        in_cols += ["af_timeout_ms", "af_max_attempts", "af_delay_ms"]
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         do_resolve = resolver_factory()  # once per task, executor-side
@@ -218,13 +273,29 @@ def fetch_frontier(
             for row in pdf.itertuples(index=False):
                 if politeness_delay_s > 0:
                     # per-host pacing inside the partition (salting multiplies
-                    # the effective delay; selection-time budget is primary)
+                    # the effective delay; selection-time budget is primary).
+                    # The adaptive path raises the pace to the learned
+                    # per-domain delay when throttling was observed
+                    # (request_infrastructure.py:193-196)
                     if row.host == last_host:
-                        time.sleep(politeness_delay_s * salt_buckets)
+                        pace = politeness_delay_s
+                        if adaptive:
+                            pace = max(pace, row.af_delay_ms / 1000.0)
+                        time.sleep(pace * salt_buckets)
                     last_host = row.host
-                r = do_resolve(row.url, row.attempt)
+                if adaptive:
+                    r = do_resolve(row.url, row.attempt, int(row.af_timeout_ms))
+                else:
+                    r = do_resolve(row.url, row.attempt)
                 ct = r["content_type"]
                 sc = r["status_code"]
+                err = classify_error(sc)
+                # finality decided HERE and persisted (is_final): transient
+                # classes re-enqueue while attempts remain under the cap —
+                # MAX_ATTEMPTS, or the learned per-host max_attempts on the
+                # adaptive path (request_infrastructure.py:189-190)
+                cap = int(row.af_max_attempts) if adaptive else MAX_ATTEMPTS
+                is_final = not (is_retryable(err) and row.attempt < cap)
                 # PDF link annotations extracted HERE, while the bytes are
                 # already in hand — downstream extraction reads only this
                 # small array column, never the bytes column again
@@ -264,8 +335,10 @@ def fetch_frontier(
                         "source_url": row.source_url,
                         "rank_in_host": row.rank_in_host,
                         "attempt": row.attempt,
-                        "error_type": classify_error(sc),
+                        "error_type": err,
                         "age_days": r.get("age_days"),
+                        "latency_ms": r.get("latency_ms"),
+                        "is_final": is_final,
                         "status_code": sc,
                         "content_type": ct,
                         "title": r["title"],
@@ -292,7 +365,7 @@ def fetch_frontier(
     if politeness_delay_s > 0:
         # per-host pacing needs host-grouped partitions: salted hash layout
         # (hot hosts split across salt_buckets tasks, SURVEY §4)
-        salted = selected.select(*IN_COLS).repartition(
+        salted = selected.select(*in_cols).repartition(
             fetch_partitions,
             F.col("host"),
             F.pmod(F.col("url_hash"), F.lit(salt_buckets)),
@@ -302,5 +375,5 @@ def fetch_frontier(
         # execution-time pacing, deterministic round-robin gives perfectly
         # even partitions — key-hashed layouts are Poisson-lumpy and the
         # stragglers cap scaling on a latency-bound stage
-        salted = selected.select(*IN_COLS).repartition(fetch_partitions)
+        salted = selected.select(*in_cols).repartition(fetch_partitions)
     return salted.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)

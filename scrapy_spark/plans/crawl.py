@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import errors as errors_mod
+from ..operators import adaptive as adaptive_ops
 from ..operators import dedup as dedup_ops
 from ..operators import pagination as pagination_ops
 from ..operators import validation as validation_ops
@@ -40,6 +40,7 @@ from ..operators.frontier import (
     seeds_to_candidates,
     select_frontier,
 )
+from ..sources import alerts as alerts_mod
 from ..sources import synth
 from ..sources.catalog import SnapshotCatalog
 from ..sources.synth import SynthConfig
@@ -62,6 +63,8 @@ RESULT_COLS = [
     "attempt",
     "error_type",
     "age_days",
+    "latency_ms",
+    "is_final",
     "anchor",
     "title",
     "bytes",
@@ -86,6 +89,13 @@ class GenStats:
     generation: int
     scheduled: int
     seconds: float
+
+
+class ValidationGateError(RuntimeError):
+    """Interstage gate abort (interstage_validation.py:46-49). Its
+    stage_failed alert is written at the raise site (with generation and
+    pass-rate detail); run()'s generic handler skips it to avoid a
+    duplicate record."""
 
 
 class CrawlJob:
@@ -147,6 +157,30 @@ class CrawlJob:
                 stats.append(st)
                 if st.scheduled == 0:
                     break
+            # pipeline_complete (alerts.py:173-181): fires after the final
+            # commit, so the file channel carries it
+            if alerts_mod.meets_threshold("info", self.params.alert_threshold):
+                alerts_mod.append_jsonl(
+                    self.catalog.root,
+                    "info",
+                    "pipeline_complete",
+                    f"{sum(s.scheduled for s in stats)} urls across "
+                    f"{len(stats)} generations",
+                    stage="pipeline",
+                    generations=len(stats),
+                    scheduled=sum(s.scheduled for s in stats),
+                )
+        except Exception as e:
+            # stage_failed hook (alerts.py:163-171); the gate writes its own
+            # richer record before raising — this catches everything else
+            if not isinstance(
+                e, ValidationGateError
+            ) and alerts_mod.meets_threshold("error", self.params.alert_threshold):
+                alerts_mod.append_jsonl(
+                    self.catalog.root, "error", "stage_failed", str(e),
+                    stage="crawl_generation",
+                )
+            raise
         finally:
             # staged mid-plan cuts (plans/materialize) are transient
             # per-generation; every generation's results are committed to
@@ -172,14 +206,11 @@ class CrawlJob:
         if fr is None:
             return None
         params = self.params
-        final = ~(
-            F.coalesce(
-                F.col("error_type").isin(*errors_mod.RETRYABLE_TYPES), F.lit(False)
-            )
-            & (F.col("attempt") < oracle_mod.MAX_ATTEMPTS)
-        )
+        # finality is the fetch UDF's persisted decision (is_final column) —
+        # under adaptive_fetch the retry cap varies per host per generation,
+        # so recomputing it here from a fixed MAX_ATTEMPTS would drift
         return (
-            fr.filter(final & F.col("age_days").isNotNull())
+            fr.filter(F.col("is_final") & F.col("age_days").isNotNull())
             .groupBy("url")
             .agg(
                 F.max("generation").alias("_lg"),
@@ -347,6 +378,15 @@ class CrawlJob:
             new, params.per_host_budget, params.gen_cap, budgets
         )
 
+        # adaptive per-domain request config (C4 feedback loop,
+        # request_infrastructure.py:73-197): learned from the staged
+        # adaptive_stats rollups of gens < g; None at gen 0 → base config
+        af_cfg = None
+        if params.adaptive_fetch:
+            af_cfg = adaptive_ops.adaptive_config(
+                self.catalog.read(spark, "adaptive_stats"), oracle_mod.MAX_ATTEMPTS
+            )
+
         # Fetch writes its results table directly — ONE materializing action
         # at full parallelism. Image bytes go to parquet exactly once and
         # never enter the block cache or a shuffle (SURVEY §7.3.4): every
@@ -359,6 +399,8 @@ class CrawlJob:
             self.fetch_latency_s,
             self.fetch_partitions,
             self.resolver_factory,
+            adaptive=params.adaptive_fetch,
+            adaptive_config=af_cfg,
         )
         results = fetched.withColumn("generation", F.lit(gen)).withColumn(
             "caption",
@@ -394,9 +436,13 @@ class CrawlJob:
         # produced by functions/errors.classify_error inside the fetch UDF.
         # NB: isin() is NULL (not false) for success rows whose error_type is
         # NULL — coalesce so ~transient keeps them (SQL three-valued logic)
-        transient = F.coalesce(
-            F.col("error_type").isin(*errors_mod.RETRYABLE_TYPES), F.lit(False)
-        ) & (F.col("attempt") < oracle_mod.MAX_ATTEMPTS)
+        # Finality was decided INSIDE the fetch UDF (is_final column):
+        # transient = retryable error class AND attempts remain under the
+        # per-host cap — the base MAX_ATTEMPTS, or the adaptive config's
+        # learned max_attempts (request_infrastructure.py:189-190). One
+        # persisted decision keeps the seen-set filter, the retry
+        # re-enqueue and revalidation finality consistent by construction.
+        transient = ~F.col("is_final")
 
         staged["url_seen"] = self.catalog.stage(
             staged_read.filter(
@@ -460,11 +506,20 @@ class CrawlJob:
             gen,
         )
         if params.validation_enforce and v_rate < params.validation_threshold:
-            raise RuntimeError(
+            # stage_failed (alerts.py:163-171): the generation's transaction
+            # is being abandoned, so the record goes to the file channel —
+            # nothing staged here will ever commit
+            msg = (
                 f"interstage validation gate failed at generation {gen}: "
                 f"{n_schema_valid}/{n_sel} rows schema-valid "
                 f"({v_rate:.4f} < {params.validation_threshold})"
             )
+            if alerts_mod.meets_threshold("error", params.alert_threshold):
+                alerts_mod.append_jsonl(
+                    self.catalog.root, "error", "stage_failed", msg,
+                    stage="interstage_validation", generation=gen,
+                )
+            raise ValidationGateError(msg)
 
         if params.learned_filters:
             from ..operators.frontier import stat_deltas
@@ -505,6 +560,19 @@ class CrawlJob:
         if params.rate_control:
             staged["host_budget"] = self._rc_stage_update(staged_read, gen)
 
+        if params.adaptive_fetch:
+            # per-host rollup delta (last <= WINDOW success latencies /
+            # error types) — the learned-config derivation reads ONLY these
+            # deltas, never raw fetch history (learned-filter discipline)
+            staged["adaptive_stats"] = self.catalog.stage(
+                adaptive_ops.stats_delta(staged_read).withColumn(
+                    "generation", F.lit(gen)
+                ),
+                "adaptive_stats",
+                gen,
+                coalesce=1,
+            )
+
         if params.pagination_guess:
             staged["pagination_stats"] = self.catalog.stage(
                 pagination_ops.pagination_stats_delta(staged_read).withColumn(
@@ -514,6 +582,52 @@ class CrawlJob:
                 gen,
                 coalesce=1,
             )
+
+        # alert records (alerts.py:37-181 AlertManager), committed ATOMICALLY
+        # with the generation: generation_complete, schema-degradation
+        # warnings, breaker openings. Deterministic columns only (no wall
+        # clock) — generation is the logical time, so parity/bit-identity
+        # hold with alerts on. Events that abort the txn use the JSONL file
+        # channel instead (gate above, run() below).
+        alert_rows = [alerts_mod.generation_complete_row(gen, n_sel)]
+        if v_rate < 1.0:
+            alert_rows.append(
+                alerts_mod.validation_degraded_row(
+                    gen, v_rate, params.validation_threshold
+                )
+            )
+        if params.rate_control:
+            # the staged host_budget delta is one row per active host — a
+            # pyarrow footer-sized read, no extra Spark job per generation
+            # (the DataFrame form alerts.breaker_alert_rows exists for
+            # cluster runs where the delta shouldn't visit the driver)
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            brows = []
+            for f in staged["host_budget"]:
+                brows.extend(
+                    _pq.read_table(
+                        _os.path.join(self.catalog.root, f),
+                        columns=["host", "consec", "state"],
+                    ).to_pylist()
+                )
+            alert_rows.extend(alerts_mod.py_breaker_alert_rows(brows, gen))
+        apdf = pd.DataFrame(
+            alert_rows,
+            columns=["generation", "severity", "event", "stage", "host", "message"],
+        ).astype(
+            {
+                "generation": "int32",
+                "severity": "string",
+                "event": "string",
+                "stage": "string",
+                "host": "string",
+                "message": "string",
+            }
+        )
+        staged["alerts"] = self.catalog.stage_pandas(apdf, "alerts", gen)
 
         elapsed = time.time() - t0
         metrics_pdf = pd.DataFrame(

@@ -114,6 +114,16 @@ class CrawlParams:
     # mined source types carry the reference's confidences as score bases
     # (functions/scoring.SOURCE_PRIORITY)
     heuristic_mining: bool = True
+    # adaptive per-domain request config (request_infrastructure.py:73-197):
+    # every fetch runs under the domain's learned timeout (base 10s until
+    # learned); timeout-dominated domains escalate timeout and shed a retry,
+    # throttle-dominated domains raise their pacing delay. Constants and the
+    # python/Spark twin derivations live in operators/adaptive.py
+    adaptive_fetch: bool = False
+    # alert severity gate for the JSONL file channel (alerts.py:130-135
+    # _should_alert): events below this severity are recorded in the
+    # committed `alerts` catalog table but not appended to alerts.jsonl
+    alert_threshold: str = "info"
 
 
 @dataclass
@@ -152,9 +162,15 @@ def _candidate(raw_url, source_url, source_type, anchor, depth, domain, attempt=
 
 
 def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
+    from ..operators import adaptive as adaptive_mod
+
     counts = synth.zipf_page_counts(cfg)
     res = OracleResult()
     robots: dict[str, list[str]] = {}
+
+    # adaptive-config history: host -> [(gen, succ_lats, err_types), ...]
+    # (the adaptive_stats table's sequential twin)
+    af_hist: dict[str, list[tuple[int, list[int], list[str]]]] = {}
 
     # per-host rate-control state: host -> (budget, consec_failures, state,
     # generation of last update); see CrawlParams.rate_control
@@ -398,13 +414,25 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         # (retry re-enqueue, SURVEY §4 retry row; validator.py:444-462)
         next_cands = []
         gen_rows: list[dict] = []
+        af_cfg = (
+            adaptive_mod.py_config(af_hist, MAX_ATTEMPTS)
+            if params.adaptive_fetch
+            else None
+        )
         for c in selected:
-            r = synth.resolve(cfg, counts, c["url"], c["attempt"])
+            if af_cfg is not None:
+                tmo, max_att, _delay = af_cfg.get(
+                    c["host"], adaptive_mod.base_config(MAX_ATTEMPTS)
+                )
+                r = synth.resolve(cfg, counts, c["url"], c["attempt"], tmo)
+            else:
+                max_att = MAX_ATTEMPTS
+                r = synth.resolve(cfg, counts, c["url"], c["attempt"])
             sc = r["status_code"]
             ct = r["content_type"]
             is_valid = 200 <= sc < 400 and (ct or "") in VALID_CONTENT_TYPES
             err = classify_error(sc)
-            transient = is_retryable(err) and c["attempt"] < MAX_ATTEMPTS
+            transient = is_retryable(err) and c["attempt"] < max_att
             row = {
                 "generation": gen,
                 "host": c["host"],
@@ -421,6 +449,8 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "attempt": c["attempt"],
                 "error_type": err,
                 "age_days": r.get("age_days"),
+                "latency_ms": r.get("latency_ms"),
+                "is_final": not transient,
                 "title": r["title"],
                 "bytes": r["bytes"],
                 "caption": c["anchor"] if r["bytes"] is not None else None,
@@ -511,6 +541,9 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                             next_cands.append(nc)
         if params.rate_control:
             rc_update(gen, gen_rows)
+        if params.adaptive_fetch:
+            for host, (sl, et) in adaptive_mod.py_stats_delta(gen_rows).items():
+                af_hist.setdefault(host, []).append((gen, sl, et))
         if params.pagination_guess:
             pagination_update(gen, gen_rows)
         res.gen_counts.append(

@@ -103,6 +103,17 @@ def prometheus_exposition(spark: SparkSession, catalog: SnapshotCatalog) -> str:
             float(sum(r["elapsed_seconds"] for r in rows)),
         ))
 
+    alerts = catalog.read(spark, "alerts")
+    if alerts is not None:
+        counts = alerts.groupBy("severity", "event").count().collect()
+        head("crawl_alerts_total", "counter",
+             "Alert records by severity/event (alerts.py AlertManager)")
+        for r in sorted(counts, key=lambda r: (r["severity"], r["event"])):
+            out.append(_line(
+                "crawl_alerts_total", int(r["count"]),
+                {"severity": r["severity"], "event": r["event"]},
+            ))
+
     cands = catalog.read(spark, "candidates")
     if cands is not None:
         est = (

@@ -189,6 +189,10 @@ def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
         return 200 if attempt >= 2 else 599
     if r < 10:  # flaky: transient server error on first attempt
         return 200 if attempt >= 2 else 503
+    if r < 12:  # throttled on first attempt (429 -> "throttled" transient
+        # class) — feeds the adaptive-config delay rule
+        # (request_infrastructure.py:193-196) and the retry path
+        return 200 if attempt >= 2 else 429
     return 200
 
 
@@ -495,10 +499,56 @@ def sitemap_entries(cfg: SynthConfig, counts: list[int], hidx: int) -> list[str]
     return [page_url(cfg, hidx, j) for j in range(0, min(15, counts[hidx]), 3)]
 
 
-def resolve(cfg: SynthConfig, counts: list[int], url: str, attempt: int = 1) -> dict:
+def url_latency_ms(cfg: SynthConfig, url: str) -> int:
+    """Deterministic simulated response time: a per-host base (some origins
+    are systematically slow — up to ~10.7s, past the 10s base timeout, so
+    the adaptive-timeout loop has real dynamics) plus per-URL jitter.
+    Attempt-independent: a page slower than the configured timeout keeps
+    timing out until the learned per-domain timeout rises above its latency
+    (request_infrastructure.py:186-190 escalation)."""
+    host = url.split("/")[2] if "//" in url else url
+    base = 200 + (_h(cfg.seed, "hlat", host) % 8) * 1500
+    return base + _h(cfg.seed, "lat", url) % 4000
+
+
+def resolve(
+    cfg: SynthConfig,
+    counts: list[int],
+    url: str,
+    attempt: int = 1,
+    timeout_ms: int | None = None,
+) -> dict:
     """Simulated HTTP GET. Returns a fetch-result dict (status_code,
     content_type, title, body_links, image_refs, raw_snippets, bytes, w, h,
-    fmt)."""
+    fmt, latency_ms).
+
+    ``timeout_ms`` (the adaptive-fetch path, CrawlParams.adaptive_fetch):
+    when the URL's deterministic latency exceeds it, the fetch times out —
+    status 599, no payload observed, latency capped at the timeout (you
+    stopped waiting). ``None`` = wait forever (the non-adaptive engine
+    default; real clients always have SOME timeout, which is exactly what
+    the adaptive config supplies)."""
+    lat = url_latency_ms(cfg, url)
+    if timeout_ms is not None and lat > timeout_ms:
+        return {
+            "status_code": 599,
+            "content_type": None,
+            "title": None,
+            "body_links": [],
+            "image_refs": [],
+            "raw_snippets": [],
+            "bytes": None,
+            "w": None,
+            "h": None,
+            "fmt": None,
+            "latency_ms": int(timeout_ms),
+        }
+    r = _resolve_inner(cfg, counts, url, attempt)
+    r["latency_ms"] = lat
+    return r
+
+
+def _resolve_inner(cfg: SynthConfig, counts: list[int], url: str, attempt: int) -> dict:
     m = _SITEMAP_RE.match(url)
     if m:
         host = m.group(1)

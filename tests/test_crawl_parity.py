@@ -303,14 +303,15 @@ def test_politeness_pacing_path_same_results(spark, tmp_path_factory):
 
 
 def test_error_taxonomy_retry_policy(spark, oracle):
-    """Retryable classes (timeout 599, server_error 503) re-enqueue and
-    succeed on attempt 2; permanent classes (404 not_found) never retry
-    (retry_strategies.py:17-101)."""
+    """Retryable classes (timeout 599, server_error 503, throttled 429)
+    re-enqueue and succeed on attempt 2; permanent classes (404 not_found)
+    never retry (retry_strategies.py:17-101)."""
     by_type = {}
     for r in oracle.scheduled:
         by_type.setdefault(r["error_type"], []).append(r)
-    # synthetic web emits both transient classes
+    # synthetic web emits all three transient classes
     assert "timeout" in by_type and "server_error" in by_type
+    assert "throttled" in by_type
     # permanent: every not_found is attempt 1 and entered the seen set
     for r in by_type.get("not_found", []):
         assert r["attempt"] == 1
@@ -322,7 +323,8 @@ def test_error_taxonomy_retry_policy(spark, oracle):
     a1 = {
         r["url"]
         for r in oracle.scheduled
-        if r["attempt"] == 1 and r["error_type"] in ("timeout", "server_error")
+        if r["attempt"] == 1
+        and r["error_type"] in ("timeout", "server_error", "throttled")
     }
     assert {r["url"] for r in retried} <= a1
     for r in retried:
@@ -378,6 +380,75 @@ def test_rate_control_breaker_parity(spark, tmp_path_factory):
         if g["generation"] > last_bad_gen
     }
     assert later_total and all(v > 0 for v in later_total.values())
+
+
+def test_adaptive_fetch_parity(spark, tmp_path_factory):
+    """Adaptive per-domain request config (request_infrastructure.py:73-197):
+    every fetch runs under its host's learned timeout — slow origins time out
+    at the 10s base, escalate to 20s (and shed a retry) once timeouts
+    dominate the host's recent errors, fast origins tighten to 3x their
+    average observed latency — and the Spark crawl reproduces the oracle's
+    schedule, seen-set, latencies and finality decisions exactly."""
+    from scrapy_spark.operators import adaptive as adaptive_mod
+
+    params = CrawlParams(
+        max_generations=5, per_host_budget=10, adaptive_fetch=True
+    )
+    oracle = run_oracle(CFG, params)
+    wd = str(tmp_path_factory.mktemp("crawl_af"))
+    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job.run()
+    results = job.catalog.read(spark, "fetch_results").collect()
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"] for r in results
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    seen_ours = {
+        (r["url"], r["generation"])
+        for r in job.catalog.read(spark, "url_seen").collect()
+    }
+    assert seen_ours == {(u, g) for u, g in oracle.seen.items()}
+    # per-row: the measured latency and the fetch UDF's persisted finality
+    # decision (per-host retry cap) match the sequential twin exactly
+    rows = {
+        (r["url"], r["attempt"], r["generation"]): (r["latency_ms"], r["is_final"])
+        for r in results
+    }
+    for o in oracle.scheduled:
+        assert rows[(o["url"], o["attempt"], o["generation"])] == (
+            o["latency_ms"], o["is_final"]
+        ), o["url"]
+    # the loop is live, not vacuous:
+    # (1) base-timeout truncation — a too-slow page timed out at exactly the
+    #     10s base (latency capped at the timeout: you stopped waiting)
+    base_to = [
+        r for r in oracle.scheduled
+        if r["error_type"] == "timeout"
+        and r["latency_ms"] == adaptive_mod.BASE_TIMEOUT_MS
+    ]
+    assert base_to, "no base-timeout truncation - latency fixture ineffective"
+    # (2) escalation bit — a page slower than the base timeout SUCCEEDED,
+    #     only possible under a host's escalated (2x) learned timeout
+    slow_ok = [
+        r for r in oracle.scheduled
+        if r["error_type"] is None
+        and r["latency_ms"] is not None
+        and r["latency_ms"] > adaptive_mod.BASE_TIMEOUT_MS
+    ]
+    assert slow_ok, "timeout escalation never engaged"
+    assert min(r["generation"] for r in slow_ok) >= 1  # learned, not innate
+    # (3) the learned config changes real decisions: the same crawl without
+    #     adaptive_fetch schedules a different row set
+    baseline = run_oracle(
+        CFG, CrawlParams(max_generations=5, per_host_budget=10)
+    )
+    assert {(r["url"], r["attempt"], r["generation"]) for r in oracle.scheduled} != {
+        (r["url"], r["attempt"], r["generation"]) for r in baseline.scheduled
+    }
 
 
 def test_freshness_revalidation_parity(spark, tmp_path_factory):
