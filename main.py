@@ -20,11 +20,8 @@ import json
 import sys
 
 
-def _build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="scrapy_spark", description=__doc__)
-    sub = p.add_subparsers(dest="cmd", required=True)
-
-    c = sub.add_parser("crawl", help="run (or resume) a generation-loop crawl")
+def _add_crawl_args(c: argparse.ArgumentParser) -> None:
+    """Crawl-shaping args shared by `crawl` and `validate`."""
     c.add_argument("--workdir", required=True, help="snapshot catalog directory")
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--hosts", type=int, default=12)
@@ -51,6 +48,12 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="TTL-cached pagination range guessing (PaginationCache semantics)",
     )
+    c.add_argument(
+        "--adaptive-fetch",
+        action="store_true",
+        help="learned per-domain timeout/retry/delay config fed back into "
+        "the fetch (request_infrastructure.py AdaptiveRequestConfig semantics)",
+    )
     c.add_argument("--master", default=None, help="override spark master")
     c.add_argument(
         "--http",
@@ -69,6 +72,22 @@ def _build_parser() -> argparse.ArgumentParser:
         default="uconn.edu",
         help="crawl domain allow-list suffix (default uconn.edu)",
     )
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scrapy_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run (or resume) a generation-loop crawl")
+    _add_crawl_args(c)
+
+    hv = sub.add_parser(
+        "validate",
+        help="pre-run configuration health check (config_validator.py "
+        "semantics: filesystem/logic/catalog/env checks, severity-tiered, "
+        "no Spark session needed); exit 1 on errors",
+    )
+    _add_crawl_args(hv)
 
     r = sub.add_parser("report", help="print per-generation metrics/lineage")
     r.add_argument("--workdir", required=True)
@@ -136,29 +155,54 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _crawl_config(args):
+    from scrapy_spark.plans.oracle import CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    cfg = SynthConfig(
+        seed=args.seed, n_hosts=args.hosts, n_pages=args.pages, n_images=args.images
+    )
+    params = CrawlParams(
+        max_generations=args.generations,
+        per_host_budget=args.per_host_budget,
+        gen_cap=args.gen_cap,
+        rate_control=args.rate_control,
+        revalidate=args.revalidate,
+        pagination_guess=args.pagination_guess,
+        adaptive_fetch=args.adaptive_fetch,
+        domain=args.domain,
+    )
+    return cfg, params
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    from scrapy_spark.plans.validate import health_check, print_report
+
+    if args.cmd == "validate":
+        # launch-time gate: no Spark session (orchestrator/main.py:302-309
+        # runs the health check before any pipeline process starts)
+        cfg, params = _crawl_config(args)
+        report = health_check(cfg, params, args.workdir)
+        print_report(report)
+        return 0 if report.ok else 1
+
     from scrapy_spark.plans.crawl import CrawlJob
-    from scrapy_spark.plans.oracle import CrawlParams
     from scrapy_spark.session import get_spark
     from scrapy_spark.sources.catalog import SnapshotCatalog
-    from scrapy_spark.sources.synth import SynthConfig
+
+    if args.cmd == "crawl":
+        # same gate before the session spins up: a bad combination should
+        # fail at launch, not mid-run
+        cfg, params = _crawl_config(args)
+        report = health_check(cfg, params, args.workdir)
+        if not report.ok:
+            print_report(report)
+            return 1
 
     spark = get_spark("scrapy_spark_cli", master=args.master)
     try:
         if args.cmd == "crawl":
-            cfg = SynthConfig(
-                seed=args.seed, n_hosts=args.hosts, n_pages=args.pages, n_images=args.images
-            )
-            params = CrawlParams(
-                max_generations=args.generations,
-                per_host_budget=args.per_host_budget,
-                gen_cap=args.gen_cap,
-                rate_control=args.rate_control,
-                revalidate=args.revalidate,
-                pagination_guess=args.pagination_guess,
-                domain=args.domain,
-            )
             resolver_factory = None
             if args.http:
                 from scrapy_spark.operators.fetch import http_resolver

@@ -2521,6 +2521,12 @@ def _as_of() -> str:
     return os.environ.get("SPARK_GRAFT_AS_OF", analysis.AS_OF)
 
 
+# the anchor the generated oracle SQL strings below captured at import —
+# plans/validate compares the live env against this to catch a mid-process
+# change that would desynchronize the Spark/DuckDB twins
+AS_OF_AT_IMPORT = _as_of()
+
+
 def _recency_sql() -> str:
     from scrapy_spark.functions import analysis
 

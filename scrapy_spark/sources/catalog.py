@@ -152,13 +152,13 @@ class SnapshotCatalog:
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
 
-    def vacuum(self) -> list[str]:
-        """Delete files not referenced by the manifest (orphans left by
-        crashed generations) — the Iceberg remove_orphan_files maintenance
-        action. Safe because readers only ever see manifest-listed files."""
+    def orphan_files(self) -> list[str]:
+        """Files not referenced by the manifest (left by crashed
+        generations) — what :meth:`vacuum` would delete, without deleting
+        (the health-check / dry-run view)."""
         m = self._load()
         referenced = {os.path.normpath(f) for files in m["tables"].values() for f in files}
-        removed = []
+        orphans = []
         for dirpath, _dirnames, filenames in os.walk(self.root):
             for name in filenames:
                 full = os.path.join(dirpath, name)
@@ -168,8 +168,17 @@ class SnapshotCatalog:
                 if rel.startswith("_stage-") or (
                     rel not in referenced and rel.endswith(".parquet")
                 ):
-                    os.remove(full)
-                    removed.append(rel)
+                    orphans.append(rel)
+        return orphans
+
+    def vacuum(self) -> list[str]:
+        """Delete files not referenced by the manifest (orphans left by
+        crashed generations) — the Iceberg remove_orphan_files maintenance
+        action. Safe because readers only ever see manifest-listed files."""
+        removed = []
+        for rel in self.orphan_files():
+            os.remove(os.path.join(self.root, rel))
+            removed.append(rel)
         # drop empty staging dirs
         for dirpath, dirnames, filenames in list(os.walk(self.root, topdown=False)):
             if not dirnames and not filenames and dirpath != self.root:
