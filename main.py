@@ -144,6 +144,28 @@ def _build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--url", required=True)
     ln.add_argument("--master", default=None)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="ingest a vendor/third-party file (csv/json/jsonl/parquet) "
+        "into the versioned vendor_data warehouse table "
+        "(vendor_integration.py FileVendorSource semantics: normalized "
+        "records with raw_data JSON, SCD-2 versioning on re-ingest)",
+    )
+    ing.add_argument("--in", dest="infile", required=True, help="source file/dir")
+    ing.add_argument("--format", choices=["csv", "json", "jsonl", "parquet"],
+                     required=True)
+    ing.add_argument("--out", required=True, help="vendor_data table directory")
+    ing.add_argument("--vendor", required=True, help="vendor name")
+    ing.add_argument(
+        "--key-col", default=None,
+        help="natural-key column for versioning (default: row content hash)",
+    )
+    ing.add_argument(
+        "--url-col", default=None,
+        help="URL column to link records to fact_pages via page_id",
+    )
+    ing.add_argument("--master", default=None)
+
     w = sub.add_parser(
         "warehouse",
         help="dimensional (star-schema) export of fetch_results "
@@ -313,6 +335,19 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "ingest":
+            from scrapy_spark.sources.vendor import ingest
+
+            res = ingest(
+                spark,
+                args.infile,
+                args.format,
+                args.out,
+                args.vendor,
+                key_col=args.key_col,
+                url_col=args.url_col,
+            )
+            print(json.dumps(res))
         elif args.cmd == "warehouse":
             from scrapy_spark.sources.warehouse import star_export
 

@@ -233,3 +233,56 @@ def test_prometheus_exposition(spark, tmp_path):
     assert text.index("# TYPE crawl_urls_scheduled_total counter") < text.index(
         "crawl_urls_scheduled_total 30"
     )
+
+
+def test_vendor_ingest_versioning(spark, tmp_path):
+    """Vendor file ingestion (vendor_integration.py:42-180 FileVendorSource
+    + warehouse.py:316-340 insert_vendor_data): csv read -> normalized
+    vendor_data records with raw_data JSON and a page_id link; re-ingest
+    appends a batch and the SCD-2 election marks exactly one is_current row
+    per (vendor, record_key)."""
+    from scrapy_spark.functions.hashing import spark_xxhash64_str
+    from scrapy_spark.functions.urls import canonicalize
+    from scrapy_spark.sources.vendor import ingest, vendor_data
+
+    src = tmp_path / "vendor.csv"
+    src.write_text(
+        "id,name,url\n"
+        "1,Alpha,https://www.uconn.edu/a\n"
+        "2,Beta,https://www.uconn.edu/b\n"
+    )
+    out = str(tmp_path / "vendor_data")
+    r1 = ingest(spark, str(src), "csv", out, "acme", key_col="id", url_col="url")
+    assert r1 == {"vendor": "acme", "batch": 0, "rows": 2}
+    # re-ingest: key 1 changed (new version), key 3 new, key 2 absent
+    src.write_text(
+        "id,name,url\n"
+        "1,Alpha2,https://www.uconn.edu/a\n"
+        "3,Gamma,https://www.uconn.edu/c\n"
+    )
+    r2 = ingest(spark, str(src), "csv", out, "acme", key_col="id", url_col="url")
+    assert r2["batch"] == 1 and r2["rows"] == 2
+    rows = vendor_data(spark, out).collect()
+    assert len(rows) == 4
+    cur = {r["record_key"]: r for r in rows if r["is_current"]}
+    assert set(cur) == {"1", "2", "3"}
+    assert json.loads(cur["1"]["raw_data"])["name"] == "Alpha2"
+    k1 = sorted(
+        (r for r in rows if r["record_key"] == "1"),
+        key=lambda r: r["crawl_version"],
+    )
+    assert [r["is_current"] for r in k1] == [False, True]
+    assert json.loads(k1[0]["raw_data"])["name"] == "Alpha"
+    # page_id is the engine's page key: xxhash64 of the canonical URL
+    assert cur["1"]["page_id"] == spark_xxhash64_str(
+        canonicalize("https://www.uconn.edu/a")
+    )
+    # jsonl source, content-hash key (no key_col), same table
+    jl = tmp_path / "vendor.jsonl"
+    jl.write_text('{"id": 9, "name": "Judy"}\n')
+    r3 = ingest(spark, str(jl), "jsonl", out, "books")
+    assert r3["batch"] == 2 and r3["rows"] == 1
+    rows = vendor_data(spark, out).collect()
+    b = [r for r in rows if r["vendor_name"] == "books"]
+    assert len(b) == 1 and b[0]["is_current"] and b[0]["data_type"] == "jsonl"
+    assert b[0]["page_id"] is None
