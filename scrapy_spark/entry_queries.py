@@ -2832,6 +2832,204 @@ def text_langid_ngram(spark, sf_dir):
     )
 
 
+@_q(
+    "adaptive_request_config",
+    """
+    WITH r AS (
+      SELECT concat('h', CAST(user_id % 25 AS VARCHAR), '.uconn.edu') AS domain,
+             CAST(round(value * 1000000) AS BIGINT) AS rt,
+             event_id, ts,
+             CASE event_type WHEN 'error' THEN 'timeout'
+                             WHEN 'signup' THEN 'rate_limited'
+                             ELSE 'success' END AS outcome
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY domain, (outcome = 'success')
+               ORDER BY ts DESC, event_id DESC) AS rk
+      FROM r
+    ),
+    recent AS (SELECT * FROM ranked WHERE rk <= 10),
+    g AS (
+      SELECT domain,
+             CAST(sum(CASE WHEN outcome = 'success' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_recent_success,
+             CAST(sum(CASE WHEN outcome = 'success' THEN rt ELSE 0 END)
+                  AS BIGINT) AS sum_success_rt,
+             CAST(sum(CASE WHEN outcome <> 'success' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_recent_errors,
+             CAST(sum(CASE WHEN outcome = 'timeout' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_timeout,
+             CAST(sum(CASE WHEN outcome = 'rate_limited' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rate_limited
+      FROM recent GROUP BY domain
+    )
+    SELECT domain, n_recent_success, n_recent_errors, n_timeout,
+           n_rate_limited,
+           CAST(CASE WHEN n_timeout > 5 THEN 20000000
+                     WHEN n_recent_success > 0
+                       THEN greatest(5000000,
+                                     (sum_success_rt // n_recent_success) * 3)
+                     ELSE 10000000 END AS BIGINT) AS timeout_micros,
+           CASE WHEN n_timeout > 5 THEN 2 ELSE 3 END AS max_attempts,
+           CAST(CASE WHEN n_rate_limited > 3 THEN 3000000
+                     ELSE 1000000 END AS BIGINT) AS delay_micros
+    FROM g
+    """,
+)
+def adaptive_request_config(spark, sf_dir):
+    """Learned per-domain request config — the analytic derivation of the
+    adaptive-fetch loop (request_infrastructure.py:73-197
+    AdaptiveRequestConfig.get_optimal_config / learn_from_attempt, grafted
+    live into the crawl by operators/adaptive.py + CrawlParams.adaptive_fetch,
+    parity-tested in tests/test_crawl_parity.py::test_adaptive_fetch_parity).
+
+    Events as the request log (same domain key + outcome mapping as
+    request_patterns): per domain, the last 10 successful response times and
+    the last 10 error outcomes — timeout-dominated domains escalate to the
+    2x-base timeout and shed a retry (:186-190), rate-limit-dominated
+    domains triple their delay (:193-196), otherwise timeout = 3x the
+    recent-success average floored at 5s (:178-180). Pure integer micros so
+    both engines hash-match.
+
+    Scale shape: ONE window sort partitioned by (domain, success-class)
+    feeding a single groupBy — per-domain cost bounded by the largest
+    domain's log, the same shape as domain_latency_percentiles."""
+    e = load(spark, sf_dir, "events")
+    r = e.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 25).cast("string"), F.lit(".uconn.edu")
+        ).alias("domain"),
+        _micros(F.col("value")).alias("rt"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", "timeout")
+        .when(F.col("event_type") == "signup", "rate_limited")
+        .otherwise("success")
+        .alias("outcome"),
+    )
+    w = Window.partitionBy("domain", F.col("outcome") == "success").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    is_s = F.col("outcome") == "success"
+    g = recent.groupBy("domain").agg(
+        F.sum(F.when(is_s, 1).otherwise(0)).alias("n_recent_success"),
+        F.sum(F.when(is_s, F.col("rt")).otherwise(0)).alias("sum_success_rt"),
+        F.sum(F.when(~is_s, 1).otherwise(0)).alias("n_recent_errors"),
+        F.sum(F.when(F.col("outcome") == "timeout", 1).otherwise(0)).alias(
+            "n_timeout"
+        ),
+        F.sum(F.when(F.col("outcome") == "rate_limited", 1).otherwise(0)).alias(
+            "n_rate_limited"
+        ),
+    )
+    timeout = (
+        F.when(F.col("n_timeout") > 5, F.lit(20_000_000))
+        .when(
+            F.col("n_recent_success") > 0,
+            F.greatest(
+                F.lit(5_000_000),
+                F.expr("sum_success_rt div n_recent_success") * 3,
+            ),
+        )
+        .otherwise(F.lit(10_000_000))
+    )
+    return g.select(
+        "domain",
+        "n_recent_success",
+        "n_recent_errors",
+        "n_timeout",
+        "n_rate_limited",
+        timeout.cast("long").alias("timeout_micros"),
+        F.when(F.col("n_timeout") > 5, 2).otherwise(3).alias("max_attempts"),
+        F.when(F.col("n_rate_limited") > 3, F.lit(3_000_000))
+        .otherwise(F.lit(1_000_000))
+        .cast("long")
+        .alias("delay_micros"),
+    )
+
+
+@_q(
+    "stage_metrics",
+    """
+    WITH r AS (
+      SELECT event_type AS stage,
+             CAST(round(value * 1000000) AS BIGINT) AS rt,
+             epoch_us(ts) AS us, event_id,
+             CASE WHEN value >= 0.5 THEN 1 ELSE 0 END AS ok
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY stage ORDER BY rt, event_id)
+                  AS rk,
+             count(*) OVER (PARTITION BY stage) AS n
+      FROM r
+    )
+    SELECT stage,
+           CAST(max(n) AS BIGINT) AS items_processed,
+           CAST(sum(ok) AS BIGINT) AS items_succeeded,
+           CAST(max(n) - sum(ok) AS BIGINT) AS items_failed,
+           round(sum(ok) / CAST(max(n) AS DOUBLE) * 100, 6) AS success_rate,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_micros,
+           CAST((max(n) * 1000000000) // (max(us) - min(us)) AS BIGINT)
+             AS throughput_milli,
+           max(CASE WHEN rk = (50 * n + 99) // 100 THEN rt END) AS p50_micros,
+           max(CASE WHEN rk = (95 * n + 99) // 100 THEN rt END) AS p95_micros,
+           max(CASE WHEN rk = (99 * n + 99) // 100 THEN rt END) AS p99_micros
+    FROM ranked GROUP BY stage
+    """,
+)
+def stage_metrics(spark, sf_dir):
+    """Per-stage metrics rollup (enhanced_metrics.py:35-234 Stage1/2/3Metrics:
+    items processed/succeeded/failed, success_rate, duration, throughput,
+    response-time percentiles — the properties the reference computes on
+    driver-side dataclasses, here as ONE aggregation). Events as the stage
+    log: stage = event_type, success = the deterministic value>=0.5 bit,
+    duration = the stage's observed time span; exact discrete percentiles
+    with the (rt, event_id) tie-break and integer index pick — same
+    technique as domain_latency_percentiles. Throughput kept integer
+    (milli-items/sec over the micros span) so the twins hash-match.
+
+    The live-crawl projection of the same shape is the catalog's metrics
+    table + Prometheus export (sources/metrics_export.py)."""
+    e = load(spark, sf_dir, "events")
+    r = e.select(
+        F.col("event_type").alias("stage"),
+        _micros(F.col("value")).alias("rt"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(F.col("value") >= 0.5, 1).otherwise(0).alias("ok"),
+    )
+    w = Window.partitionBy("stage").orderBy("rt", "event_id")
+    ranked = r.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("stage"))
+    )
+
+    def _pick(p):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"({p} * n + 99) div 100"), F.col("rt"))
+        )
+
+    n = F.max("n")
+    ok = F.sum("ok")
+    span = F.max("us") - F.min("us")
+    return ranked.groupBy("stage").agg(
+        n.cast("long").alias("items_processed"),
+        ok.cast("long").alias("items_succeeded"),
+        (n - ok).cast("long").alias("items_failed"),
+        F.round(ok / n.cast("double") * 100, 6).alias("success_rate"),
+        span.cast("long").alias("duration_micros"),
+        F.expr("(max(n) * 1000000000) div (max(us) - min(us))")
+        .cast("long")
+        .alias("throughput_milli"),
+        _pick(50).alias("p50_micros"),
+        _pick(95).alias("p95_micros"),
+        _pick(99).alias("p99_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-registry combos + the 50-entry driver list.
 #
@@ -3452,7 +3650,10 @@ def _combo_domain_health_sql() -> str:
     return f"""
     SELECT l.domain, l.n_requests, l.n_errors, l.error_rate,
            l.p50_micros, l.p95_micros, l.p99_micros, l.optimal_timeout_micros,
-           p.timeout_hits, p.timeout_rate, p.ratelimit_hits, p.ratelimit_rate
+           p.timeout_hits, p.timeout_rate, p.ratelimit_hits, p.ratelimit_rate,
+           a.timeout_micros AS learned_timeout_micros,
+           a.max_attempts AS learned_max_attempts,
+           a.delay_micros AS learned_delay_micros
     FROM {_sub("domain_latency_percentiles")} l
     LEFT JOIN (
       SELECT domain,
@@ -3466,6 +3667,7 @@ def _combo_domain_health_sql() -> str:
                       THEN hit_rate END) AS ratelimit_rate
       FROM {_sub("request_patterns")} GROUP BY domain
     ) p USING (domain)
+    LEFT JOIN {_sub("adaptive_request_config")} a USING (domain)
     """
 
 
@@ -3473,12 +3675,15 @@ def _combo_domain_health_sql() -> str:
 def domain_health(spark, sf_dir):
     """COMBO: per-domain health view — latency percentile rollups (C4,
     analytics_engine.py:91-189) LEFT JOIN the cross-domain failure patterns
-    (C5, analytics_engine.py:189-260) pivoted to one row per flagged domain.
-    Shared domain grain, one shuffle key; pattern columns are NULL for
-    healthy domains (exactly the rows C5's thresholds exclude), so both
-    member semantics are driver-verified in one 25-row result."""
+    (C5, analytics_engine.py:189-260) pivoted to one row per flagged domain,
+    LEFT JOIN the learned request config (adaptive_request_config — the
+    request_infrastructure.py:73-197 derivation the adaptive-fetch loop
+    consumes). Shared domain grain, one shuffle key; pattern columns are
+    NULL for healthy domains (exactly the rows C5's thresholds exclude), so
+    all three member semantics are driver-verified in one 25-row result."""
     lat = QUERIES["domain_latency_percentiles"][0](spark, sf_dir)
     rp = QUERIES["request_patterns"][0](spark, sf_dir)
+    cfg = QUERIES["adaptive_request_config"][0](spark, sf_dir)
 
     def _pick(pt, col):
         return F.max(F.when(F.col("pattern_type") == pt, F.col(col)))
@@ -3489,7 +3694,18 @@ def domain_health(spark, sf_dir):
         _pick("aggressive_rate_limiting", "n_hits").alias("ratelimit_hits"),
         _pick("aggressive_rate_limiting", "hit_rate").alias("ratelimit_rate"),
     )
-    return lat.join(F.broadcast(pivot), "domain", "left")
+    return lat.join(F.broadcast(pivot), "domain", "left").join(
+        F.broadcast(
+            cfg.select(
+                "domain",
+                F.col("timeout_micros").alias("learned_timeout_micros"),
+                F.col("max_attempts").alias("learned_max_attempts"),
+                F.col("delay_micros").alias("learned_delay_micros"),
+            )
+        ),
+        "domain",
+        "left",
+    )
 
 
 QUERIES["domain_health"] = (domain_health, _combo_domain_health_sql())
