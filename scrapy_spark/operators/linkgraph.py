@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.materialize import materialize as _cut
+from ..plans.materialize import staging_dir as _staging_dir
 
 
 
@@ -328,6 +329,14 @@ def hits(
         return df if bg is not None else _rank_side(df, n)
 
     def _l2_normalize(raw: DataFrame, col: str) -> DataFrame:
+        # staged (cluster) mode: cut raw through the materializer seam
+        # FIRST, so the norm's scalar read and the normalized select both
+        # consume the staged parquet — the collect costs one tiny agg over
+        # a written table instead of a live-plan recompute, and executor
+        # loss can't invalidate it. Local mode keeps the live-plan collect
+        # (measured flat ~0.9 s/iteration; see the pathology notes above).
+        if _staging_dir(spark) is not None:
+            raw = _cut(raw, name=f"hits-{col}-raw")
         nrm = raw.agg(F.sqrt(F.sum(F.col(col) ** 2))).collect()[0][0] or 1.0
         return raw.select("node", (F.col(col) / F.lit(float(nrm))).alias(col))
 
