@@ -451,6 +451,44 @@ def test_adaptive_fetch_parity(spark, tmp_path_factory):
     }
 
 
+def test_adaptive_fetch_resume_parity(spark, tmp_path_factory):
+    """The learned per-host config must survive a restart: a crawl killed
+    after generation 1 and resumed re-derives the SAME adaptive decisions
+    from the committed adaptive_stats deltas — schedule identical to the
+    oracle's uninterrupted run (the snapshot-catalog restart-safety
+    invariant, extended to the adaptive feedback loop)."""
+    params = CrawlParams(
+        max_generations=4, per_host_budget=10, adaptive_fetch=True
+    )
+    oracle = run_oracle(CFG, params)
+    wd = str(tmp_path_factory.mktemp("crawl_af_resume"))
+    p2 = CrawlParams(max_generations=2, per_host_budget=10, adaptive_fetch=True)
+    CrawlJob(spark, CFG, p2, wd, salt_buckets=4).run()
+    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job.run(resume=True)
+    results = job.catalog.read(spark, "fetch_results").collect()
+    ours = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"] for r in results
+    }
+    theirs = {
+        (r["generation"], r["host"], r["rank_in_host"]): r["url"]
+        for r in oracle.scheduled
+    }
+    assert ours == theirs
+    # the post-resume generations still exercise LEARNED configs (a success
+    # past the base timeout in gen >= 2 proves the resumed job read the
+    # committed stats, not the base config)
+    from scrapy_spark.operators import adaptive as adaptive_mod
+
+    assert any(
+        r["error_type"] is None
+        and r["latency_ms"] is not None
+        and r["latency_ms"] > adaptive_mod.BASE_TIMEOUT_MS
+        and r["generation"] >= 2
+        for r in results
+    )
+
+
 def test_freshness_revalidation_parity(spark, tmp_path_factory):
     """Freshness-driven revalidation (freshness.py:92-150, 282-312): pages
     whose Last-Modified age exceeds the threshold are re-fetched
