@@ -428,6 +428,8 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             clear_staging(spark)
+        except Exception:
+            pass  # cleanup must not replace the command's own failure
         finally:
             spark.stop()
 

@@ -2973,8 +2973,8 @@ def adaptive_request_config(spark, sf_dir):
            CAST(max(n) - sum(ok) AS BIGINT) AS items_failed,
            round(sum(ok) / CAST(max(n) AS DOUBLE) * 100, 6) AS success_rate,
            CAST(max(us) - min(us) AS BIGINT) AS duration_micros,
-           CAST((max(n) * 1000000000) // (max(us) - min(us)) AS BIGINT)
-             AS throughput_milli,
+           CAST((max(n) * 1000000000) // NULLIF(max(us) - min(us), 0)
+             AS BIGINT) AS throughput_milli,
            max(CASE WHEN rk = (50 * n + 99) // 100 THEN rt END) AS p50_micros,
            max(CASE WHEN rk = (95 * n + 99) // 100 THEN rt END) AS p95_micros,
            max(CASE WHEN rk = (99 * n + 99) // 100 THEN rt END) AS p99_micros
@@ -3021,7 +3021,9 @@ def stage_metrics(spark, sf_dir):
         (n - ok).cast("long").alias("items_failed"),
         F.round(ok / n.cast("double") * 100, 6).alias("success_rate"),
         span.cast("long").alias("duration_micros"),
-        F.expr("(max(n) * 1000000000) div (max(us) - min(us))")
+        # NULLIF: a degenerate one-timestamp stage yields NULL in BOTH
+        # twins (DuckDB // raises on a bare zero divisor; Spark div does not)
+        F.expr("(max(n) * 1000000000) div nullif(max(us) - min(us), 0)")
         .cast("long")
         .alias("throughput_milli"),
         _pick(50).alias("p50_micros"),

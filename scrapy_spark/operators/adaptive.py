@@ -22,8 +22,12 @@ Generation-batch recast — the same shape as rate_control / learned_filters:
   generation first, flatten, take WINDOW — and map to the effective config
   (timeout_ms, max_attempts, delay_ms) with the reference's thresholds.
 - the config joins into the frontier before the fetch (per-row timeout into
-  the resolver, delay into the politeness pacing) and into the retry
-  re-enqueue predicate after it (a timeout-dominated host sheds a retry).
+  the resolver) and into the retry re-enqueue predicate after it (a
+  timeout-dominated host sheds a retry); the learned DELAY acts at
+  selection time — a throttle-escalated host's per-generation budget is
+  scaled by base/learned delay (:func:`paced_budgets`, the batch recast of
+  inter-request sleeping) — and additionally raises the execution-time
+  politeness sleep when politeness pacing is enabled.
 
 Everything is integer arithmetic (truncating ``div``), so the Spark
 derivation and the sequential-oracle python twins below are hash-exact.
@@ -205,3 +209,64 @@ def py_config(
 def base_config(max_attempts: int) -> tuple[int, int, int]:
     """The un-learned default (get_optimal_config's base path)."""
     return (BASE_TIMEOUT_MS, max_attempts, BASE_DELAY_MS)
+
+
+# ---------------------------------------------------------------------------
+# The delay arm. The reference sleeps learned_delay between same-domain
+# requests (request_infrastructure.py:193-196 feeding the handler's pacing);
+# in the generation-batch recast the same slowdown is applied at SELECTION
+# time — a host paced to BASE/learned of its request rate fetches
+# BASE/learned of its per-generation budget (floored at one probe), and the
+# deferred URLs stay in the frontier for later generations. Deterministic,
+# integer-exact, and it composes with the rate-control budgets; breaker
+# cooldown/probe budgets (<= 1) are never touched. Execution-time pacing
+# additionally raises the politeness sleep to the learned delay when
+# politeness pacing is enabled (operators/fetch.py).
+
+
+def py_paced_budget(budget: int, delay_ms: int) -> int:
+    """Twin of the Spark expression in :func:`paced_budgets`."""
+    if delay_ms <= BASE_DELAY_MS or budget <= 1:
+        return budget
+    return max(1, budget * BASE_DELAY_MS // delay_ms)
+
+
+def paced_budgets(
+    budgets: DataFrame | None,
+    config: DataFrame | None,
+    per_host_budget: int,
+) -> DataFrame | None:
+    """Fold the learned per-host delay into the effective budget table.
+
+    ``budgets`` is the rate-control table (host, budget) or None; ``config``
+    is :func:`adaptive_config`'s output or None. Returns a (host, budget)
+    table for :func:`~..operators.frontier.select_frontier` (hosts absent
+    from it use ``per_host_budget``), or None when nothing constrains. Both
+    inputs are host-keyed dims — the outer join is dim-sized, never
+    frontier-sized."""
+    if config is None:
+        return budgets
+    slowed = config.filter(F.col("delay_ms") > BASE_DELAY_MS).select(
+        "host", "delay_ms"
+    )
+    if budgets is None:
+        # only slowed hosts need rows — absent hosts take the default
+        joined = slowed.withColumn(
+            "budget", F.lit(per_host_budget).cast("int")
+        )
+    else:
+        # full outer: rc-only hosts keep their budget (delay NULL), slowed-
+        # only hosts start from the default (budget NULL)
+        joined = budgets.join(slowed, "host", "full")
+    return joined.select(
+        "host",
+        F.expr(
+            f"CASE WHEN delay_ms IS NOT NULL"
+            f"          AND coalesce(budget, {per_host_budget}) > 1 "
+            f"     THEN greatest(1, (coalesce(budget, {per_host_budget})"
+            f"          * {BASE_DELAY_MS}) div delay_ms) "
+            f"     ELSE coalesce(budget, {per_host_budget}) END"
+        )
+        .cast("int")
+        .alias("budget"),
+    )

@@ -220,7 +220,11 @@ def fetch_frontier(
     — the learned table; hosts absent from it, or the whole table at
     generation 0, use the base config), passed into the resolver per row.
     The config is a host-keyed dim like the rate-control budgets — joined
-    without a hint so AQE sizes it.
+    without a hint so AQE sizes it. The learned DELAY's primary effect is
+    upstream (selection-time budget pacing, adaptive.paced_budgets); here it
+    only raises the per-host politeness sleep when politeness pacing is
+    enabled — with politeness off there is no execution-time sleeping to
+    raise (round-robin layout, no host adjacency).
     """
     from . import adaptive as adaptive_mod
 

@@ -194,67 +194,77 @@ def pagerank(
     n_rounds = max_iterations if tol is not None else iterations
     it = 0
     delta = None
-    for it in range(1, n_rounds + 1):
-        # truncate plan lineage each iteration — without this the logical plan
-        # doubles per iteration and Catalyst re-derives the whole history
-        # (cut mechanism pluggable via plans/materialize: durable parquet
-        # on a cluster, localCheckpoint locally)
-        _probe(plan_probe, ranks)
-        ranks = _cut(ranks, name="pr-ranks")
-        prev = ranks
-        if bg is not None:
-            contribs = bucketed_contribs(
-                spark,
-                bg.src_table,
-                ranks.select("node", F.col("rank").alias("r")),
-                integer=False,
-            )
-        else:
-            contribs = (
-                e.join(_rank_side(ranks, n), e.src == ranks.node)
-                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("contrib"))
-            )
-        # dangling mass redistributed uniformly — kept as a 1-row broadcast
-        # instead of a driver collect, so each iteration is ONE job (the
-        # eager localCheckpoint), not two
-        dmass = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .fillna(0.0, ["contrib"])
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dmass") / F.lit(float(n))
-                    + F.lit(damping) * F.col("contrib")
-                ).alias("rank"),
-            )
-        )
-        if tol is not None:
+    try:
+        for it in range(1, n_rounds + 1):
+            # truncate plan lineage each iteration — without this the logical
+            # plan doubles per iteration and Catalyst re-derives the whole
+            # history (cut mechanism pluggable via plans/materialize: durable
+            # parquet on a cluster, localCheckpoint locally)
+            _probe(plan_probe, ranks)
             ranks = _cut(ranks, name="pr-ranks")
-            delta = (
-                ranks.join(prev.select("node", F.col("rank").alias("_pr")), "node")
-                .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
-                .collect()[0]["d"]
+            prev = ranks
+            if bg is not None:
+                contribs = bucketed_contribs(
+                    spark,
+                    bg.src_table,
+                    ranks.select("node", F.col("rank").alias("r")),
+                    integer=False,
+                )
+            else:
+                contribs = (
+                    e.join(_rank_side(ranks, n), e.src == ranks.node)
+                    .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
+                )
+            # dangling mass redistributed uniformly — kept as a 1-row
+            # broadcast instead of a driver collect, so each iteration is ONE
+            # job (the eager localCheckpoint), not two
+            dmass = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
             )
-            if delta is not None and delta < tol:
-                break
-    if stats is not None:
-        stats["iterations"] = it
-        stats["final_delta"] = delta
-    dangling_nodes.unpersist()
-    _probe(plan_probe, ranks)
-    if bg is not None:
-        # cut before dropping auto-bucketed tables: the final ranks plan
-        # still reads them until materialized
-        ranks = _cut(ranks, name="pr-ranks")
-        bg.close()
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .fillna(0.0, ["contrib"])
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("_dmass") / F.lit(float(n))
+                        + F.lit(damping) * F.col("contrib")
+                    ).alias("rank"),
+                )
+            )
+            if tol is not None:
+                ranks = _cut(ranks, name="pr-ranks")
+                delta = (
+                    ranks.join(prev.select("node", F.col("rank").alias("_pr")), "node")
+                    .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                if delta is not None and delta < tol:
+                    break
+        if stats is not None:
+            stats["iterations"] = it
+            stats["final_delta"] = delta
+        dangling_nodes.unpersist()
+        _probe(plan_probe, ranks)
+        if bg is not None:
+            # cut before dropping auto-bucketed tables (the finally): the
+            # final ranks plan still reads them until materialized
+            ranks = _cut(ranks, name="pr-ranks")
+    finally:
+        # drop auto-bucketed tables on EVERY exit — an executor loss or
+        # interrupt mid-iteration must not leak a warehouse-resident copy of
+        # the edge table; guarded so cleanup on a dead session can't mask
+        # the loop's own failure
+        if bg is not None:
+            try:
+                bg.close()
+            except Exception:
+                pass
     # max-normalize (link_graph.py:244-247)
     mx = ranks.agg(F.max("rank")).collect()[0][0]
     out = ranks.select("node", (F.col("rank") / F.lit(mx)).alias("rank"))
@@ -344,61 +354,71 @@ def hits(
     n_rounds = max_iterations if tol is not None else iterations
     it = 0
     delta = None
-    for it in range(1, n_rounds + 1):
-        scores = _cut(scores, name="hits-scores")  # truncate iterative lineage
-        prev = scores
-        araw = (
-            e_src.join(_side(scores.select(F.col("node").alias("src"), "hub")), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("authority"))
-        )
-        # probe the PRE-normalize join plans: normalization hides the edge
-        # scan behind a checkpoint, so these are where the bucketed-layout
-        # plan assertions look
-        _probe(plan_probe, araw)
-        auth = _l2_normalize(araw, "authority")
-        hraw = (
-            e_dst.join(_side(auth.select(F.col("node").alias("dst"), "authority")), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("hub"))
-        )
-        _probe(plan_probe, hraw)
-        hub = _l2_normalize(hraw, "hub")
-        scores = (
-            nodes.join(hub, "node", "left").join(auth, "node", "left").fillna(
-                0.0, ["hub", "authority"]
+    try:
+        for it in range(1, n_rounds + 1):
+            scores = _cut(scores, name="hits-scores")  # truncate iterative lineage
+            prev = scores
+            araw = (
+                e_src.join(_side(scores.select(F.col("node").alias("src"), "hub")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority"))
             )
-        )
-        if tol is not None:
-            scores = _cut(scores, name="hits-scores")
-            delta = (
-                scores.join(
-                    prev.select(
+            # probe the PRE-normalize join plans: normalization hides the edge
+            # scan behind a checkpoint, so these are where the bucketed-layout
+            # plan assertions look
+            _probe(plan_probe, araw)
+            auth = _l2_normalize(araw, "authority")
+            hraw = (
+                e_dst.join(_side(auth.select(F.col("node").alias("dst"), "authority")), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub"))
+            )
+            _probe(plan_probe, hraw)
+            hub = _l2_normalize(hraw, "hub")
+            scores = (
+                nodes.join(hub, "node", "left").join(auth, "node", "left").fillna(
+                    0.0, ["hub", "authority"]
+                )
+            )
+            if tol is not None:
+                scores = _cut(scores, name="hits-scores")
+                delta = (
+                    scores.join(
+                        prev.select(
+                            "node",
+                            F.col("hub").alias("_ph"),
+                            F.col("authority").alias("_pa"),
+                        ),
                         "node",
-                        F.col("hub").alias("_ph"),
-                        F.col("authority").alias("_pa"),
-                    ),
-                    "node",
+                    )
+                    .agg(
+                        F.max(
+                            F.greatest(
+                                F.abs(F.col("hub") - F.col("_ph")),
+                                F.abs(F.col("authority") - F.col("_pa")),
+                            )
+                        ).alias("d")
+                    )
+                    .collect()[0]["d"]
                 )
-                .agg(
-                    F.max(
-                        F.greatest(
-                            F.abs(F.col("hub") - F.col("_ph")),
-                            F.abs(F.col("authority") - F.col("_pa")),
-                        )
-                    ).alias("d")
-                )
-                .collect()[0]["d"]
-            )
-            if delta is not None and delta < tol:
-                break
-    if stats is not None:
-        stats["iterations"] = it
-        stats["final_delta"] = delta
-    if bg is not None:
-        # cut before dropping auto-bucketed tables (final plan reads them)
-        scores = _cut(scores, name="hits-scores")
-        bg.close()
+                if delta is not None and delta < tol:
+                    break
+        if stats is not None:
+            stats["iterations"] = it
+            stats["final_delta"] = delta
+        if bg is not None:
+            # cut before dropping auto-bucketed tables (final plan reads them)
+            scores = _cut(scores, name="hits-scores")
+    finally:
+        # drop auto-bucketed tables on EVERY exit — a failure mid-
+        # iteration must not leak a warehouse-resident edge copy;
+        # guarded so cleanup on a dead session can't mask the loop's
+        # own failure
+        if bg is not None:
+            try:
+                bg.close()
+            except Exception:
+                pass
     nodes.unpersist()
     if bg is None:
         e_src.unpersist()
@@ -457,59 +477,69 @@ def pagerank_exact(
     t = 100 - damping_pct
     n_dangling = dangling.count()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for it in range(1, iterations + 1):
-        _probe(plan_probe, ranks)
-        ranks = _cut(ranks, name="prx-ranks")
-        if it == 1:
-            # first iteration: every rank is exactly `scale`, so the
-            # rank-side join is algebraically a constant — contribs and
-            # dangling mass come straight off the cached edge table
-            # (identical values, one join and one broadcast subquery fewer)
-            contribs = (
-                e.select(
-                    F.col("dst").alias("node"),
-                    F.expr(f"CAST({scale} AS BIGINT) div out_deg").alias("c"),
+    try:
+        for it in range(1, iterations + 1):
+            _probe(plan_probe, ranks)
+            ranks = _cut(ranks, name="prx-ranks")
+            if it == 1:
+                # first iteration: every rank is exactly `scale`, so the
+                # rank-side join is algebraically a constant — contribs and
+                # dangling mass come straight off the cached edge table
+                # (identical values, one join and one broadcast subquery fewer)
+                contribs = (
+                    e.select(
+                        F.col("dst").alias("node"),
+                        F.expr(f"CAST({scale} AS BIGINT) div out_deg").alias("c"),
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
                 )
-                .groupBy("node")
-                .agg(F.sum("c").alias("contrib"))
+                dmass = ranks.sparkSession.range(1).select(
+                    F.lit(int(scale) * n_dangling).cast("long").alias("_dmass")
+                )
+            elif bg is not None:
+                contribs = bucketed_contribs(spark, bg.src_table, ranks)
+                dmass = ranks.join(dangling, "node", "left_semi").agg(
+                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
+                )
+            else:
+                contribs = (
+                    e.join(_rank_side(ranks, n), e.src == ranks.node)
+                    .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
+                )
+                dmass = ranks.join(dangling, "node", "left_semi").agg(
+                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
+                )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .fillna(0, ["contrib"])
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    F.expr(
+                        f"({t} * CAST({scale} AS BIGINT)"
+                        f" + {damping_pct} * (_dmass div {n})"
+                        f" + {damping_pct} * contrib) div 100"
+                    ).alias("r"),
+                )
             )
-            dmass = ranks.sparkSession.range(1).select(
-                F.lit(int(scale) * n_dangling).cast("long").alias("_dmass")
-            )
-        elif bg is not None:
-            contribs = bucketed_contribs(spark, bg.src_table, ranks)
-            dmass = ranks.join(dangling, "node", "left_semi").agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
-            )
-        else:
-            contribs = (
-                e.join(_rank_side(ranks, n), e.src == ranks.node)
-                .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("contrib"))
-            )
-            dmass = ranks.join(dangling, "node", "left_semi").agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
-            )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .fillna(0, ["contrib"])
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "node",
-                F.expr(
-                    f"({t} * CAST({scale} AS BIGINT)"
-                    f" + {damping_pct} * (_dmass div {n})"
-                    f" + {damping_pct} * contrib) div 100"
-                ).alias("r"),
-            )
-        )
-    _probe(plan_probe, ranks)
-    if bg is not None:
-        # cut before dropping auto-bucketed tables: the final ranks plan
-        # still reads them until materialized
-        ranks = _cut(ranks, name="prx-ranks")
-        bg.close()
+        _probe(plan_probe, ranks)
+        if bg is not None:
+            # cut before dropping auto-bucketed tables: the final ranks plan
+            # still reads them until materialized
+            ranks = _cut(ranks, name="prx-ranks")
+    finally:
+        # drop auto-bucketed tables on EVERY exit — a failure mid-
+        # iteration must not leak a warehouse-resident edge copy;
+        # guarded so cleanup on a dead session can't mask the loop's
+        # own failure
+        if bg is not None:
+            try:
+                bg.close()
+            except Exception:
+                pass
     mx = ranks.agg(F.max("r")).collect()[0][0]
     out = ranks.select(
         "node",
@@ -600,43 +630,53 @@ def hits_exact(
 
     hubs = nodes.withColumn("hq", F.lit(scale).cast("long"))
     auth = None
-    for it in range(1, iterations + 1):
-        hubs = _cut(hubs, name="hitsx-hubs")
-        if it == 1:
-            # uniform initial hubs: araw is exactly in_degree * scale —
-            # same values, no rank-side join on the first pass
-            araw = e_src.groupBy(F.col("dst").alias("node")).agg(
-                (F.count("*") * scale).cast("long").alias("aq")
-            )
-        else:
-            araw = (
-                e_src.join(
-                    _side(hubs.select(F.col("node").alias("src"), "hq")),
-                    "src",
+    try:
+        for it in range(1, iterations + 1):
+            hubs = _cut(hubs, name="hitsx-hubs")
+            if it == 1:
+                # uniform initial hubs: araw is exactly in_degree * scale —
+                # same values, no rank-side join on the first pass
+                araw = e_src.groupBy(F.col("dst").alias("node")).agg(
+                    (F.count("*") * scale).cast("long").alias("aq")
                 )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hq").alias("aq"))
+            else:
+                araw = (
+                    e_src.join(
+                        _side(hubs.select(F.col("node").alias("src"), "hq")),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("hq").alias("aq"))
+                )
+            # probe pre-normalize (normalization's checkpoint hides the scan)
+            _probe(plan_probe, araw)
+            # no eager checkpoint: hubs is checkpointed at loop start, so this
+            # plan's depth is bounded; an eager materialization here would cost
+            # an extra job per iteration
+            auth = _normalize(araw, "aq")
+            hraw = (
+                e_dst.join(_side(auth.select(F.col("node").alias("dst"), "aq")), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("aq").alias("hq"))
             )
-        # probe pre-normalize (normalization's checkpoint hides the scan)
-        _probe(plan_probe, araw)
-        # no eager checkpoint: hubs is checkpointed at loop start, so this
-        # plan's depth is bounded; an eager materialization here would cost
-        # an extra job per iteration
-        auth = _normalize(araw, "aq")
-        hraw = (
-            e_dst.join(_side(auth.select(F.col("node").alias("dst"), "aq")), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("aq").alias("hq"))
-        )
-        _probe(plan_probe, hraw)
-        hubs = _normalize(hraw, "hq")
-    if bg is not None:
-        # cut both score tables before dropping auto-bucketed edges — their
-        # plans read the tables until materialized (hubs' cut in _normalize
-        # is LAZY, so it may not have executed yet)
-        hubs = _cut(hubs, name="hitsx-hubs")
-        auth = _cut(auth, name="hitsx-auth")
-        bg.close()
+            _probe(plan_probe, hraw)
+            hubs = _normalize(hraw, "hq")
+        if bg is not None:
+            # cut both score tables before dropping auto-bucketed edges — their
+            # plans read the tables until materialized (hubs' cut in _normalize
+            # is LAZY, so it may not have executed yet)
+            hubs = _cut(hubs, name="hitsx-hubs")
+            auth = _cut(auth, name="hitsx-auth")
+    finally:
+        # drop auto-bucketed tables on EVERY exit — a failure mid-
+        # iteration must not leak a warehouse-resident edge copy;
+        # guarded so cleanup on a dead session can't mask the loop's
+        # own failure
+        if bg is not None:
+            try:
+                bg.close()
+            except Exception:
+                pass
     out = (
         nodes.join(hubs, "node", "left")
         .join(auth, "node", "left")

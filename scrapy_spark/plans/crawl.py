@@ -189,7 +189,12 @@ class CrawlJob:
             # doesn't grow for the life of the application
             from scrapy_spark.plans.materialize import clear_staging
 
-            clear_staging(self.spark)
+            try:
+                clear_staging(self.spark)
+            except Exception:
+                # cleanup must not replace the crawl's own failure (a dead
+                # SparkContext makes conf/_jvm access raise here too)
+                pass
         return stats
 
     def _revalidation_candidates(self, gen: int) -> DataFrame | None:
@@ -374,18 +379,32 @@ class CrawlJob:
             new = new.unionByName(reval_c)
 
         budgets = self._rc_budgets(gen) if params.rate_control else None
-        selected = select_frontier(
-            new, params.per_host_budget, params.gen_cap, budgets
-        )
 
         # adaptive per-domain request config (C4 feedback loop,
         # request_infrastructure.py:73-197): learned from the staged
-        # adaptive_stats rollups of gens < g; None at gen 0 → base config
+        # adaptive_stats rollups of gens < g; None at gen 0 → base config.
+        # Consumed twice in the one fetch-write action (the delay arm's
+        # paced budgets here, the per-row timeout join in fetch_frontier) —
+        # deliberately NOT lineage-cut: it is a host-keyed dim derived from
+        # a footer-sized committed table, cheaper to re-derive than to
+        # checkpoint every generation (the materialize rule targets the
+        # expensive shingle/band/edge mid-plans).
         af_cfg = None
         if params.adaptive_fetch:
             af_cfg = adaptive_ops.adaptive_config(
                 self.catalog.read(spark, "adaptive_stats"), oracle_mod.MAX_ATTEMPTS
             )
+            # delay arm: throttle-escalated hosts fetch base/learned of
+            # their budget this generation (selection-time pacing — the
+            # batch recast of inter-request sleeping; the oracle twin
+            # applies adaptive.py_paced_budget at the same point)
+            budgets = adaptive_ops.paced_budgets(
+                budgets, af_cfg, params.per_host_budget
+            )
+
+        selected = select_frontier(
+            new, params.per_host_budget, params.gen_cap, budgets
+        )
 
         # Fetch writes its results table directly — ONE materializing action
         # at full parallelism. Image bytes go to parquet exactly once and
@@ -601,18 +620,9 @@ class CrawlJob:
             # pyarrow footer-sized read, no extra Spark job per generation
             # (the DataFrame form alerts.breaker_alert_rows exists for
             # cluster runs where the delta shouldn't visit the driver)
-            import os as _os
-
-            import pyarrow.parquet as _pq
-
-            brows = []
-            for f in staged["host_budget"]:
-                brows.extend(
-                    _pq.read_table(
-                        _os.path.join(self.catalog.root, f),
-                        columns=["host", "consec", "state"],
-                    ).to_pylist()
-                )
+            brows = self.catalog.staged_read(
+                staged["host_budget"], columns=["host", "consec", "state"]
+            )
             alert_rows.extend(alerts_mod.py_breaker_alert_rows(brows, gen))
         apdf = pd.DataFrame(
             alert_rows,

@@ -131,6 +131,9 @@ class OracleResult:
     scheduled: list[dict] = field(default_factory=list)  # one row per fetched URL
     seen: dict[str, int] = field(default_factory=dict)  # canonical -> generation
     gen_counts: list[dict] = field(default_factory=list)  # lineage-ish per gen
+    # (gen, host, budget, paced) rows where the adaptive delay arm actually
+    # withheld frontier rows — liveness evidence for the parity test
+    delay_cuts: list[tuple] = field(default_factory=list)
 
 
 def _candidate(raw_url, source_url, source_type, anchor, depth, domain, attempt=1):
@@ -380,6 +383,17 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
             if c["source_type"] == "revalidate" or c["url"] not in res.seen
         ]
 
+        # adaptive per-domain config for this generation (learned from gens
+        # < g) — needed BEFORE selection: the delay arm paces a throttle-
+        # escalated host by cutting its per-generation budget
+        # (adaptive.py_paced_budget, the batch recast of inter-request
+        # sleeping; request_infrastructure.py:193-196)
+        af_cfg = (
+            adaptive_mod.py_config(af_hist, MAX_ATTEMPTS)
+            if params.adaptive_fetch
+            else None
+        )
+
         # per-host rank-and-take (W1) under politeness budget
         by_host: dict[str, list[dict]] = {}
         for c in deduped:
@@ -387,7 +401,13 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         selected = []
         for host, group in by_host.items():
             group.sort(key=lambda c: (c["depth"], -c["score"], c["url"]))
-            for rank, c in enumerate(group[: budget_for(host, gen)], start=1):
+            b = budget_for(host, gen)
+            if af_cfg is not None and host in af_cfg:
+                paced = adaptive_mod.py_paced_budget(b, af_cfg[host][2])
+                if paced < b and len(group) > paced:
+                    res.delay_cuts.append((gen, host, b, paced))
+                b = paced
+            for rank, c in enumerate(group[:b], start=1):
                 c = dict(c)
                 c["rank_in_host"] = rank
                 selected.append(c)
@@ -414,11 +434,6 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
         # (retry re-enqueue, SURVEY §4 retry row; validator.py:444-462)
         next_cands = []
         gen_rows: list[dict] = []
-        af_cfg = (
-            adaptive_mod.py_config(af_hist, MAX_ATTEMPTS)
-            if params.adaptive_fetch
-            else None
-        )
         for c in selected:
             if af_cfg is not None:
                 tmo, max_att, _delay = af_cfg.get(

@@ -50,24 +50,28 @@ class HealthReport:
         return [i for i in self.issues if i.severity == severity]
 
 
-def _check_filesystem(report: HealthReport, workdir: str) -> None:
-    """Workdir must be creatable and writable (config_validator.py:67-138)."""
+def _probe_writable(path: str) -> OSError | None:
+    """Create ``path`` and round-trip a probe file; returns the failure (or
+    None). The probe name is pid-unique so concurrent validates can't
+    collide."""
     try:
-        os.makedirs(workdir, exist_ok=True)
-    except OSError as e:
-        report.add(
-            "error", "filesystem", f"cannot create workdir {workdir}: {e}",
-            "check permissions or choose another --workdir",
-        )
-        return
-    probe = os.path.join(workdir, ".write_probe")
-    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, f".write_probe-{os.getpid()}")
         with open(probe, "w") as fh:
             fh.write("ok")
         os.remove(probe)
     except OSError as e:
+        return e
+    return None
+
+
+def _check_filesystem(report: HealthReport, workdir: str) -> None:
+    """Workdir must be creatable and writable (config_validator.py:67-138)."""
+    e = _probe_writable(workdir)
+    if e is not None:
         report.add(
-            "error", "filesystem", f"workdir {workdir} is not writable: {e}",
+            "error", "filesystem",
+            f"workdir {workdir} is not creatable/writable: {e}",
             "check permissions or choose another --workdir",
         )
 
@@ -86,13 +90,8 @@ def _check_staging(report: HealthReport) -> None:
             "verified at session start, not here",
         )
         return
-    try:
-        os.makedirs(staging, exist_ok=True)
-        probe = os.path.join(staging, ".write_probe")
-        with open(probe, "w") as fh:
-            fh.write("ok")
-        os.remove(probe)
-    except OSError as e:
+    e = _probe_writable(staging)
+    if e is not None:
         report.add(
             "error", "filesystem",
             f"materializer staging dir {staging} is not writable: {e}",
@@ -122,12 +121,13 @@ def _check_synth(report: HealthReport, cfg: SynthConfig) -> None:
             "re-seeds duplicate pages",
             "lower n_seeds",
         )
-    for h in cfg.bad_hosts:
-        if not (0 <= h < cfg.n_hosts):
-            report.add(
-                "error", "logic",
-                f"bad_hosts index {h} out of range [0, {cfg.n_hosts})",
-            )
+    for name in ("bad_hosts", "throttle_hosts"):
+        for h in getattr(cfg, name):
+            if not (0 <= h < cfg.n_hosts):
+                report.add(
+                    "error", "logic",
+                    f"{name} index {h} out of range [0, {cfg.n_hosts})",
+                )
     if cfg.img_w < 1 or cfg.img_h < 1:
         report.add("error", "logic", "image dimensions must be >= 1")
 

@@ -30,6 +30,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Catalog format history (the Iceberg format-version analog). Bumped when a
+# committed table's SCHEMA or semantics change such that old rows would be
+# misread by the current build:
+#   1 — pre-round-6: fetch_results had no is_final / latency_ms columns
+#       (finality was recomputed downstream from a fixed MAX_ATTEMPTS)
+#   2 — finality decided INSIDE the fetch UDF and persisted (is_final);
+#       resume / retry re-enqueue / revalidation all read it
+FORMAT_VERSION = 2
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -41,9 +51,33 @@ class SnapshotCatalog:
 
     def _load(self) -> dict:
         if not os.path.exists(self._manifest_path):
-            return {"tables": {}, "committed_generation": -1, "snapshots": []}
+            return {
+                "format": FORMAT_VERSION,
+                "tables": {},
+                "committed_generation": -1,
+                "snapshots": [],
+            }
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        v = m.get("format", 1)
+        if v < FORMAT_VERSION:
+            # fail at OPEN, loudly: a v1 fetch_results lacks is_final /
+            # latency_ms, so resuming under this build would either crash on
+            # an unresolved column or silently drop every pre-upgrade row
+            # from the three-valued finality filters
+            raise ValueError(
+                f"workdir catalog is format v{v}, this build reads "
+                f"v{FORMAT_VERSION}: committed tables predate the persisted "
+                "is_final/latency_ms fetch columns — start a fresh --workdir "
+                "(or re-run the crawl); resuming would drift from the oracle"
+            )
+        if v > FORMAT_VERSION:
+            raise ValueError(
+                f"workdir catalog is format v{v}, written by a NEWER build "
+                f"than this one (reads v{FORMAT_VERSION}) — use the newer "
+                "build or start a fresh --workdir"
+            )
+        return m
 
     def committed_generation(self) -> int:
         return self._load()["committed_generation"]
@@ -93,6 +127,24 @@ class SnapshotCatalog:
             s = pc.sum(t.column(column)).as_py()
             total += int(s or 0)
         return total
+
+    def staged_read(
+        self, files: list[str], columns: list[str] | None = None
+    ) -> list[dict]:
+        """Rows of staged files as dicts via a column-pruned pyarrow read —
+        no Spark job. For compact host-keyed rollup tables only (breaker
+        state, alert inputs); anything data-sized goes through
+        :meth:`read_files`."""
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(
+                pq.read_table(
+                    os.path.join(self.root, f), columns=columns
+                ).to_pylist()
+            )
+        return rows
 
     def read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
         """Read specific staged (not-yet-committed) files."""

@@ -58,6 +58,10 @@ class SynthConfig:
     n_seeds: int = 10  # breadth of generation 0 (bench uses thousands)
     # host indexes that are hard-down (always 503): circuit-breaker fixture
     bad_hosts: tuple = ()
+    # host indexes that rate-limit every first attempt (429, then 200):
+    # adaptive delay-arm fixture — the host's error window goes throttle-
+    # dominant, escalating its learned delay (adaptive.THROTTLE_ESCALATE)
+    throttle_hosts: tuple = ()
     host_names: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -174,9 +178,13 @@ def page_status(cfg: SynthConfig, hidx: int, j: int, attempt: int = 1) -> int:
     The 'events' section is systematically bad (~40% extra 404s) so the
     learned feedback pattern filter (F7) has something to learn.
     Hosts listed in cfg.bad_hosts return 503 on EVERY attempt — a hard-down
-    origin that trips the per-domain circuit breaker."""
+    origin that trips the per-domain circuit breaker. Hosts in
+    cfg.throttle_hosts 429 every first attempt — a rate-limited origin that
+    drives the adaptive delay escalation."""
     if hidx in cfg.bad_hosts:
         return 503
+    if hidx in cfg.throttle_hosts:  # rate-limited origin: every page 429s
+        return 200 if attempt >= 2 else 429  # on attempt 1, succeeds after
     sec = SECTIONS[_h(cfg.seed, "sec", hidx, j) % len(SECTIONS)]
     if sec == "events" and _h(cfg.seed, "ev404", hidx, j) % 5 < 2:
         return 404

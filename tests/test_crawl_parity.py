@@ -394,9 +394,15 @@ def test_adaptive_fetch_parity(spark, tmp_path_factory):
     params = CrawlParams(
         max_generations=5, per_host_budget=10, adaptive_fetch=True
     )
-    oracle = run_oracle(CFG, params)
+    # host 2 rate-limits every first attempt: its error window goes
+    # throttle-dominant and the learned delay escalates (the delay-arm
+    # fixture); everything else matches the shared CFG
+    cfg_af = SynthConfig(
+        seed=42, n_hosts=12, n_pages=300, n_images=120, throttle_hosts=(2,)
+    )
+    oracle = run_oracle(cfg_af, params)
     wd = str(tmp_path_factory.mktemp("crawl_af"))
-    job = CrawlJob(spark, CFG, params, wd, salt_buckets=4)
+    job = CrawlJob(spark, cfg_af, params, wd, salt_buckets=4)
     job.run()
     results = job.catalog.read(spark, "fetch_results").collect()
     ours = {
@@ -444,11 +450,15 @@ def test_adaptive_fetch_parity(spark, tmp_path_factory):
     # (3) the learned config changes real decisions: the same crawl without
     #     adaptive_fetch schedules a different row set
     baseline = run_oracle(
-        CFG, CrawlParams(max_generations=5, per_host_budget=10)
+        cfg_af, CrawlParams(max_generations=5, per_host_budget=10)
     )
     assert {(r["url"], r["attempt"], r["generation"]) for r in oracle.scheduled} != {
         (r["url"], r["attempt"], r["generation"]) for r in baseline.scheduled
     }
+    # (4) the delay arm engaged: some throttle-escalated host had frontier
+    #     rows withheld by the paced budget (selection-time pacing) — and
+    #     the Spark schedule above matched the oracle anyway
+    assert oracle.delay_cuts, "delay arm never bound - fixture ineffective"
 
 
 def test_adaptive_fetch_resume_parity(spark, tmp_path_factory):

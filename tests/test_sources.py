@@ -286,3 +286,34 @@ def test_vendor_ingest_versioning(spark, tmp_path):
     b = [r for r in rows if r["vendor_name"] == "books"]
     assert len(b) == 1 and b[0]["is_current"] and b[0]["data_type"] == "jsonl"
     assert b[0]["page_id"] is None
+
+
+def test_catalog_format_version_gate(spark, tmp_path):
+    """A workdir committed by a pre-is_final build (manifest format v1, or
+    no format key at all) must be REFUSED at open — resuming it under this
+    build would silently drop every old row from the three-valued finality
+    filters. A newer-format manifest is refused too, with its own message."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cat")
+    cat = SnapshotCatalog(root)
+    df = spark.range(3).select(F.col("id").alias("url_hash"))
+    staged = {"fetch_results": cat.stage(df, "fetch_results", 0)}
+    cat.commit(0, staged)
+    mpath = cat._manifest_path
+    m = _json.loads(open(mpath).read())
+    assert m["format"] == 2  # current build stamps its version
+
+    m_old = dict(m)
+    del m_old["format"]  # pre-versioning manifest == v1
+    open(mpath, "w").write(_json.dumps(m_old))
+    with pytest.raises(ValueError, match="format v1.*is_final"):
+        SnapshotCatalog(root).read(spark, "fetch_results")
+
+    m_new = dict(m, format=99)
+    open(mpath, "w").write(_json.dumps(m_new))
+    with pytest.raises(ValueError, match="NEWER build"):
+        SnapshotCatalog(root).committed_generation()

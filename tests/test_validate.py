@@ -35,7 +35,7 @@ def test_workdir_not_creatable(tmp_path):
     blocker.write_text("i am a file")
     r = health_check(SynthConfig(), CrawlParams(), str(blocker))
     assert not r.ok
-    assert any("cannot create workdir" in m for m in _msgs(r, "error"))
+    assert any("not creatable/writable" in m for m in _msgs(r, "error"))
 
 
 def test_gen_cap_vs_seeds_and_budget():
