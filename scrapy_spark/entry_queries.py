@@ -2002,6 +2002,150 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+def _pq_l2(a: str, b: str) -> str:
+    """Exact squared-L2 between two BIGINT lists (twin of ann._l2)."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_parts(
+    n_sub: int = 8, sub_dim: int = 8, n_codes: int = 16, iters: int = 2,
+    shortlist: int = 30,
+) -> list[str]:
+    """Shared PQ CTE chain (DuckDB twin of operators/ann.pq_*): sv (subspace
+    slices), pc0..pc{iters} (integer-Lloyd codebooks per subspace — means
+    are truncating `//`, matching Spark `div`), codes (nearest code per
+    (vec_id, m)), lut (query-side (m, cid) -> partial L2), ad (ADC sums),
+    short (approximate shortlist), p (exact-cosine re-rank pairs)."""
+    l2 = _pq_l2
+    parts = [
+        f"qv AS MATERIALIZED ({_QUANT_SQL})",
+        f"sv AS MATERIALIZED (SELECT vec_id, m,"
+        f" list_slice(q, m * {sub_dim} + 1, (m + 1) * {sub_dim}) AS sq"
+        f" FROM qv, range({n_sub}) t(m))",
+        f"pc0 AS MATERIALIZED (SELECT m, CAST(vec_id AS INT) AS cid, sq AS c"
+        f" FROM sv WHERE vec_id < {n_codes})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pa{i} AS MATERIALIZED (SELECT vec_id, m, sq, cid FROM ("
+            f"SELECT s.vec_id, s.m, s.sq, c.cid,"
+            f" row_number() OVER (PARTITION BY s.vec_id, s.m"
+            f" ORDER BY {l2('s.sq', 'c.c')} ASC, c.cid ASC) AS rk"
+            f" FROM sv s JOIN pc{i - 1} c ON s.m = c.m) WHERE rk = 1)"
+        )
+        parts.append(
+            f"pc{i} AS MATERIALIZED (SELECT m, cid, list(mv ORDER BY dim) AS c"
+            f" FROM (SELECT m, cid, dim,"
+            f" CAST(sum(val) AS BIGINT) // count(*) AS mv FROM ("
+            f"SELECT m, cid, unnest(sq) AS val,"
+            f" unnest(range(1, len(sq) + 1)) AS dim"
+            f" FROM pa{i}) GROUP BY m, cid, dim) GROUP BY m, cid)"
+        )
+    parts.append(
+        f"codes AS MATERIALIZED (SELECT vec_id AS neighbor_id, m, cid FROM ("
+        f"SELECT s.vec_id, s.m, c.cid,"
+        f" row_number() OVER (PARTITION BY s.vec_id, s.m"
+        f" ORDER BY {l2('s.sq', 'c.c')} ASC, c.cid ASC) AS rk"
+        f" FROM sv s JOIN pc{iters} c ON s.m = c.m) WHERE rk = 1)"
+    )
+    parts.append(
+        f"lut AS MATERIALIZED (SELECT s.vec_id AS query_id, s.m, c.cid,"
+        f" {l2('s.sq', 'c.c')} AS d2"
+        f" FROM sv s JOIN pc{iters} c ON s.m = c.m WHERE s.vec_id < 20)"
+    )
+    parts.append(
+        "ad AS MATERIALIZED (SELECT l.query_id, n.neighbor_id,"
+        " CAST(sum(l.d2) AS BIGINT) AS ad2"
+        " FROM codes n JOIN lut l ON n.m = l.m AND n.cid = l.cid"
+        " WHERE n.neighbor_id <> l.query_id GROUP BY l.query_id, n.neighbor_id)"
+    )
+    parts.append(
+        f"short AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY ad2 ASC, neighbor_id ASC) AS rk FROM ad)"
+        f" WHERE rk <= {shortlist})"
+    )
+    parts.append(
+        "p AS (SELECT s.query_id, s.neighbor_id,"
+        " list_dot_product(a.q, b.q) AS dot,"
+        " list_dot_product(a.q, a.q) AS na, list_dot_product(b.q, b.q) AS nb"
+        " FROM short s JOIN qv a ON a.vec_id = s.query_id"
+        " JOIN qv b ON b.vec_id = s.neighbor_id)"
+    )
+    return parts
+
+
+def _pq_sql(k: int = 3) -> str:
+    parts = _pq_parts()
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+      FROM p) WHERE rk <= {k}"""
+    )
+
+
+def _pq_recall_sql(k: int = 3) -> str:
+    parts = _pq_parts()
+    parts.append(
+        "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        " list_dot_product(a.q, c.q) AS dot,"
+        " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
+        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
+    )
+    parts.append(
+        f"exact AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
+        f" WHERE rk <= {k})"
+    )
+    parts.append(
+        f"approx AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
+        f" WHERE rk <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT round((SELECT count(*) FROM exact e
+                  JOIN approx x USING (query_id, neighbor_id))
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
+    )
+
+
+@_q("ann_pq_topk", _pq_sql())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (the memory-compressed third scale path next to
+    sign-LSH and IVF): 8 subspaces x 8 dims, 16-code integer-Lloyd codebooks
+    (2 iterations), ADC candidate generation over the codes table only
+    (n_sub bytes/vector instead of D longs — at 10^9 vectors the corpus
+    fits in cluster RAM), shortlist of 30 re-ranked with exact cosine
+    (recall 0.73 vs brute force at sf0.01 — above IVF nprobe=2's 0.68 —
+    while re-ranking 6% of the corpus).
+    Everything integer-exact, hash-identical to the unrolled DuckDB twin."""
+    from scrapy_spark.operators.ann import pq_topk
+
+    return pq_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+
+
+@_q("ann_pq_recall", _pq_recall_sql())
+def ann_pq_recall(spark, sf_dir):
+    """Recall of PQ/ADC + exact re-rank vs the brute-force baseline (one
+    row) — the shortlist-size knob's quality side; monotonicity asserted in
+    tests/test_ann.py."""
+    from scrapy_spark.operators.ann import pq_recall
+
+    return pq_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+
+
 def _mining_sql() -> str:
     """heuristic_url_mining oracle: construct the same deterministic
     snippets from `part` in SQL and mine them with the SAME regexes the
@@ -3169,18 +3313,23 @@ def _combo_ann_topk_sql() -> str:
     UNION ALL
     SELECT 'ivf' AS method, query_id, neighbor_id, cosine
     FROM {_sub("ann_ivf_topk")}
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, cosine
+    FROM {_sub("ann_pq_topk")}
     """
 
 
 @_q("ann_topk_methods", None)
 def ann_topk_methods(spark, sf_dir):
-    """COMBO: cosine top-k by all three search strategies — brute-force
-    baseline, sign-LSH buckets, integer-Lloyd IVF — tagged in one result."""
+    """COMBO: cosine top-k by all four search strategies — brute-force
+    baseline, sign-LSH buckets, integer-Lloyd IVF, PQ/ADC with exact
+    re-rank — tagged in one result."""
     out = None
     for method, name in (
         ("brute", "ann_cosine_topk"),
         ("lsh", "ann_lsh_bucketed"),
         ("ivf", "ann_ivf_topk"),
+        ("pq", "ann_pq_topk"),
     ):
         df = QUERIES[name][0](spark, sf_dir).select(
             F.lit(method).alias("method"), "query_id", "neighbor_id", "cosine"
@@ -3197,18 +3346,26 @@ def _combo_ann_recall_sql() -> str:
     SELECT 'lsh' AS method, recall FROM {_sub("ann_lsh_recall")}
     UNION ALL
     SELECT 'ivf' AS method, recall FROM {_sub("ann_ivf_recall")}
+    UNION ALL
+    SELECT 'pq' AS method, recall FROM {_sub("ann_pq_recall")}
     """
 
 
 @_q("ann_recall_methods", None)
 def ann_recall_methods(spark, sf_dir):
-    """COMBO: recall-vs-brute-force evidence for both approximate searches
-    (the n_bits / n_probe knobs' quality side)."""
-    lsh = QUERIES["ann_lsh_recall"][0](spark, sf_dir)
-    ivf = QUERIES["ann_ivf_recall"][0](spark, sf_dir)
-    return lsh.select(F.lit("lsh").alias("method"), "recall").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "recall")
-    )
+    """COMBO: recall-vs-brute-force evidence for all three approximate
+    searches (the n_bits / n_probe / shortlist knobs' quality side)."""
+    out = None
+    for method, name in (
+        ("lsh", "ann_lsh_recall"),
+        ("ivf", "ann_ivf_recall"),
+        ("pq", "ann_pq_recall"),
+    ):
+        df = QUERIES[name][0](spark, sf_dir).select(
+            F.lit(method).alias("method"), "recall"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 QUERIES["ann_recall_methods"] = (ann_recall_methods, _combo_ann_recall_sql())

@@ -239,3 +239,70 @@ def test_embed_neardup_hot_label_sub_buckets(spark):
     p = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "bucket" in p
+
+
+def test_pq_div_semantics_pin(spark):
+    """The PQ codebook mean relies on Spark `div` == DuckDB `//` for
+    NEGATIVE sums (both truncate toward zero; a floor-division engine would
+    drift every codebook that averages negative embedding values)."""
+    import duckdb
+
+    got = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b, -7 div -2 AS c").collect()[0]
+    want = duckdb.connect().execute("SELECT (-7) // 2, 7 // 2, (-7) // (-2)").fetchone()
+    assert (got.a, got.b, got.c) == want == (-3, 3, 3)
+
+
+def test_pq_recall_monotone_in_shortlist(spark):
+    """A longer ADC shortlist can only add candidates to the exact re-rank,
+    so recall is monotonically non-decreasing in it — the PQ scan-cost
+    knob's quality side (same pattern as IVF n_probe)."""
+    from scrapy_spark.operators.ann import pq_recall
+
+    v = _vecs(spark).cache()
+    pred = F.col("vec_id") < 20
+    recalls = {
+        s: pq_recall(v, pred, 3, shortlist=s).collect()[0]["recall"]
+        for s in (5, 15, 30)
+    }
+    v.unpersist()
+    assert recalls[5] <= recalls[15] <= recalls[30], recalls
+    assert recalls[30] >= 0.5, recalls
+
+
+def test_pq_rerank_scores_are_exact(spark):
+    """PQ errs only by omission: every returned pair carries the SAME exact
+    cosine brute force computes for it (approximation selects candidates,
+    never scores them)."""
+    from scrapy_spark.operators.ann import pq_topk
+
+    v = _vecs(spark)
+    pred = F.col("vec_id") < 10
+    approx = pq_topk(v, pred, 3)
+    exact = brute_force_topk(v, pred, 3)
+    j = approx.alias("x").join(
+        exact.alias("e"),
+        (F.col("x.query_id") == F.col("e.query_id"))
+        & (F.col("x.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    rows = j.select("x.cosine", "e.cosine").collect()
+    assert rows, "pq and brute force share no pairs - fixture degenerate"
+    for r in rows:
+        assert r[0] == r[1]
+
+
+def test_pq_codes_are_compact(spark):
+    """The codes table is the PQ value proposition: exactly n_sub rows per
+    vector, code ids within [0, n_codes) — the 1-byte-per-subspace layout."""
+    from scrapy_spark.operators.ann import pq_assign, pq_codebooks, pq_subvectors
+
+    v = _vecs(spark)
+    n = v.count()
+    sv = pq_subvectors(v, 8, 8)
+    cb = pq_codebooks(sv, 16, 2)
+    codes = pq_assign(sv, cb)
+    assert codes.count() == n * 8
+    agg = codes.agg(
+        F.min("cid").alias("lo"), F.max("cid").alias("hi"),
+        F.countDistinct("vec_id").alias("nv"),
+    ).collect()[0]
+    assert 0 <= agg.lo and agg.hi < 16 and agg.nv == n

@@ -64,6 +64,7 @@ BNLJ_ALLOWLIST = {
     "ann_lsh_recall",
     "ann_ivf_recall",
     "ann_ivf_topk",
+    "ann_pq_recall",  # 1-row x 1-row recall-ratio cross (bounded build)
     "pagerank_copurchase",
     "hits_copurchase",
     "w7_top_by_rank",
