@@ -51,6 +51,7 @@ HEADLINE = [
     "hits_copurchase",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "w4_random_order",
     "freshness_staleness",
     "asof_join_last_order",
@@ -85,6 +86,7 @@ DATA_SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
+    "ann_pq_topk",
     "embed_neardup_clusters",
     "text_quality_score",
     "pagerank_copurchase",
