@@ -2146,6 +2146,106 @@ def ann_pq_recall(spark, sf_dir):
     return pq_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
 
 
+def _ivfpq_parts(n_probe: int = 2) -> list[str]:
+    """IVF-PQ CTE chain composed from the two existing chains: the coarse
+    quantizer's CTEs come verbatim from _ivf_parts (qv, c*, a*, af = home
+    lists, aq = probed lists) and the code side from _pq_parts (sv, pc*,
+    codes, lut, short, p) — only the ADC step is rewritten to rank JUST the
+    candidates inside probed posting lists (af ⋈ aq on the coarse cid),
+    mirroring operators/ann.ivfpq_topk. Name spaces are disjoint except qv
+    (identical definition, deduplicated) and the pair CTEs (ivf's `p` and
+    pq's `ad` are dropped and replaced)."""
+    iv = [x for x in _ivf_parts(8, 2, n_probe) if not x.startswith("p AS")]
+    pq = _pq_parts()
+    sql_ad = (
+        "ad AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,"
+        " CAST(sum(l.d2) AS BIGINT) AS ad2 FROM"
+        " (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id"
+        " FROM aq a JOIN af b ON a.cid = b.cid AND b.vec_id <> a.vec_id) c"
+        " JOIN codes n ON n.neighbor_id = c.neighbor_id"
+        " JOIN lut l ON l.query_id = c.query_id AND l.m = n.m"
+        " AND l.cid = n.cid"
+        " GROUP BY c.query_id, c.neighbor_id)"
+    )
+    out = list(iv)
+    for part in pq:
+        if part.startswith("qv AS"):
+            continue  # shared with the ivf chain
+        if part.startswith("ad AS"):
+            out.append(sql_ad)  # coarse-restricted ADC replaces the full scan
+            continue
+        out.append(part)
+    return out
+
+
+def _ivfpq_sql(k: int = 3) -> str:
+    parts = _ivfpq_parts()
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
+      FROM p) WHERE rk <= {k}"""
+    )
+
+
+def _ivfpq_recall_sql(k: int = 3) -> str:
+    parts = _ivfpq_parts()
+    parts.append(
+        "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        " list_dot_product(a.q, c.q) AS dot,"
+        " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
+        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
+    )
+    parts.append(
+        f"exact AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
+        f" WHERE rk <= {k})"
+    )
+    parts.append(
+        f"approx AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
+        f" WHERE rk <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT round((SELECT count(*) FROM exact e
+                  JOIN approx x USING (query_id, neighbor_id))
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
+    )
+
+
+@_q("ann_ivfpq_topk", _ivfpq_sql())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the sublinear + memory-compressed composition of the two
+    scale paths: candidates pruned to the query's 2 probed posting lists
+    (of 8), ranked by ADC over the 8-codes-per-vector table, shortlist of
+    30 re-ranked with exact cosine. At 10^9 vectors: probed fraction
+    ~n_probe/n_clusters of the corpus, scanned at n_sub bytes/vector, full
+    vectors touched only for the shortlist — each knob bounds its stage
+    independently. Raw-vector codes (no residual refinement — documented
+    trade for oracle exactness); hash-identical to the composed DuckDB
+    twin."""
+    from scrapy_spark.operators.ann import ivfpq_topk
+
+    return ivfpq_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+
+
+@_q("ann_ivfpq_recall", _ivfpq_recall_sql())
+def ann_ivfpq_recall(spark, sf_dir):
+    """Recall of IVF-PQ vs brute force (one row) — bounded above by plain
+    IVF at the same n_probe (coarse pruning errs identically; ADC only
+    reorders within probed lists), asserted in tests/test_ann.py."""
+    from scrapy_spark.operators.ann import ivfpq_recall
+
+    return ivfpq_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+
+
 def _mining_sql() -> str:
     """heuristic_url_mining oracle: construct the same deterministic
     snippets from `part` in SQL and mine them with the SAME regexes the
@@ -3316,6 +3416,9 @@ def _combo_ann_topk_sql() -> str:
     UNION ALL
     SELECT 'pq' AS method, query_id, neighbor_id, cosine
     FROM {_sub("ann_pq_topk")}
+    UNION ALL
+    SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine
+    FROM {_sub("ann_ivfpq_topk")}
     """
 
 
@@ -3330,6 +3433,7 @@ def ann_topk_methods(spark, sf_dir):
         ("lsh", "ann_lsh_bucketed"),
         ("ivf", "ann_ivf_topk"),
         ("pq", "ann_pq_topk"),
+        ("ivfpq", "ann_ivfpq_topk"),
     ):
         df = QUERIES[name][0](spark, sf_dir).select(
             F.lit(method).alias("method"), "query_id", "neighbor_id", "cosine"
@@ -3348,6 +3452,8 @@ def _combo_ann_recall_sql() -> str:
     SELECT 'ivf' AS method, recall FROM {_sub("ann_ivf_recall")}
     UNION ALL
     SELECT 'pq' AS method, recall FROM {_sub("ann_pq_recall")}
+    UNION ALL
+    SELECT 'ivfpq' AS method, recall FROM {_sub("ann_ivfpq_recall")}
     """
 
 
@@ -3360,6 +3466,7 @@ def ann_recall_methods(spark, sf_dir):
         ("lsh", "ann_lsh_recall"),
         ("ivf", "ann_ivf_recall"),
         ("pq", "ann_pq_recall"),
+        ("ivfpq", "ann_ivfpq_recall"),
     ):
         df = QUERIES[name][0](spark, sf_dir).select(
             F.lit(method).alias("method"), "recall"

@@ -306,3 +306,44 @@ def test_pq_codes_are_compact(spark):
         F.countDistinct("vec_id").alias("nv"),
     ).collect()[0]
     assert 0 <= agg.lo and agg.hi < 16 and agg.nv == n
+
+
+def test_ivfpq_recall_bounded_by_plain_ivf(spark):
+    """IVF-PQ's coarse pruning errs exactly like plain IVF at the same
+    n_probe; ADC only reorders candidates WITHIN the probed lists. So its
+    recall can never exceed plain IVF's (equality iff the shortlist +
+    re-rank recovers every brute-force pair the lists contain)."""
+    from scrapy_spark.operators.ann import ivf_recall, ivfpq_recall
+
+    v = _vecs(spark).cache()
+    pred = F.col("vec_id") < 20
+    ivf = ivf_recall(v, pred, 3, n_clusters=8, iters=2, n_probe=2).collect()[0][0]
+    ivfpq = ivfpq_recall(v, pred, 3).collect()[0][0]
+    v.unpersist()
+    assert 0.0 < ivfpq <= ivf, (ivfpq, ivf)
+
+
+def test_ivfpq_candidates_within_probed_lists(spark):
+    """Every IVF-PQ neighbor must live in one of its query's probed posting
+    lists — the sublinear claim is real pruning, not a re-sorted full scan."""
+    from scrapy_spark.operators.ann import (
+        ivf_assign, ivf_centroids, ivfpq_topk,
+    )
+
+    v = _vecs(spark).cache()
+    pred = F.col("vec_id") < 10
+    out = ivfpq_topk(v, pred, 3, n_probe=2)
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
+    )
+    for _ in range(2):
+        cent = ivf_centroids(ivf_assign(v, cent))
+    home = {r["vec_id"]: r["cid"] for r in ivf_assign(v, cent).collect()}
+    probes: dict[int, set] = {}
+    for r in ivf_assign(v.filter(pred), cent, n_probe=2).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["cid"])
+    rows = out.collect()
+    v.unpersist()
+    assert rows
+    for r in rows:
+        assert home[r["neighbor_id"]] in probes[r["query_id"]], r
