@@ -1269,6 +1269,136 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
 
 
+@_q(
+    "text_repetition",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             length(replace(text, ' ', '')) AS nc
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(w) + 1),
+                                   i -> w[i - 1] || ' ' || w[i])) AS g
+      FROM base WHERE len(w) >= 2
+    ),
+    g5 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(5, len(w) + 1),
+                    i -> w[i - 4] || ' ' || w[i - 3] || ' ' || w[i - 2]
+                         || ' ' || w[i - 1] || ' ' || w[i])) AS g
+      FROM base WHERE len(w) >= 5
+    ),
+    top2 AS (
+      SELECT doc_id, g AS top_bigram, cnt FROM (
+        SELECT doc_id, g, count(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g ASC) AS rk
+        FROM g2 GROUP BY doc_id, g
+      ) WHERE rk = 1
+    ),
+    d5 AS (
+      SELECT doc_id,
+             CAST(sum(cnt * length(replace(g, ' ', ''))) AS BIGINT) AS dchars
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM g5
+            GROUP BY doc_id, g HAVING count(*) >= 2)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(b.w)) AS BIGINT) AS n_distinct_words,
+           round(1 - len(list_distinct(b.w)) / CAST(len(b.w) AS DOUBLE), 6)
+             AS word_rep_ratio,
+           t.top_bigram,
+           round(t.cnt * length(replace(t.top_bigram, ' ', ''))
+                 / CAST(b.nc AS DOUBLE), 6) AS top_bigram_char_frac,
+           round(coalesce(d.dchars, 0) / CAST(b.nc AS DOUBLE), 6)
+             AS dup_5gram_char_frac
+    FROM base b JOIN top2 t USING (doc_id) LEFT JOIN d5 d USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    MassiveText filters, public): word repetition ratio (1 - types/tokens),
+    fraction of non-space characters covered by the most frequent word
+    2-gram (tie: count desc, gram asc), and the fraction covered by all
+    duplicated word 5-grams (each occurrence counted — overlapping
+    occurrences may overcount; identical semantics in both engines). A
+    training-data pipeline drops documents above thresholds on these before
+    dedup ever runs. All counting is integer; the three ratios are the only
+    doubles (same operand order both engines, 6dp round)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+        F.expr("length(replace(text, ' ', ''))").alias("nc"),
+    )
+    g2 = base.filter(F.expr("size(w) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w)),"
+                " i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))"
+            )
+        ).alias("g"),
+    )
+    g5 = base.filter(F.expr("size(w) >= 5")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(5, size(w)),"
+                " i -> concat(element_at(w, i - 4), ' ', element_at(w, i - 3),"
+                " ' ', element_at(w, i - 2), ' ', element_at(w, i - 1),"
+                " ' ', element_at(w, i)))"
+            )
+        ).alias("g"),
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("g").asc()
+    )
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("g").alias("top_bigram"), "cnt")
+    )
+    d5 = (
+        g5.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(cnt * length(replace(g, ' ', ''))) AS BIGINT)")
+            .alias("dchars")
+        )
+    )
+    return (
+        base.join(top2, "doc_id")
+        .join(d5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+            F.expr("CAST(size(array_distinct(w)) AS BIGINT)").alias(
+                "n_distinct_words"
+            ),
+            F.expr(
+                "round(1 - size(array_distinct(w))"
+                " / CAST(size(w) AS DOUBLE), 6)"
+            ).alias("word_rep_ratio"),
+            "top_bigram",
+            F.expr(
+                "round(cnt * length(replace(top_bigram, ' ', ''))"
+                " / CAST(nc AS DOUBLE), 6)"
+            ).alias("top_bigram_char_frac"),
+            F.expr(
+                "round(coalesce(dchars, 0L) / CAST(nc AS DOUBLE), 6)"
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Second wave: remaining SURVEY §2 operator families
 # ---------------------------------------------------------------------------
@@ -3605,13 +3735,16 @@ def _combo_text_analysis_sql() -> str:
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
            t.n_ws_tokens, t.n_bpe_ish, l.lang, l.lang_guess, f.fingerprint,
            g.lang_ngram,
-           s.word_count, s.char_count, s.sentence_count, s.avg_word_len_milli
+           s.word_count, s.char_count, s.sentence_count, s.avg_word_len_milli,
+           r.word_rep_ratio, r.top_bigram, r.top_bigram_char_frac,
+           r.dup_5gram_char_frac
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
     JOIN {_sub("doc_fingerprint")} f USING (doc_id)
     JOIN {_sub("text_langid_ngram")} g USING (doc_id)
     JOIN {_sub("nlp_text_stats")} s USING (doc_id)
+    JOIN {_sub("text_repetition")} r USING (doc_id)
     """
 
 
@@ -3619,9 +3752,9 @@ def _combo_text_analysis_sql() -> str:
 def text_analysis(spark, sf_dir):
     """COMBO: the per-document text-analysis suite — quality scoring,
     token counting (whitespace + BPE-ish), language-ID (stopword AND
-    character-bigram n-gram variants), the rolling-hash fingerprint, and
-    (since r5) the reference's get_text_stats columns (nlpfn) — joined on
-    doc_id."""
+    character-bigram n-gram variants), the rolling-hash fingerprint,
+    (since r5) the reference's get_text_stats columns (nlpfn), and
+    (since r6) the Gopher-style repetition signals — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -3630,9 +3763,13 @@ def text_analysis(spark, sf_dir):
         "doc_id", "lang_ngram"
     )
     s = QUERIES["nlp_text_stats"][0](spark, sf_dir)
+    r = QUERIES["text_repetition"][0](spark, sf_dir).select(
+        "doc_id", "word_rep_ratio", "top_bigram", "top_bigram_char_frac",
+        "dup_5gram_char_frac",
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
-        .join(s, "doc_id")
+        .join(s, "doc_id").join(r, "doc_id")
     )
 
 

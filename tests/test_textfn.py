@@ -20,3 +20,46 @@ def test_udf_matches_python(spark):
     for i, t in enumerate(texts):
         assert got[i] == py_fingerprint(t)
     assert got[0] == got[3]
+
+
+def test_text_repetition_duplicated_5gram_path(spark):
+    """The natural corpus never duplicates a 5-gram (dup_5gram_char_frac
+    is 0.0 everywhere at every SF), so the nonzero branch is pinned here
+    against hand-computed values on constructed repetitive documents —
+    exactly what a Gopher-style filter exists to catch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.entry_queries import QUERIES
+
+    # doc 0: 'x y z w v' repeated 3x -> every 5-gram window that realigns
+    # duplicates; doc 1: no repetition at all
+    rep = " ".join(["x y z w v"] * 3)          # 15 words
+    clean = "a b c d e f g h i j"              # 10 distinct words
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [rep, clean]})
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("_rep_docs")
+
+    fn = QUERIES["text_repetition"][0]
+    import scrapy_spark.entry_queries as eq
+
+    orig_load = eq.load
+    try:
+        eq.load = lambda sp, sf, name: df if name == "documents" else orig_load(sp, sf, name)
+        out = {r["doc_id"]: r for r in fn(spark, "unused").collect()}
+    finally:
+        eq.load = orig_load
+
+    r0, r1 = out[0], out[1]
+    # doc 0: 15 words, 5 distinct; 11 5-gram windows, the 5 rotations of
+    # (x y z w v) each appear >= 2 times -> all 11 windows are duplicated
+    # occurrences of some repeated gram: dchars = 11 * 5 = 55; nc = 15
+    assert r0["n_words"] == 15 and r0["n_distinct_words"] == 5
+    assert r0["word_rep_ratio"] == round(1 - 5 / 15, 6)
+    assert r0["dup_5gram_char_frac"] == round(55 / 15, 6)  # overlap > 1 by design
+    # x y / y z / z w / w v all occur 3 times; tie broken by gram asc
+    assert r0["top_bigram"] == "w v"
+    assert r0["top_bigram_char_frac"] == round(3 * 2 / 15, 6)
+    # doc 1: zero repetition on every signal
+    assert r1["word_rep_ratio"] == 0.0
+    assert r1["dup_5gram_char_frac"] == 0.0
