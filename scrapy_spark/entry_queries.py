@@ -12,7 +12,11 @@ driver's order-insensitive value-hash comparison exact:
 - top-k always ranks with a total order (metric desc, key asc) — never a bare
   LIMIT that is ambiguous under ties;
 - timestamps are emitted as wall-clock strings (naive parquet timestamps
-  render identically in Spark UTC sessions and DuckDB).
+  render identically in Spark UTC sessions and DuckDB);
+- integer division: Spark ``div`` == DuckDB ``//`` (BOTH truncate toward
+  zero, verified on negatives — tests/test_ann.py pins it); DuckDB
+  ``CAST(x / y AS BIGINT)`` does NOT match (rounds half-even) — never mix
+  the two forms across twins.
 
 Registry: QUERIES[name] = (fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
 None oracle => non-SQL-expressible op; the driver records a rows-only check.
@@ -1396,6 +1400,72 @@ def text_repetition(spark, sf_dir):
                 "round(coalesce(dchars, 0L) / CAST(nc AS DOUBLE), 6)"
             ).alias("dup_5gram_char_frac"),
         )
+    )
+
+
+def _pii_sql() -> str:
+    from .functions.textfn import PII_PATTERNS as P
+
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{P["email"]}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{P["phone"]}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{P["ipv4"]}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{P["email"]}'))
+                + len(regexp_extract_all(text, '{P["phone"]}'))
+                + len(regexp_extract_all(text, '{P["ipv4"]}')) AS BIGINT)
+             AS n_pii,
+           CAST(length(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{P["email"]}', '<EMAIL>', 'g'),
+               '{P["phone"]}', '<PHONE>', 'g'),
+               '{P["ipv4"]}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    """
+
+
+@_q("text_pii", _pii_sql())
+def text_pii(spark, sf_dir):
+    """PII scrub pass (the compliance filter a training-data pipeline runs
+    before anything else): per-kind match counts on the ORIGINAL text
+    (independent per kind — an email's digits may also count phone-ish)
+    plus the length after sequential redaction (email -> phone -> IPv4;
+    placeholders contain no digits so later passes are unaffected).
+    Patterns live in functions/textfn.PII_PATTERNS under the mining.py
+    engine-portability discipline (Java/RE2/python common subset — the
+    oracle runs the SAME strings in DuckDB). The natural corpus contains
+    no PII (all counts 0, redacted_len == length) — the driver hash proves
+    engine agreement on that; the nonzero branches are pinned on
+    constructed docs in tests/test_textfn.py with a live DuckDB
+    cross-check. Pure column expressions; no UDF, no shuffle."""
+    from .functions.textfn import PII_PATTERNS as P
+
+    d = load(spark, sf_dir, "documents")
+
+    def n(kind):
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(P[kind]), F.lit(0))
+        ).cast("long")
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), P["email"], "<EMAIL>"),
+            P["phone"],
+            "<PHONE>",
+        ),
+        P["ipv4"],
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        n("email").alias("n_emails"),
+        n("phone").alias("n_phones"),
+        n("ipv4").alias("n_ipv4"),
+        (n("email") + n("phone") + n("ipv4")).cast("long").alias("n_pii"),
+        F.length(red).cast("long").alias("redacted_len"),
     )
 
 
@@ -3737,7 +3807,8 @@ def _combo_text_analysis_sql() -> str:
            g.lang_ngram,
            s.word_count, s.char_count, s.sentence_count, s.avg_word_len_milli,
            r.word_rep_ratio, r.top_bigram, r.top_bigram_char_frac,
-           r.dup_5gram_char_frac
+           r.dup_5gram_char_frac,
+           p.n_pii, p.redacted_len
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -3745,6 +3816,7 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("text_langid_ngram")} g USING (doc_id)
     JOIN {_sub("nlp_text_stats")} s USING (doc_id)
     JOIN {_sub("text_repetition")} r USING (doc_id)
+    JOIN {_sub("text_pii")} p USING (doc_id)
     """
 
 
@@ -3754,7 +3826,8 @@ def text_analysis(spark, sf_dir):
     token counting (whitespace + BPE-ish), language-ID (stopword AND
     character-bigram n-gram variants), the rolling-hash fingerprint,
     (since r5) the reference's get_text_stats columns (nlpfn), and
-    (since r6) the Gopher-style repetition signals — joined on doc_id."""
+    (since r6) the Gopher-style repetition signals and the PII scrub
+    counts — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -3767,9 +3840,12 @@ def text_analysis(spark, sf_dir):
         "doc_id", "word_rep_ratio", "top_bigram", "top_bigram_char_frac",
         "dup_5gram_char_frac",
     )
+    p = QUERIES["text_pii"][0](spark, sf_dir).select(
+        "doc_id", "n_pii", "redacted_len"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
-        .join(s, "doc_id").join(r, "doc_id")
+        .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
     )
 
 

@@ -38,3 +38,34 @@ def _fingerprint_series(s: pd.Series) -> pd.Series:
 
 
 fingerprint_udf = F.pandas_udf(_fingerprint_series, T.LongType())
+
+
+# ---------------------------------------------------------------------------
+# PII patterns — the pre-training scrub pass (emails / phone-ish runs /
+# IPv4). Same discipline as functions/mining.py: patterns stay in the
+# Java/Python/RE2 common subset (no backrefs, no lookaround) so the SAME
+# string runs in Spark's regexp_extract_all, DuckDB's RE2 twin, and
+# python's re — engine portability is part of what the oracle hash proves.
+# Deliberately simple, high-precision shapes: a production scrub would add
+# locale-specific phone grammars and checksum validation (e.g. Luhn) on
+# top; counting/redaction plumbing is identical.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — tld >= 2 alpha
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish digit run: optional +cc, separators, >= 9 digits
+    # total (bounded shape, not a grammar)
+    "phone": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    # dotted quad (word-bounded; no 0-255 range check — shape only)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def py_pii_counts(text: str | None) -> dict[str, int]:
+    """Python twin of the per-kind match counts (unit-test reference)."""
+    import re
+
+    if text is None:
+        return {k: 0 for k in PII_PATTERNS}
+    return {k: len(re.findall(p, text)) for k, p in PII_PATTERNS.items()}

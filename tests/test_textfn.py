@@ -63,3 +63,59 @@ def test_text_repetition_duplicated_5gram_path(spark):
     # doc 1: zero repetition on every signal
     assert r1["word_rep_ratio"] == 0.0
     assert r1["dup_5gram_char_frac"] == 0.0
+
+
+def test_text_pii_nonzero_branches_both_engines(spark):
+    """The natural corpus has no PII (counts all 0 at every SF — the driver
+    hash proves only vacuous agreement), so the match/redact branches are
+    pinned here on constructed docs: Spark vs the python twin vs a LIVE
+    DuckDB run of the registered oracle SQL on the same rows."""
+    import duckdb
+    import pandas as pd
+
+    from scrapy_spark.entry_queries import QUERIES
+    from scrapy_spark.functions.textfn import py_pii_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "contact bob.smith+x@dept.example.edu or root@a.io now",
+                "call +1 (860) 555-0199 from 192.168.0.1 said 10.0.0.255",
+                "no pii here just words and the number 42",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    import scrapy_spark.entry_queries as eq
+
+    fn, sql = QUERIES["text_pii"]
+    orig_load = eq.load
+    try:
+        eq.load = lambda sp, sf, name: df if name == "documents" else orig_load(sp, sf, name)
+        got = {r["doc_id"]: r for r in fn(spark, "unused").collect()}
+    finally:
+        eq.load = orig_load
+
+    # python-twin counts agree per kind
+    for i, text in zip(docs["doc_id"], docs["text"]):
+        want = py_pii_counts(text)
+        assert got[i]["n_emails"] == want["email"], (i, want)
+        assert got[i]["n_phones"] == want["phone"], (i, want)
+        assert got[i]["n_ipv4"] == want["ipv4"], (i, want)
+    assert got[0]["n_emails"] == 2 and got[0]["n_pii"] == 2
+    assert got[1]["n_phones"] == 1 and got[1]["n_ipv4"] == 2
+    assert got[2]["n_pii"] == 0
+    assert got[2]["redacted_len"] == len(docs["text"][2])  # untouched
+    assert got[0]["redacted_len"] < len(docs["text"][0])  # really redacted
+
+    # the SAME oracle SQL string, run live in DuckDB on the same rows
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want_rows = {r[0]: r for r in con.execute(sql).fetchall()}
+    for i in docs["doc_id"]:
+        g = got[i]
+        assert (
+            g["n_emails"], g["n_phones"], g["n_ipv4"], g["n_pii"],
+            g["redacted_len"],
+        ) == tuple(want_rows[i][1:]), (i, want_rows[i])
