@@ -1315,11 +1315,14 @@ def doc_fingerprint(spark, sf_dir):
            round(1 - len(list_distinct(b.w)) / CAST(len(b.w) AS DOUBLE), 6)
              AS word_rep_ratio,
            t.top_bigram,
-           round(t.cnt * length(replace(t.top_bigram, ' ', ''))
-                 / CAST(b.nc AS DOUBLE), 6) AS top_bigram_char_frac,
-           round(coalesce(d.dchars, 0) / CAST(b.nc AS DOUBLE), 6)
-             AS dup_5gram_char_frac
-    FROM base b JOIN top2 t USING (doc_id) LEFT JOIN d5 d USING (doc_id)
+           CASE WHEN t.cnt IS NOT NULL AND b.nc > 0
+                THEN round(t.cnt * length(replace(t.top_bigram, ' ', ''))
+                           / CAST(b.nc AS DOUBLE), 6)
+                ELSE 0.0 END AS top_bigram_char_frac,
+           CASE WHEN b.nc > 0
+                THEN round(coalesce(d.dchars, 0) / CAST(b.nc AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_5gram_char_frac
+    FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN d5 d USING (doc_id)
     """,
 )
 def text_repetition(spark, sf_dir):
@@ -1331,7 +1334,9 @@ def text_repetition(spark, sf_dir):
     occurrences may overcount; identical semantics in both engines). A
     training-data pipeline drops documents above thresholds on these before
     dedup ever runs. All counting is integer; the three ratios are the only
-    doubles (same operand order both engines, 6dp round)."""
+    doubles (same operand order both engines, 6dp round). Documents with
+    fewer than 2 words keep their row (NULL top_bigram, 0.0 fractions, and
+    a zero-char guard) so the per-doc combo grain never shrinks."""
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -1379,7 +1384,7 @@ def text_repetition(spark, sf_dir):
         )
     )
     return (
-        base.join(top2, "doc_id")
+        base.join(top2, "doc_id", "left")  # <2-word docs keep their row
         .join(d5, "doc_id", "left")
         .select(
             "doc_id",
@@ -1393,11 +1398,14 @@ def text_repetition(spark, sf_dir):
             ).alias("word_rep_ratio"),
             "top_bigram",
             F.expr(
-                "round(cnt * length(replace(top_bigram, ' ', ''))"
-                " / CAST(nc AS DOUBLE), 6)"
+                "CASE WHEN cnt IS NOT NULL AND nc > 0"
+                " THEN round(cnt * length(replace(top_bigram, ' ', ''))"
+                " / CAST(nc AS DOUBLE), 6) ELSE 0.0D END"
             ).alias("top_bigram_char_frac"),
             F.expr(
-                "round(coalesce(dchars, 0L) / CAST(nc AS DOUBLE), 6)"
+                "CASE WHEN nc > 0"
+                " THEN round(coalesce(dchars, 0L) / CAST(nc AS DOUBLE), 6)"
+                " ELSE 0.0D END"
             ).alias("dup_5gram_char_frac"),
         )
     )
@@ -1959,11 +1967,10 @@ def _ivf_parts(n_clusters: int, iters: int, n_probe: int = 1) -> list[str]:
     return parts
 
 
-def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
-    """Unrolled integer-Lloyd IVF as chained MATERIALIZED CTEs — the DuckDB
-    twin of operators/ann.ivf_topk (centroids are exact integer sum vectors;
-    assignment by 6dp cosine with centroid-id tie-break)."""
-    parts = _ivf_parts(n_clusters, iters, n_probe=1)
+
+def _ann_topk_tail_sql(parts: list[str], k: int) -> str:
+    """Final top-k SELECT shared by every ANN oracle: exact cosine over the
+    chain's `p` pair CTE, total-order (cosine desc, neighbor asc), rk<=k."""
     return (
         "WITH " + ",\n".join(parts) + f"""
     SELECT query_id, neighbor_id, cosine FROM (
@@ -1974,36 +1981,46 @@ def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
     )
 
 
-def _ivf_recall_sql(k: int = 3, n_clusters: int = 8, iters: int = 2, n_probe: int = 2) -> str:
-    """Recall of the n_probe-probing IVF vs the brute-force baseline —
-    DuckDB twin of operators/ann.ivf_recall."""
-    parts = _ivf_parts(n_clusters, iters, n_probe=n_probe)
-    parts.append(
+def _ann_recall_tail_sql(parts: list[str], k: int) -> str:
+    """Recall tail shared by every ANN oracle: brute-force exact top-k from
+    qv, approx top-k from the chain's `p`, one recall row. Kept in ONE place
+    so a tie-break or rounding tweak cannot desynchronize the method
+    oracles."""
+    parts = parts + [
         "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
         " list_dot_product(a.q, c.q) AS dot,"
         " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
-        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
-    )
-    parts.append(
+        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)",
         f"exact AS (SELECT query_id, neighbor_id FROM ("
         f"SELECT query_id, neighbor_id,"
         f" row_number() OVER (PARTITION BY query_id"
         f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
-        f" WHERE rk <= {k})"
-    )
-    parts.append(
+        f" WHERE rk <= {k})",
         f"approx AS (SELECT query_id, neighbor_id FROM ("
         f"SELECT query_id, neighbor_id,"
         f" row_number() OVER (PARTITION BY query_id"
         f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
-        f" WHERE rk <= {k})"
-    )
+        f" WHERE rk <= {k})",
+    ]
     return (
         "WITH " + ",\n".join(parts) + """
     SELECT round((SELECT count(*) FROM exact e
                   JOIN approx x USING (query_id, neighbor_id))
                  / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
     )
+
+
+def _ivf_sql(k: int = 3, n_clusters: int = 8, iters: int = 2) -> str:
+    """Unrolled integer-Lloyd IVF as chained MATERIALIZED CTEs — the DuckDB
+    twin of operators/ann.ivf_topk (centroids are exact integer sum vectors;
+    assignment by 6dp cosine with centroid-id tie-break)."""
+    return _ann_topk_tail_sql(_ivf_parts(n_clusters, iters, n_probe=1), k)
+
+
+def _ivf_recall_sql(k: int = 3, n_clusters: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+    """Recall of the n_probe-probing IVF vs the brute-force baseline —
+    DuckDB twin of operators/ann.ivf_recall."""
+    return _ann_recall_tail_sql(_ivf_parts(n_clusters, iters, n_probe=n_probe), k)
 
 
 @_q("ann_ivf_topk", _ivf_sql())
@@ -2280,45 +2297,11 @@ def _pq_parts(
 
 
 def _pq_sql(k: int = 3) -> str:
-    parts = _pq_parts()
-    return (
-        "WITH " + ",\n".join(parts) + f"""
-    SELECT query_id, neighbor_id, cosine FROM (
-      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
-      FROM p) WHERE rk <= {k}"""
-    )
+    return _ann_topk_tail_sql(_pq_parts(), k)
 
 
 def _pq_recall_sql(k: int = 3) -> str:
-    parts = _pq_parts()
-    parts.append(
-        "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
-        " list_dot_product(a.q, c.q) AS dot,"
-        " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
-        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
-    )
-    parts.append(
-        f"exact AS (SELECT query_id, neighbor_id FROM ("
-        f"SELECT query_id, neighbor_id,"
-        f" row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
-        f" WHERE rk <= {k})"
-    )
-    parts.append(
-        f"approx AS (SELECT query_id, neighbor_id FROM ("
-        f"SELECT query_id, neighbor_id,"
-        f" row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
-        f" WHERE rk <= {k})"
-    )
-    return (
-        "WITH " + ",\n".join(parts) + """
-    SELECT round((SELECT count(*) FROM exact e
-                  JOIN approx x USING (query_id, neighbor_id))
-                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
-    )
+    return _ann_recall_tail_sql(_pq_parts(), k)
 
 
 @_q("ann_pq_topk", _pq_sql())
@@ -2379,45 +2362,11 @@ def _ivfpq_parts(n_probe: int = 2) -> list[str]:
 
 
 def _ivfpq_sql(k: int = 3) -> str:
-    parts = _ivfpq_parts()
-    return (
-        "WITH " + ",\n".join(parts) + f"""
-    SELECT query_id, neighbor_id, cosine FROM (
-      SELECT query_id, neighbor_id, {_COS_EXPR} AS cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk
-      FROM p) WHERE rk <= {k}"""
-    )
+    return _ann_topk_tail_sql(_ivfpq_parts(), k)
 
 
 def _ivfpq_recall_sql(k: int = 3) -> str:
-    parts = _ivfpq_parts()
-    parts.append(
-        "ep AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,"
-        " list_dot_product(a.q, c.q) AS dot,"
-        " list_dot_product(a.q, a.q) AS na, list_dot_product(c.q, c.q) AS nb"
-        " FROM qv a JOIN qv c ON a.vec_id < 20 AND c.vec_id <> a.vec_id)"
-    )
-    parts.append(
-        f"exact AS (SELECT query_id, neighbor_id FROM ("
-        f"SELECT query_id, neighbor_id,"
-        f" row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM ep)"
-        f" WHERE rk <= {k})"
-    )
-    parts.append(
-        f"approx AS (SELECT query_id, neighbor_id FROM ("
-        f"SELECT query_id, neighbor_id,"
-        f" row_number() OVER (PARTITION BY query_id"
-        f" ORDER BY {_COS_EXPR} DESC, neighbor_id ASC) AS rk FROM p)"
-        f" WHERE rk <= {k})"
-    )
-    return (
-        "WITH " + ",\n".join(parts) + """
-    SELECT round((SELECT count(*) FROM exact e
-                  JOIN approx x USING (query_id, neighbor_id))
-                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"""
-    )
+    return _ann_recall_tail_sql(_ivfpq_parts(), k)
 
 
 @_q("ann_ivfpq_topk", _ivfpq_sql())

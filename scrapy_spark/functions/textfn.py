@@ -54,9 +54,11 @@ fingerprint_udf = F.pandas_udf(_fingerprint_series, T.LongType())
 PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — tld >= 2 alpha
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # international-ish digit run: optional +cc, separators, >= 9 digits
-    # total (bounded shape, not a grammar)
-    "phone": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    # international-ish digit run: optional +cc, separators allowed between
+    # digits, >= 9 digits REQUIRED (so year ranges like "2020 - 2021",
+    # 8 digits, do not match; a bare 7-digit local number doesn't either —
+    # shape targets numbers written with a country/area code)
+    "phone": r"\+?[0-9](?:[() -]*[0-9]){8,}",
     # dotted quad (word-bounded; no 0-255 range check — shape only)
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }

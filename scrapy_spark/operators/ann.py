@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize as _cut
+
 
 def _dot(left: str, right: str) -> Column:
     """Exact integer dot product of two array<long> columns (JVM-side)."""
@@ -172,6 +174,10 @@ def ivf_topk(
     )
     for _ in range(iters):
         cent = ivf_centroids(ivf_assign(vecs, cent))
+    # trained centroids feed TWO consumers (home assignment + query probes):
+    # cut the Lloyd lineage so it is not recomputed per consumer
+    # (plans/materialize — the CLAUDE.md multiply-consumed-mid-plan rule)
+    cent = _cut(cent, name="ivf-centroids")
     assigned = ivf_assign(vecs, cent)
     # queries probe their n_probe nearest lists; candidates stay in their
     # single home list, so each (query, neighbor) pair matches at most once
@@ -305,7 +311,10 @@ def pq_topk(
     tiny code key, never all-pairs on vectors), best ``shortlist`` per query
     re-scored with exact cosine, top ``k`` returned."""
     sv = pq_subvectors(vecs, n_sub, sub_dim)
-    cb = pq_codebooks(sv, n_codes, iters)
+    # trained codebooks feed TWO consumers (corpus encoding + query LUT):
+    # cut the Lloyd lineage once (plans/materialize) instead of recomputing
+    # the full 2-iteration training per consumer
+    cb = _cut(pq_codebooks(sv, n_codes, iters), name="pq-codebooks")
     codes = pq_assign(sv, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "cid"
     )
@@ -396,6 +405,7 @@ def ivfpq_topk(
     )
     for _ in range(coarse_iters):
         cent = ivf_centroids(ivf_assign(vecs, cent))
+    cent = _cut(cent, name="ivfpq-centroids")  # 2 consumers: home + probes
     home = ivf_assign(vecs, cent).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("lid")
     )
@@ -403,7 +413,8 @@ def ivfpq_topk(
         F.col("vec_id").alias("query_id"), F.col("cid").alias("lid")
     )
     sv = pq_subvectors(vecs, n_sub, sub_dim)
-    cb = pq_codebooks(sv, n_codes, pq_iters)
+    # 2 consumers (encoding + LUT) — same cut as pq_topk
+    cb = _cut(pq_codebooks(sv, n_codes, pq_iters), name="ivfpq-codebooks")
     codes = pq_assign(sv, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "cid"
     )

@@ -36,9 +36,10 @@ def test_text_repetition_duplicated_5gram_path(spark):
     # duplicates; doc 1: no repetition at all
     rep = " ".join(["x y z w v"] * 3)          # 15 words
     clean = "a b c d e f g h i j"              # 10 distinct words
-    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [rep, clean]})
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [rep, clean, "lonely"]}
+    )
     df = spark.createDataFrame(pdf)
-    df.createOrReplaceTempView("_rep_docs")
 
     fn = QUERIES["text_repetition"][0]
     import scrapy_spark.entry_queries as eq
@@ -63,6 +64,12 @@ def test_text_repetition_duplicated_5gram_path(spark):
     # doc 1: zero repetition on every signal
     assert r1["word_rep_ratio"] == 0.0
     assert r1["dup_5gram_char_frac"] == 0.0
+    # doc 2 (single word): the row SURVIVES (left join) with null bigram
+    # and 0.0 fractions — the per-doc combo grain never shrinks
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["top_bigram"] is None
+    assert r2["top_bigram_char_frac"] == 0.0
+    assert r2["dup_5gram_char_frac"] == 0.0
 
 
 def test_text_pii_nonzero_branches_both_engines(spark):
@@ -78,11 +85,12 @@ def test_text_pii_nonzero_branches_both_engines(spark):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [0, 1, 2],
+            "doc_id": [0, 1, 2, 3],
             "text": [
                 "contact bob.smith+x@dept.example.edu or root@a.io now",
                 "call +1 (860) 555-0199 from 192.168.0.1 said 10.0.0.255",
                 "no pii here just words and the number 42",
+                "revenue grew in 2020 - 2021 (see table 7)",
             ],
         }
     )
@@ -108,6 +116,9 @@ def test_text_pii_nonzero_branches_both_engines(spark):
     assert got[2]["n_pii"] == 0
     assert got[2]["redacted_len"] == len(docs["text"][2])  # untouched
     assert got[0]["redacted_len"] < len(docs["text"][0])  # really redacted
+    # year ranges are NOT phones (8 digits < the 9-digit shape minimum)
+    assert got[3]["n_pii"] == 0
+    assert got[3]["redacted_len"] == len(docs["text"][3])
 
     # the SAME oracle SQL string, run live in DuckDB on the same rows
     con = duckdb.connect()
