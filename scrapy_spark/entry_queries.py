@@ -1477,6 +1477,250 @@ def text_pii(spark, sf_dir):
     )
 
 
+@_q(
+    "text_decontaminate",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM shingles s LEFT JOIN bench b USING (shingle)
+      WHERE s.doc_id % 20 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_eval,
+           coalesce(h.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN coalesce(h.n_shingles, 0) > 0
+                THEN round(h.n_contaminated / CAST(h.n_shingles AS DOUBLE), 6)
+                ELSE 0.0 END AS contamination_frac,
+           CAST(CASE WHEN coalesce(h.n_shingles, 0) > 0
+                      AND 5 * h.n_contaminated >= 4 * h.n_shingles
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Llama pre-training hygiene pass:
+    drop training documents that overlap the evaluation set's n-grams). The
+    eval split is deterministic (doc_id % 20 == 0 — 5% held out); a training
+    doc is contaminated when >= 80% of its word-3-gram shingles appear in any
+    eval doc (integer compare 5*hits >= 4*total — no float threshold).
+
+    Scale shape: eval suites are small by construction (MBs of benchmark
+    text against 100 TB of training data), so the distinct eval-shingle set
+    is BROADCAST and the training side never shuffles — one linear pass over
+    the dominant table plus a per-doc partial agg. The shingle table is
+    consumed twice (eval + train sides), so it takes a lineage cut. All-docs
+    grain (eval rows carry zero stats) so the text combo never shrinks."""
+    sh = _cut(_spark_shingles(spark, sf_dir), name="q-decon-shingles")
+    bench = (
+        sh.filter(F.col("doc_id") % 20 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).cast("long").alias("is_eval"),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
+        F.when(
+            (F.coalesce(F.col("n_shingles"), F.lit(0)) > 0)
+            & (5 * F.col("n_contaminated") >= 4 * F.col("n_shingles")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_contaminated"),
+    )
+
+
+_G5_SQL = """
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+               AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
+      WHERE len(toks) >= 5
+"""
+
+
+@_q(
+    "text_boilerplate",
+    f"""
+    WITH g5 AS ({_G5_SQL}),
+    freq AS (SELECT g FROM g5 GROUP BY g HAVING count(*) >= 3),
+    stats AS (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+             CAST(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM g5 a LEFT JOIN freq f USING (g)
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_5grams, 0) AS n_5grams,
+           coalesce(s.n_boiler, 0) AS n_boiler,
+           CASE WHEN coalesce(s.n_5grams, 0) > 0
+                THEN round(s.n_boiler / CAST(s.n_5grams AS DOUBLE), 6)
+                ELSE 0.0 END AS boiler_frac
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate detection (the C4 "line appears in >= 3
+    documents" filter recast over word-5-grams, since the corpus has no line
+    structure): a doc's DISTINCT 5-grams are scored against the global
+    document frequency; grams in >= 3 docs are boilerplate (nav bars, footers,
+    license headers at web scale). Per-doc output: distinct-5-gram count,
+    boilerplate count, fraction.
+
+    Scale shape: explode -> hash groupBy (linear, the exact-dedup kernel) for
+    the frequency table, then one equi-join back keyed on the gram — AQE
+    picks build side; the boilerplate table holds only grams past the
+    threshold (a tiny fraction of the universe). The distinct-gram table is
+    consumed twice (frequency + join back), so it takes a lineage cut.
+    All-docs grain (short docs carry zero stats)."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    g5 = (
+        base.filter(F.expr("size(w) >= 5"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(5, size(w)),"
+                    " i -> concat(element_at(w, i - 4), ' ', element_at(w, i - 3),"
+                    " ' ', element_at(w, i - 2), ' ', element_at(w, i - 1),"
+                    " ' ', element_at(w, i)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    g5 = _cut(g5, name="q-boiler-5grams")
+    freq = (
+        g5.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("g")
+        .withColumn("boiler", F.lit(1))
+    )
+    stats = (
+        g5.join(freq, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_5grams"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(0))).cast("long").alias(
+                "n_boiler"
+            ),
+        )
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_5grams"), F.lit(0)).cast("long").alias("n_5grams"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.when(
+            F.coalesce(F.col("n_5grams"), F.lit(0)) > 0,
+            F.round(F.col("n_boiler") / F.col("n_5grams").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+    )
+
+
+@_q(
+    "sample_mixture",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+               AS n_source_docs
+      FROM documents
+    )
+    SELECT doc_id, source, n_source_docs,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(floor(sqrt(CAST(n_source_docs AS DOUBLE))) AS BIGINT))
+             AS sample_target,
+           sample_rank,
+           CAST(CASE WHEN sample_rank <= greatest(CAST(1 AS BIGINT),
+                       CAST(floor(sqrt(CAST(n_source_docs AS DOUBLE)))
+                            AS BIGINT))
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_selected
+    FROM ranked
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Domain-mixture sampling (the Gopher/Llama data-mixing step:
+    down-weight over-represented sources): sqrt-temperature stratified
+    sampling — each source contributes floor(sqrt(n)) docs (alpha = 0.5;
+    sqrt is IEEE-correctly-rounded, so floor(sqrt) is engine-exact, unlike
+    pow). Selection is deterministic pseudo-random: rank within source by
+    (md5(doc_id), doc_id) — a total order, no RNG state — and keep the
+    first sample_target. All-docs grain with an is_selected flag so the
+    choice is auditable (and joinable at doc grain).
+
+    Scale shape: one hash shuffle keyed by source + per-partition sort (the
+    window). A single hot source serializes into one task at 100 TB — for
+    that regime, per-source two-phase top-k (operators/topk.py) with
+    k = sample_target is the swap-in; at catalog source cardinalities the
+    window is the cheaper single-shuffle form."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.sqrt(F.col("n_source_docs").cast("double"))).cast("long"),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_source_docs", F.count("*").over(wc).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "n_source_docs",
+            target.alias("sample_target"),
+            "sample_rank",
+            (F.col("sample_rank") <= target).cast("long").alias("is_selected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Second wave: remaining SURVEY §2 operator families
 # ---------------------------------------------------------------------------
@@ -3757,7 +4001,10 @@ def _combo_text_analysis_sql() -> str:
            s.word_count, s.char_count, s.sentence_count, s.avg_word_len_milli,
            r.word_rep_ratio, r.top_bigram, r.top_bigram_char_frac,
            r.dup_5gram_char_frac,
-           p.n_pii, p.redacted_len
+           p.n_pii, p.redacted_len,
+           c.is_eval, c.contamination_frac, c.is_contaminated,
+           b.n_boiler, b.boiler_frac,
+           m.sample_rank, m.is_selected
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -3766,6 +4013,9 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("nlp_text_stats")} s USING (doc_id)
     JOIN {_sub("text_repetition")} r USING (doc_id)
     JOIN {_sub("text_pii")} p USING (doc_id)
+    JOIN {_sub("text_decontaminate")} c USING (doc_id)
+    JOIN {_sub("text_boilerplate")} b USING (doc_id)
+    JOIN {_sub("sample_mixture")} m USING (doc_id)
     """
 
 
@@ -3775,8 +4025,9 @@ def text_analysis(spark, sf_dir):
     token counting (whitespace + BPE-ish), language-ID (stopword AND
     character-bigram n-gram variants), the rolling-hash fingerprint,
     (since r5) the reference's get_text_stats columns (nlpfn), and
-    (since r6) the Gopher-style repetition signals and the PII scrub
-    counts — joined on doc_id."""
+    (since r6) the Gopher-style repetition signals, the PII scrub counts,
+    benchmark decontamination, cross-doc boilerplate and the
+    sqrt-temperature mixture-sampling decision — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -3792,9 +4043,19 @@ def text_analysis(spark, sf_dir):
     p = QUERIES["text_pii"][0](spark, sf_dir).select(
         "doc_id", "n_pii", "redacted_len"
     )
+    c = QUERIES["text_decontaminate"][0](spark, sf_dir).select(
+        "doc_id", "is_eval", "contamination_frac", "is_contaminated"
+    )
+    b = QUERIES["text_boilerplate"][0](spark, sf_dir).select(
+        "doc_id", "n_boiler", "boiler_frac"
+    )
+    m = QUERIES["sample_mixture"][0](spark, sf_dir).select(
+        "doc_id", "sample_rank", "is_selected"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
+        .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id")
     )
 
 
