@@ -69,6 +69,9 @@ HEADLINE = [
     "warehouse_scd_versions",
     "domain_latency_approx",
     "sessionize_events",
+    # round-6 training-data hygiene
+    "text_decontaminate",
+    "text_boilerplate",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
@@ -93,6 +96,8 @@ DATA_SCALE_QUERIES = [
     "domain_latency_approx",
     "warehouse_scd_versions",
     "sessionize_events",
+    "text_decontaminate",
+    "text_boilerplate",
 ]
 
 # a data-scale query without an sf0.1 HEADLINE timing has no denominator

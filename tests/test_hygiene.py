@@ -1,0 +1,133 @@
+"""Training-data hygiene trio pinned on constructed corpora.
+
+The natural synthetic corpus exercises the nonzero branches only thinly
+(2 contaminated docs, 3 boilerplate hits at sf0.01 — driver-hash-checked);
+these tests pin the exact semantics against hand-computed values, the
+test_textfn.py discipline for repetition/PII.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import scrapy_spark.entry_queries as eq
+from scrapy_spark.entry_queries import QUERIES
+
+
+def _with_docs(spark, pdf, name, sf="unused"):
+    """Run a registry query with the documents table replaced."""
+    df = spark.createDataFrame(pdf)
+    orig = eq.load
+    try:
+        eq.load = lambda sp, d, t: df if t == "documents" else orig(sp, d, t)
+        return QUERIES[name][0](spark, sf).collect()
+    finally:
+        eq.load = orig
+
+
+def test_decontaminate_constructed(spark):
+    # doc 0 and 40 are eval (doc_id % 20 == 0); doc 21 is an exact duplicate
+    # of eval doc 0 (frac 1.0 -> contaminated), doc 22 shares 1 of its 5
+    # shingles (0.2 < 0.8 -> clean), doc 23 is disjoint.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 40, 21, 22, 23],
+            "text": [
+                "a b c d e",
+                "m n o p q",
+                "a b c d e",
+                "a b c x y z w",
+                "p q r s",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in _with_docs(spark, pdf, "text_decontaminate")}
+    assert len(out) == 5
+    for eid in (0, 40):  # eval rows: flagged, zero train-side stats
+        assert out[eid]["is_eval"] == 1
+        assert out[eid]["n_shingles"] == 0
+        assert out[eid]["is_contaminated"] == 0
+    r21 = out[21]
+    assert (r21["n_shingles"], r21["n_contaminated"]) == (3, 3)
+    assert r21["contamination_frac"] == 1.0 and r21["is_contaminated"] == 1
+    r22 = out[22]
+    assert (r22["n_shingles"], r22["n_contaminated"]) == (5, 1)
+    assert r22["contamination_frac"] == 0.2 and r22["is_contaminated"] == 0
+    r23 = out[23]
+    assert (r23["n_shingles"], r23["n_contaminated"]) == (2, 0)
+    assert r23["is_contaminated"] == 0
+
+
+def test_decontaminate_exact_80pct_boundary(spark):
+    # 5 shingles, 4 contaminated: 5*4 >= 4*5 -> the >= threshold trips AT
+    # the boundary (integer compare, no float drift).
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 21],
+            "text": ["a b c d e f", "a b c d e f z"],
+        }
+    )
+    # eval doc 0 shingles: {a b c, b c d, c d e, d e f};
+    # train doc 21: those 4 plus 'e f z' -> 4/5 = exactly 0.8
+    out = {r["doc_id"]: r for r in _with_docs(spark, pdf, "text_decontaminate")}
+    r = out[21]
+    assert (r["n_shingles"], r["n_contaminated"]) == (5, 4)
+    assert r["contamination_frac"] == 0.8 and r["is_contaminated"] == 1
+
+
+def test_boilerplate_constructed(spark):
+    # 'k l m n o' appears in 3 docs -> boilerplate (df >= 3); every other
+    # gram is in <= 2 docs; doc 4 is too short for any 5-gram but keeps
+    # its zero row (all-docs grain).
+    t12 = "k l m n o r s t u v"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [t12, t12, "q w k l m n o e r", "short one"],
+        }
+    )
+    out = {r["doc_id"]: r for r in _with_docs(spark, pdf, "text_boilerplate")}
+    assert len(out) == 4
+    for did in (1, 2):
+        r = out[did]
+        assert (r["n_5grams"], r["n_boiler"]) == (6, 1)
+        assert r["boiler_frac"] == round(1 / 6, 6)
+    r3 = out[3]
+    assert (r3["n_5grams"], r3["n_boiler"]) == (5, 1)
+    assert r3["boiler_frac"] == 0.2
+    r4 = out[4]
+    assert (r4["n_5grams"], r4["n_boiler"], r4["boiler_frac"]) == (0, 0, 0.0)
+
+
+def test_sample_mixture_targets_and_determinism(spark):
+    # source 'a': 9 docs -> floor(sqrt(9)) = 3 kept; source 'b': 1 doc ->
+    # greatest(1, floor(sqrt(1))) = 1 kept. Ranks are a 1..n permutation
+    # per source and the whole decision is a pure function of doc_id.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 10)) + [100],
+            "source": ["a"] * 9 + ["b"],
+        }
+    )
+    rows = _with_docs(spark, pdf, "sample_mixture")
+    rows2 = _with_docs(spark, pdf, "sample_mixture")
+    key = lambda rs: sorted((r["doc_id"], r["sample_rank"], r["is_selected"]) for r in rs)
+    assert key(rows) == key(rows2)  # deterministic, no RNG state
+
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    a, b = by_src["a"], by_src["b"]
+    assert sorted(r["sample_rank"] for r in a) == list(range(1, 10))
+    assert all(r["n_source_docs"] == 9 and r["sample_target"] == 3 for r in a)
+    assert sum(r["is_selected"] for r in a) == 3
+    # selected docs are exactly the first 3 in (md5, doc_id) order
+    import hashlib
+
+    order = sorted(
+        (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+        for r in a
+    )
+    expect = {d for _, d in order[:3]}
+    assert {r["doc_id"] for r in a if r["is_selected"]} == expect
+    assert b[0]["sample_target"] == 1 and b[0]["is_selected"] == 1
