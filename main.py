@@ -166,6 +166,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ing.add_argument("--master", default=None)
 
+    imd = sub.add_parser(
+        "imagedup",
+        help="perceptual near-dup image pairs + clusters (banded phash64 "
+        "candidate join, exact bit_count hamming filter) over a crawl "
+        "workdir's fetched images (bytes decoded via Arrow mapInPandas) "
+        "or an images.parquet table with a precomputed phash column",
+    )
+    imd.add_argument("--workdir", default=None, help="crawl workdir (decode bytes)")
+    imd.add_argument("--images", default=None,
+                     help="images.parquet path with a phash column")
+    imd.add_argument("--max-hamming", type=int, default=3)
+    imd.add_argument("--show", type=int, default=20)
+    imd.add_argument("--master", default=None)
+
     w = sub.add_parser(
         "warehouse",
         help="dimensional (star-schema) export of fetch_results "
@@ -348,6 +362,56 @@ def main(argv: list[str] | None = None) -> int:
                 url_col=args.url_col,
             )
             print(json.dumps(res))
+        elif args.cmd == "imagedup":
+            from pyspark.sql import functions as F
+
+            from scrapy_spark.operators.imageops import (
+                extract_image_meta,
+                phash_components,
+                phash_neardup_pairs,
+            )
+
+            if (args.workdir is None) == (args.images is None):
+                print("pass exactly one of --workdir / --images", file=sys.stderr)
+                return 2
+            if args.images:
+                meta = spark.read.parquet(args.images).select("image_id", "phash")
+            else:
+                cat = SnapshotCatalog(args.workdir)
+                fr = cat.read(spark, "fetch_results")
+                if fr is None:
+                    print("no fetch_results in " + args.workdir, file=sys.stderr)
+                    return 2
+                imgs = fr.filter(
+                    F.col("bytes").isNotNull()
+                    & F.col("content_type").startswith("image/")
+                ).select(
+                    F.col("url").alias("image_id"),
+                    "bytes",
+                    F.regexp_replace("content_type", "^image/", "").alias("fmt"),
+                )
+                meta = (
+                    extract_image_meta(imgs)
+                    .filter(F.col("decode_ok"))
+                    .select("image_id", F.col("decoded_phash").alias("phash"))
+                )
+            pairs = phash_neardup_pairs(meta, max_hamming=args.max_hamming)
+            comp = phash_components(pairs, all_ids=meta)
+            n_pairs = pairs.count()
+            clusters = (
+                comp.groupBy("component_id").count().filter(F.col("count") > 1)
+            )
+            pairs.orderBy("image_a", "image_b").show(args.show, truncate=False)
+            print(
+                json.dumps(
+                    {
+                        "images": meta.count(),
+                        "neardup_pairs": n_pairs,
+                        "multi_image_clusters": clusters.count(),
+                        "max_hamming": args.max_hamming,
+                    }
+                )
+            )
         elif args.cmd == "warehouse":
             from scrapy_spark.sources.warehouse import star_export
 

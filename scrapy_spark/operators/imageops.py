@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.imagefn import decode_image, phash64, psnr
 
@@ -99,6 +100,115 @@ def psnr_parity(ours: DataFrame, reference: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(run, schema=PSNR_SCHEMA)
+
+
+def phash_bands(
+    meta: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Unpivot a 64-bit perceptual hash into ``n_bands`` equal bit-bands —
+    the simhash banding trick applied to images: two hashes within hamming
+    distance h < n_bands MUST agree on at least one band (pigeonhole), so a
+    band-equi self-join has complete recall for that radius. Arithmetic
+    shift + mask keeps each band a small non-negative int regardless of the
+    phash sign bit."""
+    assert 64 % n_bands == 0, n_bands
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.expr(f"shiftright({phash_col}, {i * width}) & {mask}").alias(
+                    "band_val"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return meta.select(
+        F.col(id_col).alias("image_id"),
+        F.col(phash_col).alias("phash"),
+        F.explode(arr).alias("b"),
+    ).select("image_id", "phash", "b.band_idx", "b.band_val")
+
+
+def phash_neardup_pairs(
+    meta: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    materialize: bool = True,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: band-equi candidate join over
+    ``phash_bands`` then the EXACT hamming filter ``bit_count(a ^ b)`` —
+    the image twin of dedup_simhash (media_extraction.py:93-196 computes
+    the hash; the reference never pairs them — training-data-pipeline
+    surface this engine adds).
+
+    Recall is complete, not approximate: ``max_hamming < n_bands`` is
+    asserted, so every true pair shares a band (pigeonhole). Scale shape:
+    one hash shuffle keyed by (band_idx, band_val); a hot band value (e.g.
+    a solid-color thumbnail cluster) contributes K^2 candidates — at the
+    100 TB design point cap hot bands first (neardup.cap_posting_lists on
+    band_val) exactly like hot shingles. The band table is consumed by both
+    join sides, so it takes a lineage cut."""
+    assert max_hamming < n_bands, (max_hamming, n_bands)
+    from ..plans.materialize import materialize as _cut
+
+    bands = phash_bands(meta, id_col=id_col, phash_col=phash_col, n_bands=n_bands)
+    if materialize:
+        bands = _cut(bands, name="phash-bands")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("int")
+    return pairs.select("image_a", "image_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def phash_components(
+    pairs: DataFrame, all_ids: DataFrame | None = None, iterations: int = 4
+) -> DataFrame:
+    """Connected components over VERIFIED near-dup pairs (not band buckets —
+    a bucket can hold hamming-distant hashes; components over raw buckets
+    would merge them). Each pair is a 2-member bucket, which makes the pair
+    graph a bipartite bucket graph — so the linear min-label fixpoint
+    (neardup.minhash_components: two linear aggs per iteration, never a
+    self-join) applies verbatim. ``all_ids`` (one ``image_id`` per row)
+    re-attaches singleton images as their own component."""
+    from .neardup import minhash_components
+
+    bucket = F.concat_ws("|", "image_a", "image_b")
+    bands = pairs.select(
+        F.col("image_a").alias("doc_id"), bucket.alias("bv")
+    ).unionByName(pairs.select(F.col("image_b").alias("doc_id"), bucket.alias("bv")))
+    comp = minhash_components(bands, iterations=iterations).select(
+        F.col("doc_id").alias("image_id"), "component_id"
+    )
+    if all_ids is None:
+        return comp
+    return all_ids.select("image_id").join(comp, "image_id", "left").select(
+        "image_id",
+        F.coalesce(F.col("component_id"), F.col("image_id")).alias("component_id"),
+    )
 
 
 THUMB_SCHEMA = "image_id string, thumb binary, thumb_w int, thumb_h int"
