@@ -292,3 +292,60 @@ def test_aimd_step_core_is_the_single_source():
     assert not out4["circuit_open"].iloc[0] and out4["concurrency"].iloc[0] > 0
     # empty input -> no output
     assert aimd._aimd_step("h", None, []) is None
+
+
+def test_streaming_url_seen_dedup(spark, tmp_path):
+    """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark):
+    repeats inside AND across micro-batches are suppressed while the key is
+    within the watermark horizon; state is keyed by url_hash only."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.dedup import streaming_url_seen
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows).to_parquet(src / name, coerce_timestamps="us",
+                                      allow_truncated_timestamps=True)
+
+    # batch 1: keys 0..9, each repeated 3x within the batch
+    write_batch(
+        "b1.parquet",
+        [
+            {"url_hash": k, "url": f"https://h.uconn.edu/p{k}",
+             "ts": t0 + pd.Timedelta(seconds=k * 3 + r)}
+            for k in range(10)
+            for r in range(3)
+        ],
+    )
+    stream = spark.readStream.schema(
+        "url_hash long, url string, ts timestamp"
+    ).parquet(str(src))
+    out = streaming_url_seen(stream, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seen_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT url_hash FROM seen_out").collect()
+        assert sorted(r["url_hash"] for r in got1) == list(range(10))
+
+        # batch 2: keys 5..14 — 5..9 are repeats within the horizon
+        write_batch(
+            "b2.parquet",
+            [
+                {"url_hash": k, "url": f"https://h.uconn.edu/p{k}",
+                 "ts": t0 + pd.Timedelta(seconds=60 + k)}
+                for k in range(5, 15)
+            ],
+        )
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT url_hash FROM seen_out").collect()
+        assert sorted(r["url_hash"] for r in got2) == list(range(15))
+    finally:
+        q.stop()
