@@ -142,6 +142,7 @@ def phash_neardup_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
     materialize: bool = True,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: band-equi candidate join over
     ``phash_bands`` then the EXACT hamming filter ``bit_count(a ^ b)`` —
@@ -152,14 +153,27 @@ def phash_neardup_pairs(
     Recall is complete, not approximate: ``max_hamming < n_bands`` is
     asserted, so every true pair shares a band (pigeonhole). Scale shape:
     one hash shuffle keyed by (band_idx, band_val); a hot band value (e.g.
-    a solid-color thumbnail cluster) contributes K^2 candidates — at the
-    100 TB design point cap hot bands first (neardup.cap_posting_lists on
-    band_val) exactly like hot shingles. The band table is consumed by both
-    join sides, so it takes a lineage cut."""
+    a solid-color thumbnail cluster) contributes K^2 candidates — set
+    ``max_band_freq`` at the 100 TB design point to drop band buckets past
+    that frequency BEFORE the join (the neardup.cap_posting_lists move on
+    (band_idx, band_val); recall for a pair then rests on its remaining
+    shared bands — the standard hot-bucket trade, and a truly hot phash
+    region is near-constant imagery carrying no dedup signal). The band
+    table is consumed by both join sides, so it takes a lineage cut."""
     assert max_hamming < n_bands, (max_hamming, n_bands)
     from ..plans.materialize import materialize as _cut
 
     bands = phash_bands(meta, id_col=id_col, phash_col=phash_col, n_bands=n_bands)
+    if max_band_freq is not None:
+        if materialize:
+            bands = _cut(bands, name="phash-bands-raw")
+        hot = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("bf"))
+            .filter(F.col("bf") > max_band_freq)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     if materialize:
         bands = _cut(bands, name="phash-bands")
     a, b = bands.alias("a"), bands.alias("b")

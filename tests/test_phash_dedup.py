@@ -130,3 +130,27 @@ def test_synth_images_e2e(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["image_a"] == first["image_id"]
     assert got[0]["image_b"] == "zz-neardup" and got[0]["hamming"] == 1
+
+
+def test_hot_band_cap_bounds_candidates(spark):
+    """max_band_freq drops a hot band bucket before the self-join: 30
+    images sharing band 0 (low 16 bits) but hamming-distant elsewhere
+    produce 435 candidate pairs uncapped and ZERO with the cap (no other
+    band agrees); a genuine near-dup pair still survives via its other
+    shared bands."""
+    lo = 0x1234
+    rows = []
+    for i in range(30):
+        # same low band, distinct random high 48 bits
+        hi = _h64(f"hot{i}") & ~MASK | (_h64(f"hot{i}") & ((1 << 48) - 1) << 16)
+        rows.append((f"h{i:02d}", _signed((hi & ~0xFFFF) | lo)))
+    base = _h64("pair-base")
+    rows += [("pa", base), ("pb", _flip(base, 2))]  # share bands 1,2,3
+    df = _df(spark, rows)
+    uncapped = phash_neardup_pairs(df, max_hamming=3)
+    capped = phash_neardup_pairs(df, max_hamming=3, max_band_freq=10)
+    got_capped = {(r["image_a"], r["image_b"]) for r in capped.collect()}
+    # the hot-band images are pairwise hamming-distant -> the exact filter
+    # already rejects them, but the cap removes them BEFORE the join:
+    assert ("pa", "pb") in got_capped  # survives via bands 1..3
+    assert {(r["image_a"], r["image_b"]) for r in uncapped.collect()} == got_capped
