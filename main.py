@@ -176,7 +176,12 @@ def _build_parser() -> argparse.ArgumentParser:
     imd.add_argument("--workdir", default=None, help="crawl workdir (decode bytes)")
     imd.add_argument("--images", default=None,
                      help="images.parquet path with a phash column")
-    imd.add_argument("--max-hamming", type=int, default=3)
+    imd.add_argument("--max-hamming", type=int, default=3,
+                     help="exact hamming threshold; must stay below the 4 "
+                     "bands or banding recall is no longer complete")
+    imd.add_argument("--iterations", type=int, default=4,
+                     help="label-propagation rounds — bounds the near-dup "
+                     "chain diameter that fully collapses into one cluster")
     imd.add_argument("--show", type=int, default=20)
     imd.add_argument("--master", default=None)
 
@@ -374,6 +379,15 @@ def main(argv: list[str] | None = None) -> int:
             if (args.workdir is None) == (args.images is None):
                 print("pass exactly one of --workdir / --images", file=sys.stderr)
                 return 2
+            if not 0 <= args.max_hamming < 4:
+                print(
+                    f"--max-hamming {args.max_hamming} out of range: banding "
+                    "uses 4 bands, so complete recall needs 0 <= h < 4",
+                    file=sys.stderr,
+                )
+                return 2
+            from scrapy_spark.plans.materialize import materialize
+
             if args.images:
                 meta = spark.read.parquet(args.images).select("image_id", "phash")
             else:
@@ -382,9 +396,20 @@ def main(argv: list[str] | None = None) -> int:
                 if fr is None:
                     print("no fetch_results in " + args.workdir, file=sys.stderr)
                     return 2
-                imgs = fr.filter(
+                # one row per URL: revalidation re-fetches leave several
+                # final rows; elect the latest generation via a NARROW
+                # (url, generation) winner set broadcast back so the bytes
+                # column never shuffles (bytes discipline)
+                base = fr.filter(
                     F.col("bytes").isNotNull()
                     & F.col("content_type").startswith("image/")
+                    & F.col("is_final")
+                )
+                winners = base.groupBy("url").agg(
+                    F.max("generation").alias("generation")
+                )
+                imgs = base.join(
+                    F.broadcast(winners), ["url", "generation"]
                 ).select(
                     F.col("url").alias("image_id"),
                     "bytes",
@@ -395,8 +420,17 @@ def main(argv: list[str] | None = None) -> int:
                     .filter(F.col("decode_ok"))
                     .select("image_id", F.col("decoded_phash").alias("phash"))
                 )
-            pairs = phash_neardup_pairs(meta, max_hamming=args.max_hamming)
-            comp = phash_components(pairs, all_ids=meta)
+            # meta feeds bands + all_ids + count, pairs feeds count + show +
+            # both component sides: cut both so bytes decode / the band
+            # self-join run once (multiply-consumed mid-plan tables rule)
+            meta = materialize(meta, name="imagedup-meta")
+            pairs = materialize(
+                phash_neardup_pairs(meta, max_hamming=args.max_hamming),
+                name="imagedup-pairs",
+            )
+            comp = phash_components(
+                pairs, all_ids=meta, iterations=args.iterations
+            )
             n_pairs = pairs.count()
             clusters = (
                 comp.groupBy("component_id").count().filter(F.col("count") > 1)

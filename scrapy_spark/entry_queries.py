@@ -637,13 +637,32 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-_SHINGLES_SQL = """
+def _ngram_sql(n: int, alias: str = "shingle") -> str:
+    """DuckDB twin of the word-n-gram explode (distinct per doc)."""
+    cols = ", ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return f"""
       SELECT DISTINCT doc_id,
-             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+             concat_ws(' ', {cols}) AS {alias}
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-      WHERE len(toks) >= 3
+           UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
+      WHERE len(toks) >= {n}
 """
+
+
+def _word_ngram_expr(n: int) -> str:
+    """Spark SQL expr producing the word-n-gram array over the split column
+    ``w`` — ONE definition for every consumer (repetition, boilerplate;
+    the 3-gram shingle base keeps its F.transform twin of the same shape).
+    Each occurrence appears once per window; wrap in array_distinct or
+    .distinct() for set semantics."""
+    elems = ", ' ', ".join(
+        f"element_at(w, i - {n - 1 - k})" if n - 1 - k else "element_at(w, i)"
+        for k in range(n)
+    )
+    return f"transform(sequence({n}, size(w)), i -> concat({elems}))"
+
+
+_SHINGLES_SQL = _ngram_sql(3, alias="shingle")
 
 
 def _spark_shingles(spark, sf_dir):
@@ -1344,24 +1363,10 @@ def text_repetition(spark, sf_dir):
         F.expr("length(replace(text, ' ', ''))").alias("nc"),
     )
     g2 = base.filter(F.expr("size(w) >= 2")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(2, size(w)),"
-                " i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))"
-            )
-        ).alias("g"),
+        "doc_id", F.explode(F.expr(_word_ngram_expr(2))).alias("g")
     )
     g5 = base.filter(F.expr("size(w) >= 5")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(5, size(w)),"
-                " i -> concat(element_at(w, i - 4), ' ', element_at(w, i - 3),"
-                " ' ', element_at(w, i - 2), ' ', element_at(w, i - 1),"
-                " ' ', element_at(w, i)))"
-            )
-        ).alias("g"),
+        "doc_id", F.explode(F.expr(_word_ngram_expr(5))).alias("g")
     )
     wtop = Window.partitionBy("doc_id").orderBy(
         F.col("cnt").desc(), F.col("g").asc()
@@ -1562,14 +1567,7 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
-_G5_SQL = """
-      SELECT DISTINCT doc_id,
-             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
-               AS g
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
-      WHERE len(toks) >= 5
-"""
+_G5_SQL = _ngram_sql(5, alias="g")
 
 
 @_q(
@@ -1612,17 +1610,7 @@ def text_boilerplate(spark, sf_dir):
     )
     g5 = (
         base.filter(F.expr("size(w) >= 5"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(5, size(w)),"
-                    " i -> concat(element_at(w, i - 4), ' ', element_at(w, i - 3),"
-                    " ' ', element_at(w, i - 2), ' ', element_at(w, i - 1),"
-                    " ' ', element_at(w, i)))"
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(F.expr(_word_ngram_expr(5))).alias("g"))
         .distinct()
     )
     g5 = _cut(g5, name="q-boiler-5grams")

@@ -165,15 +165,13 @@ def phash_neardup_pairs(
 
     bands = phash_bands(meta, id_col=id_col, phash_col=phash_col, n_bands=n_bands)
     if max_band_freq is not None:
+        from .neardup import cap_posting_lists
+
         if materialize:
             bands = _cut(bands, name="phash-bands-raw")
-        hot = (
-            bands.groupBy("band_idx", "band_val")
-            .agg(F.count("*").alias("bf"))
-            .filter(F.col("bf") > max_band_freq)
-            .select("band_idx", "band_val")
+        bands = cap_posting_lists(
+            bands, max_band_freq, keys=["band_idx", "band_val"]
         )
-        bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     if materialize:
         bands = _cut(bands, name="phash-bands")
     a, b = bands.alias("a"), bands.alias("b")
@@ -207,10 +205,19 @@ def phash_components(
     graph a bipartite bucket graph — so the linear min-label fixpoint
     (neardup.minhash_components: two linear aggs per iteration, never a
     self-join) applies verbatim. ``all_ids`` (one ``image_id`` per row)
-    re-attaches singleton images as their own component."""
+    re-attaches singleton images as their own component.
+
+    ``iterations`` bounds the chain diameter that fully collapses (one
+    bucket-hop per iteration) — raise it for long thumbnail-series chains
+    (the imagedup CLI exposes ``--iterations``). The bucket key is
+    length-prefixed (``len(image_a):image_a:image_b``) so ids containing
+    the separator — image_ids are raw URLs in the crawl path — can never
+    make two distinct pairs collide into one bucket."""
     from .neardup import minhash_components
 
-    bucket = F.concat_ws("|", "image_a", "image_b")
+    bucket = F.concat_ws(
+        ":", F.length("image_a").cast("string"), F.col("image_a"), F.col("image_b")
+    )
     bands = pairs.select(
         F.col("image_a").alias("doc_id"), bucket.alias("bv")
     ).unionByName(pairs.select(F.col("image_b").alias("doc_id"), bucket.alias("bv")))

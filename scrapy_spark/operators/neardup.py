@@ -26,18 +26,23 @@ from pyspark.sql import functions as F
 from ..plans.materialize import materialize as _cut
 
 
-def cap_posting_lists(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Drop shingles whose posting list exceeds ``max_doc_freq`` docs.
+def cap_posting_lists(
+    shingles: DataFrame, max_doc_freq: int, keys: list[str] | None = None
+) -> DataFrame:
+    """Drop bucket keys whose posting list exceeds ``max_doc_freq`` rows.
 
-    The hot-shingle list is tiny (only violators), so the anti-join
-    broadcasts; the frequency count is one linear groupBy."""
+    ``keys`` names the bucket key columns (default the classic
+    ``["shingle"]``; imageops passes ``["band_idx", "band_val"]`` for hot
+    phash bands). The hot-key list is tiny (only violators), so the
+    anti-join broadcasts; the frequency count is one linear groupBy."""
+    keys = keys or ["shingle"]
     hot = (
-        shingles.groupBy("shingle")
+        shingles.groupBy(*keys)
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_doc_freq)
-        .select("shingle")
+        .select(*keys)
     )
-    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+    return shingles.join(F.broadcast(hot), keys, "left_anti")
 
 
 def minhash_components(
