@@ -43,6 +43,14 @@ def _q(name: str, sql: str | None):
     return deco
 
 
+def _sub(name: str) -> str:
+    """Member oracle SQL as a parenthesized subquery (DuckDB allows a WITH
+    inside a subquery). The member must already be registered — composed
+    SQL is built at definition time, so define combos/rollups BELOW their
+    members."""
+    return "(" + QUERIES[name][1] + ")"
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -1705,6 +1713,76 @@ def sample_mixture(spark, sf_dir):
             target.alias("sample_target"),
             "sample_rank",
             (F.col("sample_rank") <= target).cast("long").alias("is_selected"),
+        )
+    )
+
+
+@_q(
+    "hygiene_funnel",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c.is_eval) AS BIGINT) AS n_eval,
+           CAST(sum(c.is_contaminated) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN b.boiler_frac >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_heavy,
+           CAST(sum(CASE WHEN q.quality < 0.3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_quality,
+           CAST(sum(CASE WHEN p.n_pii > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pii_docs,
+           CAST(sum(m.is_selected) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN m.is_selected = 1 AND c.is_eval = 0
+                          AND c.is_contaminated = 0 AND b.boiler_frac < 0.5
+                          AND q.quality >= 0.3 AND p.n_pii = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train_ready
+    FROM {_sub("text_decontaminate")} c
+    JOIN {_sub("text_boilerplate")} b USING (doc_id)
+    JOIN {_sub("text_quality_score")} q USING (doc_id)
+    JOIN {_sub("text_pii")} p USING (doc_id)
+    JOIN {_sub("sample_mixture")} m USING (doc_id)
+    """,
+)
+def hygiene_funnel(spark, sf_dir):
+    """Corpus-level hygiene funnel: the one-row summary a pipeline operator
+    reads before a training run — how many docs each filter would drop
+    (eval split, contamination, boilerplate-heavy, low quality, PII) and
+    how many survive everything AND the mixture sample (n_train_ready).
+    Pure composition of the per-doc members (same grain, one agg); the
+    thresholds compare member-rounded doubles, identical in both engines."""
+    c = QUERIES["text_decontaminate"][0](spark, sf_dir).select(
+        "doc_id", "is_eval", "is_contaminated"
+    )
+    b = QUERIES["text_boilerplate"][0](spark, sf_dir).select(
+        "doc_id", "boiler_frac"
+    )
+    q = QUERIES["text_quality_score"][0](spark, sf_dir).select(
+        "doc_id", "quality"
+    )
+    p = QUERIES["text_pii"][0](spark, sf_dir).select("doc_id", "n_pii")
+    m = QUERIES["sample_mixture"][0](spark, sf_dir).select(
+        "doc_id", "is_selected"
+    )
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        c.join(b, "doc_id").join(q, "doc_id").join(p, "doc_id").join(m, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_eval").cast("long").alias("n_eval"),
+            F.sum("is_contaminated").cast("long").alias("n_contaminated"),
+            flag(F.col("boiler_frac") >= 0.5).alias("n_boiler_heavy"),
+            flag(F.col("quality") < 0.3).alias("n_low_quality"),
+            flag(F.col("n_pii") > 0).alias("n_pii_docs"),
+            F.sum("is_selected").cast("long").alias("n_sampled"),
+            flag(
+                (F.col("is_selected") == 1)
+                & (F.col("is_eval") == 0)
+                & (F.col("is_contaminated") == 0)
+                & (F.col("boiler_frac") < 0.5)
+                & (F.col("quality") >= 0.3)
+                & (F.col("n_pii") == 0)
+            ).alias("n_train_ready"),
         )
     )
 
@@ -3672,12 +3750,6 @@ def stage_metrics(spark, sf_dir):
 # combos are strictly additional coverage, and each combo's oracle SQL is
 # composed from the member oracles so the semantics cannot drift.
 # ---------------------------------------------------------------------------
-
-
-def _sub(name: str) -> str:
-    """Member oracle SQL as a parenthesized subquery (DuckDB allows a WITH
-    inside a subquery)."""
-    return "(" + QUERIES[name][1] + ")"
 
 
 def _combo_source_stats_sql() -> str:
