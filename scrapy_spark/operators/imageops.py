@@ -107,13 +107,15 @@ def phash_bands(
     id_col: str = "image_id",
     phash_col: str = "phash",
     n_bands: int = 4,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unpivot a 64-bit perceptual hash into ``n_bands`` equal bit-bands —
     the simhash banding trick applied to images: two hashes within hamming
     distance h < n_bands MUST agree on at least one band (pigeonhole), so a
     band-equi self-join has complete recall for that radius. Arithmetic
     shift + mask keeps each band a small non-negative int regardless of the
-    phash sign bit."""
+    phash sign bit. ``extra_cols`` ride along unchanged (mediaops carries
+    frame_index for the video variant)."""
     assert 64 % n_bands == 0, n_bands
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -131,8 +133,9 @@ def phash_bands(
     return meta.select(
         F.col(id_col).alias("image_id"),
         F.col(phash_col).alias("phash"),
+        *extra_cols,
         F.explode(arr).alias("b"),
-    ).select("image_id", "phash", "b.band_idx", "b.band_val")
+    ).select("image_id", "phash", *extra_cols, "b.band_idx", "b.band_val")
 
 
 def phash_neardup_pairs(

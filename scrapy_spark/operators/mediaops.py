@@ -123,3 +123,81 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "bytes").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def video_neardup_pairs(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    min_shared_frames: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from sampled-frame perceptual hashes —
+    the video extension of imageops.phash_neardup_pairs (reference scope
+    ends at per-frame hashing, media_extraction.py:199-347; pairing is
+    rebuild-added pipeline surface).
+
+    ``frames``: (media_id, frame_index, frame_phash) rows as produced by
+    ``sample_video_frames`` (filter decode_ok first). Two videos are
+    near-dups when at least ``min_shared_frames`` DISTINCT frames of each
+    side match a frame of the other within ``max_hamming`` (re-encodes,
+    watermarks and container changes perturb a few bits; frame sampling
+    offsets shift indexes, which is why matching is by content, never by
+    frame_index equality).
+
+    Scale shape identical to the image path: band-equi candidate join (one
+    hash shuffle keyed by (band_idx, band_val), complete recall for
+    hamming < n_bands), exact bit_count verify, then ONE linear groupBy to
+    the (media_a, media_b) grain. Frame bands are consumed by both join
+    sides — lineage cut. Hot bands (solid-color frames: intros, fades)
+    are the quadratic risk; cap them with
+    neardup.cap_posting_lists(keys=["band_idx", "band_val"]) before
+    calling when the corpus has them."""
+    from pyspark.sql import functions as F
+
+    from ..plans.materialize import materialize as _cut
+    from .imageops import phash_bands
+
+    assert max_hamming < n_bands, (max_hamming, n_bands)
+    bands = phash_bands(
+        frames,
+        id_col="media_id",
+        phash_col="frame_phash",
+        n_bands=n_bands,
+        extra_cols=("frame_index",),
+    ).withColumnRenamed("image_id", "media_id")
+    if materialize:
+        bands = _cut(bands, name="video-frame-bands")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.frame_index").alias("frame_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.frame_index").alias("frame_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()  # a frame pair may agree on several bands
+    )
+    verified = cand.filter(
+        F.expr("bit_count(ph_a ^ ph_b)").cast("int") <= max_hamming
+    )
+    return (
+        verified.groupBy("media_a", "media_b")
+        .agg(
+            F.countDistinct("frame_a").alias("shared_a"),
+            F.countDistinct("frame_b").alias("shared_b"),
+            F.count("*").alias("n_frame_matches"),
+        )
+        .filter(
+            (F.col("shared_a") >= min_shared_frames)
+            & (F.col("shared_b") >= min_shared_frames)
+        )
+    )

@@ -152,3 +152,74 @@ def test_wav_24bit_decode_path():
     assert rate == 44100 and out.shape == (5, 1)
     expect = np.array([v / float(1 << 23) for v in vals], dtype=np.float32)
     assert np.allclose(out[:, 0], expect)
+
+
+def test_video_neardup_pairs_constructed(spark):
+    """Video near-dup from frame phashes: A and B share 3 frames within
+    hamming 1 (at different frame indexes), C is unrelated; the
+    min_shared_frames gate holds on both sides."""
+    import hashlib
+
+    from scrapy_spark.operators.mediaops import video_neardup_pairs
+
+    def h64(tag):
+        v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def flip(v, bit):
+        v ^= 1 << bit
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    pa = [h64(f"vframe{i}") for i in range(5)]
+    rows = (
+        [("va", i, pa[i]) for i in range(5)]
+        # B: A's first three frames perturbed 1 bit, shifted indexes
+        + [("vb", i + 7, flip(pa[i], 11)) for i in range(3)]
+        + [("vb", 20, h64("vb-own1")), ("vb", 21, h64("vb-own2"))]
+        + [("vc", i, h64(f"vc{i}")) for i in range(5)]
+    )
+    frames = spark.createDataFrame(
+        rows, "media_id string, frame_index int, frame_phash long"
+    )
+    got = video_neardup_pairs(frames, max_hamming=3, min_shared_frames=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["media_a"], r["media_b"]) == ("va", "vb")
+    assert r["shared_a"] == 3 and r["shared_b"] == 3 and r["n_frame_matches"] == 3
+    assert (
+        video_neardup_pairs(frames, max_hamming=3, min_shared_frames=4).count() == 0
+    )
+
+
+def test_video_neardup_from_real_avis(spark):
+    """End-to-end: two AVIs carrying the same pixel content at shifted
+    positions pair up via content matching (frame_index never compared);
+    a third AVI with different pixels stays unpaired."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.imagefn import synth_pixels
+    from scrapy_spark.functions.mediafn import encode_avi_mjpeg
+    from scrapy_spark.operators.mediaops import video_neardup_pairs
+
+    shared = [synth_pixels(f"vshare{i}", 32, 24) for i in range(30)]
+    v1 = encode_avi_mjpeg(shared[:25], fps=25)
+    v2 = encode_avi_mjpeg(shared[5:30], fps=25)  # same content, offset 5
+    v3 = encode_avi_mjpeg(
+        [synth_pixels(f"vother{i}", 32, 24) for i in range(25)], fps=25
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["v1", "v2", "v3"], "bytes": [v1, v2, v3]})
+    )
+    frames = sample_video_frames(media, every_n=5).filter(F.col("decode_ok"))
+    got = {
+        (r["media_a"], r["media_b"]): r
+        for r in video_neardup_pairs(
+            frames, max_hamming=0, min_shared_frames=2
+        ).collect()
+    }
+    # v1 samples content indexes {0,5,10,15,20}; v2 samples {5,10,15,20,25}
+    # -> 4 shared pixel-identical frames at DIFFERENT frame_index positions
+    assert set(got) == {("v1", "v2")}
+    assert got[("v1", "v2")]["shared_a"] == 4
+    assert got[("v1", "v2")]["shared_b"] == 4
