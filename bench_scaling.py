@@ -4,7 +4,8 @@ BASELINE.json's two-cluster-size criterion (throughput scaling efficiency
 >= 0.8 between N and 4N executors) cannot use a real cluster in this sandbox;
 per the survey plan (SURVEY §6) we run the identical job, same input, at two
 parallelism levels in separate JVMs and report throughput at both plus
-efficiency = (T_4N / T_N) / 4. Results land in BENCH/BASELINE.md.
+efficiency = (throughput_4N / throughput_N) / 4 (equivalently
+speedup/4 = (seconds_N / seconds_4N) / 4). Results land in BENCH/BASELINE.md.
 
 Usage:
   python bench_scaling.py              # runs both levels, writes BENCH/BASELINE.md
@@ -199,7 +200,8 @@ Metric: frontier URLs scheduled+fetched/sec (BASELINE.json north metric).
 | local[8]  (N)  | {results[8]["urls"]} | {results[8]["secs"]} | {t8} |
 | local[32] (4N) | {results[32]["urls"]} | {results[32]["secs"]} | {t32} |
 
-**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (target >= 0.8).
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+(target >= 0.8; equivalently speedup/4 = (seconds_N / seconds_4N) / 4).
 
 Per-generation scheduled counts (identical at both levels —
 the work is the same, only parallelism differs):

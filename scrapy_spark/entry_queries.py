@@ -1725,18 +1725,19 @@ def sample_mixture(spark, sf_dir):
            CAST(sum(c.is_contaminated) AS BIGINT) AS n_contaminated,
            CAST(sum(CASE WHEN b.boiler_frac >= 0.5 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_boiler_heavy,
-           CAST(sum(CASE WHEN q.quality < 0.3 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_low_quality,
+           CAST(sum(CASE WHEN coalesce(q.quality, 0.0) < 0.3 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_low_quality,
            CAST(sum(CASE WHEN p.n_pii > 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pii_docs,
            CAST(sum(m.is_selected) AS BIGINT) AS n_sampled,
            CAST(sum(CASE WHEN m.is_selected = 1 AND c.is_eval = 0
                           AND c.is_contaminated = 0 AND b.boiler_frac < 0.5
-                          AND q.quality >= 0.3 AND p.n_pii = 0
+                          AND coalesce(q.quality, 0.0) >= 0.3 AND p.n_pii = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_train_ready
-    FROM {_sub("text_decontaminate")} c
+    FROM (SELECT doc_id FROM documents) d
+    JOIN {_sub("text_decontaminate")} c USING (doc_id)
     JOIN {_sub("text_boilerplate")} b USING (doc_id)
-    JOIN {_sub("text_quality_score")} q USING (doc_id)
+    LEFT JOIN {_sub("text_quality_score")} q USING (doc_id)
     JOIN {_sub("text_pii")} p USING (doc_id)
     JOIN {_sub("sample_mixture")} m USING (doc_id)
     """,
@@ -1746,8 +1747,13 @@ def hygiene_funnel(spark, sf_dir):
     reads before a training run — how many docs each filter would drop
     (eval split, contamination, boilerplate-heavy, low quality, PII) and
     how many survive everything AND the mixture sample (n_train_ready).
-    Pure composition of the per-doc members (same grain, one agg); the
-    thresholds compare member-rounded doubles, identical in both engines."""
+    Composition of the per-doc members at the documents grain — the ONE
+    member that is not all-docs (text_quality_score filters n_tokens > 0)
+    joins LEFT with quality coalesced to 0.0, so a zero-token doc counts
+    in n_docs AND lands in n_low_quality (the lowest quality conceivable)
+    instead of silently vanishing. The thresholds compare member-rounded
+    doubles, identical in both engines."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
     c = QUERIES["text_decontaminate"][0](spark, sf_dir).select(
         "doc_id", "is_eval", "is_contaminated"
     )
@@ -1765,14 +1771,16 @@ def hygiene_funnel(spark, sf_dir):
     def flag(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
+    qual = F.coalesce(F.col("quality"), F.lit(0.0))
     return (
-        c.join(b, "doc_id").join(q, "doc_id").join(p, "doc_id").join(m, "doc_id")
+        d.join(c, "doc_id").join(b, "doc_id").join(q, "doc_id", "left")
+        .join(p, "doc_id").join(m, "doc_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("is_eval").cast("long").alias("n_eval"),
             F.sum("is_contaminated").cast("long").alias("n_contaminated"),
             flag(F.col("boiler_frac") >= 0.5).alias("n_boiler_heavy"),
-            flag(F.col("quality") < 0.3).alias("n_low_quality"),
+            flag(qual < 0.3).alias("n_low_quality"),
             flag(F.col("n_pii") > 0).alias("n_pii_docs"),
             F.sum("is_selected").cast("long").alias("n_sampled"),
             flag(
@@ -1780,7 +1788,7 @@ def hygiene_funnel(spark, sf_dir):
                 & (F.col("is_eval") == 0)
                 & (F.col("is_contaminated") == 0)
                 & (F.col("boiler_frac") < 0.5)
-                & (F.col("quality") >= 0.3)
+                & (qual >= 0.3)
                 & (F.col("n_pii") == 0)
             ).alias("n_train_ready"),
         )

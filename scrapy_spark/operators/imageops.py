@@ -138,7 +138,7 @@ def phash_bands(
     ).select("image_id", "phash", *extra_cols, "b.band_idx", "b.band_val")
 
 
-def phash_neardup_pairs(
+def banded_hamming_pairs(
     meta: DataFrame,
     max_hamming: int = 3,
     n_bands: int = 4,
@@ -146,27 +146,34 @@ def phash_neardup_pairs(
     phash_col: str = "phash",
     materialize: bool = True,
     max_band_freq: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: band-equi candidate join over
-    ``phash_bands`` then the EXACT hamming filter ``bit_count(a ^ b)`` —
-    the image twin of dedup_simhash (media_extraction.py:93-196 computes
-    the hash; the reference never pairs them — training-data-pipeline
-    surface this engine adds).
+    """The shared banded-hamming kernel: band-equi candidate join over
+    ``phash_bands`` then the EXACT ``bit_count(a ^ b)`` verify — ONE
+    implementation serving still images (phash_neardup_pairs) and video
+    frames (mediaops.video_neardup_pairs via ``extra_cols``).
 
-    Recall is complete, not approximate: ``max_hamming < n_bands`` is
-    asserted, so every true pair shares a band (pigeonhole). Scale shape:
-    one hash shuffle keyed by (band_idx, band_val); a hot band value (e.g.
-    a solid-color thumbnail cluster) contributes K^2 candidates — set
-    ``max_band_freq`` at the 100 TB design point to drop band buckets past
-    that frequency BEFORE the join (the neardup.cap_posting_lists move on
-    (band_idx, band_val); recall for a pair then rests on its remaining
-    shared bands — the standard hot-bucket trade, and a truly hot phash
-    region is near-constant imagery carrying no dedup signal). The band
-    table is consumed by both join sides, so it takes a lineage cut."""
+    Output: (image_a, image_b, <extra>_a..., <extra>_b..., hamming), one
+    row per verified pair. The hamming filter runs BEFORE the distinct
+    (identical result — the predicate is a pure function of the row — but
+    the distinct then shuffles only survivors, and most band collisions
+    fail the verify). Recall is complete for ``max_hamming < n_bands``
+    (pigeonhole, asserted). ``max_band_freq`` drops hot band buckets
+    before the join (cap_posting_lists on (band_idx, band_val)): a pair's
+    recall then rests on its remaining shared bands — the standard
+    hot-bucket trade, and a truly hot phash region is near-constant
+    imagery carrying no dedup signal. The band table feeds both join
+    sides, so it takes a lineage cut."""
     assert max_hamming < n_bands, (max_hamming, n_bands)
     from ..plans.materialize import materialize as _cut
 
-    bands = phash_bands(meta, id_col=id_col, phash_col=phash_col, n_bands=n_bands)
+    bands = phash_bands(
+        meta,
+        id_col=id_col,
+        phash_col=phash_col,
+        n_bands=n_bands,
+        extra_cols=extra_cols,
+    )
     if max_band_freq is not None:
         from .neardup import cap_posting_lists
 
@@ -178,7 +185,13 @@ def phash_neardup_pairs(
     if materialize:
         bands = _cut(bands, name="phash-bands")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    sides = [
+        F.col("a.image_id").alias("image_a"),
+        F.col("b.image_id").alias("image_b"),
+    ]
+    for c in extra_cols:
+        sides += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -186,16 +199,36 @@ def phash_neardup_pairs(
             & (F.col("a.image_id") < F.col("b.image_id")),
         )
         .select(
-            F.col("a.image_id").alias("image_a"),
-            F.col("b.image_id").alias("image_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
+            *sides,
+            F.expr("bit_count(a.phash ^ b.phash)").cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may agree on several bands
     )
-    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("int")
-    return pairs.select("image_a", "image_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+
+
+def phash_neardup_pairs(
+    meta: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    materialize: bool = True,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs — the image twin of
+    dedup_simhash (media_extraction.py:93-196 computes the hash; the
+    reference never pairs them — training-data-pipeline surface this
+    engine adds). Thin wrapper over ``banded_hamming_pairs``; see its
+    docstring for the scale shape and the hot-band cap."""
+    return banded_hamming_pairs(
+        meta,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col=id_col,
+        phash_col=phash_col,
+        materialize=materialize,
+        max_band_freq=max_band_freq,
     )
 
 

@@ -131,6 +131,7 @@ def video_neardup_pairs(
     n_bands: int = 4,
     min_shared_frames: int = 2,
     materialize: bool = True,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs from sampled-frame perceptual hashes —
     the video extension of imageops.phash_neardup_pairs (reference scope
@@ -145,55 +146,32 @@ def video_neardup_pairs(
     offsets shift indexes, which is why matching is by content, never by
     frame_index equality).
 
-    Scale shape identical to the image path: band-equi candidate join (one
-    hash shuffle keyed by (band_idx, band_val), complete recall for
-    hamming < n_bands), exact bit_count verify, then ONE linear groupBy to
-    the (media_a, media_b) grain. Frame bands are consumed by both join
-    sides — lineage cut. Hot bands (solid-color frames: intros, fades)
-    are the quadratic risk; cap them with
-    neardup.cap_posting_lists(keys=["band_idx", "band_val"]) before
-    calling when the corpus has them."""
+    The candidate join + exact verify is the SHARED banded-hamming kernel
+    (imageops.banded_hamming_pairs with frame_index passthrough — one
+    implementation to evolve, same complete-recall pigeonhole guarantee
+    and lineage-cut discipline), followed by ONE linear groupBy to the
+    (media_a, media_b) grain. Hot bands (solid-color frames: intros,
+    fades) are the quadratic risk; ``max_band_freq`` caps them inside the
+    kernel before the join."""
     from pyspark.sql import functions as F
 
-    from ..plans.materialize import materialize as _cut
-    from .imageops import phash_bands
+    from .imageops import banded_hamming_pairs
 
-    assert max_hamming < n_bands, (max_hamming, n_bands)
-    bands = phash_bands(
+    verified = banded_hamming_pairs(
         frames,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
         id_col="media_id",
         phash_col="frame_phash",
-        n_bands=n_bands,
+        materialize=materialize,
+        max_band_freq=max_band_freq,
         extra_cols=("frame_index",),
-    ).withColumnRenamed("image_id", "media_id")
-    if materialize:
-        bands = _cut(bands, name="video-frame-bands")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("a.frame_index").alias("frame_a"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("b.frame_index").alias("frame_b"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()  # a frame pair may agree on several bands
-    )
-    verified = cand.filter(
-        F.expr("bit_count(ph_a ^ ph_b)").cast("int") <= max_hamming
-    )
+    ).withColumnsRenamed({"image_a": "media_a", "image_b": "media_b"})
     return (
         verified.groupBy("media_a", "media_b")
         .agg(
-            F.countDistinct("frame_a").alias("shared_a"),
-            F.countDistinct("frame_b").alias("shared_b"),
+            F.countDistinct("frame_index_a").alias("shared_a"),
+            F.countDistinct("frame_index_b").alias("shared_b"),
             F.count("*").alias("n_frame_matches"),
         )
         .filter(
