@@ -349,3 +349,53 @@ def test_streaming_url_seen_dedup(spark, tmp_path):
         assert sorted(r["url_hash"] for r in got2) == list(range(15))
     finally:
         q.stop()
+
+
+def test_streaming_url_seen_state_expiry(spark, tmp_path):
+    """The watermark actually BOUNDS state: a key re-arriving after its
+    horizon passed was evicted, so it is re-emitted (the batch Bloom/catalog
+    path owns cross-horizon dedup — this operator only guards the window)."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.dedup import streaming_url_seen
+
+    src = tmp_path / "expiry_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows).to_parquet(src / name, coerce_timestamps="us",
+                                      allow_truncated_timestamps=True)
+
+    write_batch("b1.parquet", [{"url_hash": 1, "url": "u1", "ts": t0}])
+    stream = spark.readStream.schema(
+        "url_hash long, url string, ts timestamp"
+    ).parquet(str(src))
+    q = (
+        streaming_url_seen(stream, watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("expiry_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past t0+10s (wm = max event time seen)
+        write_batch(
+            "b2.parquet",
+            [{"url_hash": 99, "url": "u99", "ts": t0 + pd.Timedelta(hours=1)}],
+        )
+        q.processAllAvailable()
+        # key 1 re-arrives after its state aged out -> re-emitted
+        write_batch(
+            "b3.parquet",
+            [{"url_hash": 1, "url": "u1b",
+              "ts": t0 + pd.Timedelta(hours=1, seconds=1)}],
+        )
+        q.processAllAvailable()
+        got = sorted(
+            r["url_hash"] for r in spark.sql("SELECT * FROM expiry_out").collect()
+        )
+        assert got == [1, 1, 99]  # two emissions of key 1 across horizons
+    finally:
+        q.stop()
