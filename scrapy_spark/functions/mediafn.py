@@ -220,3 +220,60 @@ def parse_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
             raise ValueError("AVI has no frame clock")
         fps = 1_000_000.0 / us_per_frame
     return float(fps), frames
+
+
+AUDIO_FP_THRESHOLDS = tuple(0.05 * (32 ** (j / 7)) for j in range(8))
+
+
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """64-bit audio content fingerprint — the public Chromaprint/Shazam
+    family idea without the FFT dependency: 32 bits encode the clip's
+    frequency PROFILE (energy ratios of difference filters at lags
+    1/2/4/8 against the raw signal, each quantized by an 8-step geometric
+    thermometer code), 32 bits encode its temporal envelope (sign of
+    successive window-energy deltas over 33 equal windows).
+
+    Properties (pinned in tests): EXACTLY invariant to power-of-two gain
+    (every energy scales by c, preserving each ratio and comparison;
+    c = 2^k is lossless in floats) and robust to uniform gain generally;
+    thermometer coding makes hamming distance GRADED — near frequencies
+    differ in few bits, unrelated content in many — which is exactly what
+    banded near-dup search wants. This is a COARSE near-dup fingerprint
+    (similar-sounding clips land close), not an ID-level match. Requires
+    >= 66 frames (callers surface shorter clips as decode_error data, the
+    mediaops convention). Returns a SIGNED int64 like imagefn.phash64."""
+    if samples.ndim == 2:
+        mono = samples.astype(np.float64).mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    if mono.shape[0] < 66:
+        raise ValueError(
+            f"audio too short for fingerprint: {mono.shape[0]} frames < 66"
+        )
+
+    def rms(sig: np.ndarray) -> float:
+        return float(np.sqrt(np.mean(sig * sig))) if sig.size else 0.0
+
+    e_raw = rms(mono)
+    band = [
+        rms(np.diff(mono, 1)),
+        rms(np.diff(mono, 2)),
+        rms(mono[4:] - mono[:-4]),
+        rms(mono[8:] - mono[:-8]),
+    ]
+    # ratio denominators: d2 against d1 (its natural parent), others vs raw
+    base = [e_raw, band[0], e_raw, e_raw]
+    v = 0
+    k = 0
+    for b in range(4):
+        r = band[b] / base[b] if base[b] > 0 else 0.0
+        for th in AUDIO_FP_THRESHOLDS:
+            if r > th:
+                v |= 1 << k
+            k += 1
+    energies = [rms(w) for w in np.array_split(mono, 33)]
+    for t in range(32):
+        if energies[t + 1] > energies[t]:
+            v |= 1 << k
+        k += 1
+    return v - (1 << 64) if v >= 1 << 63 else v

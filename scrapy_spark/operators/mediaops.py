@@ -179,3 +179,73 @@ def video_neardup_pairs(
             & (F.col("shared_b") >= min_shared_frames)
         )
     )
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id string, afp long, decode_ok boolean, decode_error string"
+)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, bytes) -> 64-bit audio content fingerprint per clip
+    (functions/mediafn.audio_fingerprint over the REAL decoded waveform).
+    Arrow-batched; undecodable or too-short clips surface as
+    decode_ok=false data rows, never task failures."""
+    from ..functions.mediafn import audio_fingerprint, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _rate, samples = decode_wav(bytes(row.bytes))
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "afp": audio_fingerprint(samples),
+                            "decode_ok": True,
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as exc:
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "afp": None,
+                            "decode_ok": False,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "bytes").mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    materialize: bool = True,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs over (media_id, afp) fingerprint rows
+    (filter decode_ok first) — the audio leg of the multimodal dedup
+    triad, sharing the SAME banded-hamming kernel as images and video
+    frames (imageops.banded_hamming_pairs: band-equi candidate join,
+    exact bit_count verify, complete recall for hamming < n_bands,
+    hot-band cap). The fingerprint's thermometer coding makes hamming
+    graded, so max_hamming is a genuine similarity radius: re-gained or
+    lightly-noised re-encodes land at 0-2, unrelated content far away."""
+    from .imageops import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        fps,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col="media_id",
+        phash_col="afp",
+        materialize=materialize,
+        max_band_freq=max_band_freq,
+    ).withColumnsRenamed({"image_a": "media_a", "image_b": "media_b"})

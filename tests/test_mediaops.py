@@ -223,3 +223,77 @@ def test_video_neardup_from_real_avis(spark):
     assert set(got) == {("v1", "v2")}
     assert got[("v1", "v2")]["shared_a"] == 4
     assert got[("v1", "v2")]["shared_b"] == 4
+
+
+def test_audio_fingerprint_properties():
+    """Gain invariance (exact at 2^k), graded hamming by similarity, and
+    the too-short guard."""
+    import pytest
+
+    from scrapy_spark.functions.mediafn import audio_fingerprint
+
+    t = np.linspace(0, 1, 8000)
+
+    def mk(freq, decay):
+        return (np.sin(2 * np.pi * freq * t) * np.exp(-t * decay)).astype(
+            np.float32
+        )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = audio_fingerprint(mk(440, 2))
+    assert audio_fingerprint((mk(440, 2) * 0.5).astype(np.float32)) == base
+    assert audio_fingerprint((mk(440, 2) * 0.25).astype(np.float32)) == base
+    rng = np.random.default_rng(7)
+    noised = (mk(440, 2) + rng.normal(0, 1e-4, t.shape)).astype(np.float32)
+    assert ham(base, audio_fingerprint(noised)) <= 2   # near-dup stays near
+    near = ham(base, audio_fingerprint(mk(523, 2)))
+    far = ham(base, audio_fingerprint(rng.normal(0, 0.3, t.shape).astype(np.float32)))
+    assert near < far and far >= 15                    # graded distance
+    # stereo mixes down; too-short clips raise (surfaced as data by the op)
+    stereo = np.stack([mk(440, 2), mk(440, 2)], axis=1)
+    assert audio_fingerprint(stereo) == base
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint(np.zeros(10, dtype=np.float32))
+
+
+def test_audio_neardup_pairs_from_real_wavs(spark):
+    """End-to-end over REAL encoded WAVs: a half-gain re-encode pairs with
+    its original at hamming 0; unrelated noise stays unpaired; a corrupt
+    clip flows through as a decode_error row."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.mediafn import encode_wav
+    from scrapy_spark.operators.mediaops import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+    )
+
+    t = np.linspace(0, 1, 8000)
+    tone = (np.sin(2 * np.pi * 440 * t) * np.exp(-t * 2)).astype(np.float32)
+    rng = np.random.default_rng(11)
+    noise = rng.normal(0, 0.3, t.shape).astype(np.float32)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ["orig", "regain", "noise", "bad"],
+                "bytes": [
+                    encode_wav(tone.reshape(-1, 1), 8000),
+                    encode_wav((tone * 0.5).reshape(-1, 1), 8000),
+                    encode_wav(noise.reshape(-1, 1), 8000),
+                    b"RIFF\x00\x00\x00\x00WAVE",
+                ],
+            }
+        )
+    )
+    fps = audio_fingerprints(media)
+    rows = {r["media_id"]: r for r in fps.collect()}
+    assert not rows["bad"]["decode_ok"]
+    got = audio_neardup_pairs(
+        fps.filter(F.col("decode_ok")), max_hamming=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["media_a"], r["media_b"]) == ("orig", "regain")
+    assert r["hamming"] == 0
