@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from scrapy_spark.operators.imageops import (
@@ -154,3 +156,33 @@ def test_hot_band_cap_bounds_candidates(spark):
     # already rejects them, but the cap removes them BEFORE the join:
     assert ("pa", "pb") in got_capped  # survives via bands 1..3
     assert {(r["image_a"], r["image_b"]) for r in uncapped.collect()} == got_capped
+
+
+def test_imagedup_cli_images_mode(spark, tmp_path, capsys):
+    """main.py imagedup --images: the CLI surface end-to-end on an
+    input_hint-shaped parquet with a planted near-dup; JSON line parsed."""
+    import json
+
+    from main import main as cli_main
+
+    base = _h64("cli-base")
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c", "d"],
+            "phash": [base, _flip(base, 7), _h64("cli-x"), _h64("cli-y")],
+        }
+    )
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    rc = cli_main(["imagedup", "--images", path])
+    out = capsys.readouterr().out
+    assert rc in (0, None)
+    stats = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert stats == {
+        "images": 4,
+        "neardup_pairs": 1,
+        "multi_image_clusters": 1,
+        "max_hamming": 3,
+    }
+    # the guard: out-of-range radius fails fast with rc 2
+    assert cli_main(["imagedup", "--images", path, "--max-hamming", "9"]) == 2
