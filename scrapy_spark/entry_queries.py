@@ -734,6 +734,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @_q(
+    "dedup_ngram_containment",
+    f"""
+    WITH shingles0 AS ({_SHINGLES_SQL}),
+    shingles AS (
+      SELECT s.doc_id, s.shingle FROM shingles0 s
+      JOIN (SELECT shingle FROM shingles0 GROUP BY shingle
+            HAVING count(*) <= 1000) ok USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common / CAST(sa.sz AS DOUBLE), 6) AS containment_ab,
+           round(p.common / CAST(sb.sz AS DOUBLE), 6) AS containment_ba
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.common / CAST(sa.sz AS DOUBLE) >= 0.9
+       OR p.common / CAST(sb.sz AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (C(A in B) = |A∩B|/|A| over capped
+    3-gram shingle sets) — the direction Jaccard misses: a short doc
+    quoted wholesale inside a long one scores containment ~1.0 but low
+    Jaccard, and the training pipeline drops the contained copy. Same
+    inverted-index shapes and posting-list cap as dedup_ngram_jaccard
+    (operators/neardup.ngram_containment_pairs)."""
+    from scrapy_spark.operators.neardup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _spark_shingles(spark, sf_dir), threshold=0.9, max_doc_freq=1000,
+        materialize=True,
+    )
+
+
+@_q(
     "dedup_minhash_lsh",
     f"""
     WITH shingles AS ({_SHINGLES_SQL}),

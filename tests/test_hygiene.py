@@ -183,3 +183,22 @@ def test_hygiene_funnel_constructed_three_engine(spark):
     assert {k: int(v) for k, v in want.items()} == {
         k: int(v) for k, v in got.items()
     }
+
+
+def test_containment_asymmetric_branch(spark):
+    """The quote/subset case Jaccard misses: doc 2 embeds ALL of doc 1's
+    shingles plus many of its own -> containment_ab 1.0 with Jaccard well
+    under any dedup threshold; a mostly-disjoint doc never pairs."""
+    short = "a b c d e"                       # 3 shingles
+    long_ = short + " p q r s t u v w x y z"  # those 3 + 11 more
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [short, long_, "k l m n o p"]}
+    )
+    rows = _with_docs(spark, pdf, "dedup_ngram_containment")
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_ab"] == 1.0            # all of doc 1 inside doc 2
+    assert r["containment_ba"] == round(3 / 14, 6)
+    # the same pair's Jaccard = 3/14 < 0.9 -> dedup_ngram_jaccard at a
+    # containment-grade threshold would never surface it
