@@ -34,6 +34,13 @@ def _add_crawl_args(c: argparse.ArgumentParser) -> None:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--bloom", action="store_true", help="Bloom-prefiltered dedup")
     c.add_argument(
+        "--seen-filter",
+        choices=["bloom", "cuckoo"],
+        default=None,
+        help="probabilistic seen-set prefilter tier (cuckoo = deletable; "
+        "decision-neutral either way — overrides --bloom)",
+    )
+    c.add_argument(
         "--rate-control",
         action="store_true",
         help="per-host AIMD budgets + circuit breaker (retry_strategies.py semantics)",
@@ -255,7 +262,7 @@ def main(argv: list[str] | None = None) -> int:
                 params,
                 args.workdir,
                 salt_buckets=args.salt_buckets,
-                use_bloom=args.bloom,
+                use_bloom=args.seen_filter or args.bloom,
                 resolver_factory=resolver_factory,
                 seed_urls=args.seed_url,
             )

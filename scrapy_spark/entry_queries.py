@@ -528,6 +528,49 @@ def j1_seen_anti_join(spark, sf_dir):
 
 
 @_q(
+    "dedup_cuckoo_antijoin",
+    """
+    SELECT DISTINCT e.user_id, e.event_type
+    FROM events e
+    WHERE e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM events s
+        WHERE s.ts < TIMESTAMP '2024-01-10 00:00:00'
+          AND s.user_id = e.user_id AND s.event_type = e.event_type)
+    """,
+)
+def dedup_cuckoo_antijoin(spark, sf_dir):
+    """Cuckoo-filter-prefiltered candidates − seen (D1 cuckoo tier,
+    operators/cuckoo.py; north-rule "bloom/cuckoo URL-seen set";
+    url_deduplication.py:107-114 semantics). Exactness: filter-negative
+    rows are guaranteed-new (no false negatives), maybe rows confirm via
+    the exact anti-join on the same xxhash64 key — hash IS key identity,
+    the seen-set's own discipline — so the result equals the oracle's
+    plain anti-join while the Spark plan exercises the full shard-cogroup
+    probe (build → merge-shape rows → cogroup check → confirm)."""
+    from scrapy_spark.operators import cuckoo as cuckoo_ops
+
+    e = load(spark, sf_dir, "events")
+    cut = "2024-01-10 00:00:00"
+    key = F.xxhash64("user_id", "event_type")
+    seen = (
+        e.filter(F.col("ts") < cut)
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("url_hash", key)
+    )
+    cand = (
+        e.filter(F.col("ts") >= cut)
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("url_hash", key)
+    )
+    rows = cuckoo_ops.build_cuckoo_rows(seen)
+    new = cuckoo_ops.cuckoo_prefilter_anti_join(cand, seen, rows)
+    return new.select("user_id", "event_type")
+
+
+@_q(
     "j2_importance_join",
     """
     SELECT c.c_name, i.importance, i.n_events

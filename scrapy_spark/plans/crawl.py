@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import adaptive as adaptive_ops
+from ..operators import cuckoo as cuckoo_ops
 from ..operators import dedup as dedup_ops
 from ..operators import pagination as pagination_ops
 from ..operators import validation as validation_ops
@@ -106,7 +107,12 @@ class CrawlJob:
         params: CrawlParams,
         workdir: str,
         salt_buckets: int = 8,
-        use_bloom: bool = False,
+        # False = exact anti-join only; True/"bloom" = Bloom-prefiltered
+        # (operators/dedup.py); "cuckoo" = cuckoo-filter-prefiltered
+        # (operators/cuckoo.py — deletable seen tier). Either prefilter is
+        # decision-neutral: negatives are guaranteed-new, maybes confirm
+        # exactly, so crawl output is bit-identical across all three.
+        use_bloom: bool | str = False,
         politeness_delay_s: float = 0.0,
         fetch_latency_s: float = 0.0,
         fetch_partitions: int | None = None,
@@ -372,7 +378,10 @@ class CrawlJob:
             reval_c = cands.filter(F.col("source_type") == "revalidate")
             cands = cands.filter(F.col("source_type") != "revalidate")
         if self.use_bloom and seen is not None:
-            new = dedup_ops.bloom_anti_join(spark, cands, seen, self.catalog)
+            if self.use_bloom == "cuckoo":
+                new = cuckoo_ops.cuckoo_anti_join(spark, cands, seen, self.catalog)
+            else:
+                new = dedup_ops.bloom_anti_join(spark, cands, seen, self.catalog)
         else:
             new = anti_join_seen(cands, seen)
         if params.revalidate:
@@ -567,14 +576,17 @@ class CrawlJob:
         staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=16)
 
         if self.use_bloom:
-            staged["bloom"] = dedup_ops.stage_bloom_delta(
-                spark,
-                self.catalog,
-                staged_read.filter(
-                    ~transient & (F.col("source_type") != "revalidate")
-                ),
-                gen,
+            newly_seen = staged_read.filter(
+                ~transient & (F.col("source_type") != "revalidate")
             )
+            if self.use_bloom == "cuckoo":
+                staged["cuckoo"] = cuckoo_ops.stage_cuckoo_delta(
+                    spark, self.catalog, newly_seen, gen
+                )
+            else:
+                staged["bloom"] = dedup_ops.stage_bloom_delta(
+                    spark, self.catalog, newly_seen, gen
+                )
 
         if params.rate_control:
             staged["host_budget"] = self._rc_stage_update(staged_read, gen)
