@@ -192,6 +192,17 @@ def _build_parser() -> argparse.ArgumentParser:
     imd.add_argument("--show", type=int, default=20)
     imd.add_argument("--master", default=None)
 
+    pg = sub.add_parser(
+        "purge",
+        help="evict one host's URLs from the seen set (forced re-crawl "
+        "cohort): Iceberg-style overwrite snapshot of url_seen plus a "
+        "cuckoo-filter DELETE delta when that tier is active (Bloom "
+        "cannot delete; its stale bits stay harmless false positives)",
+    )
+    pg.add_argument("--workdir", required=True)
+    pg.add_argument("--host", required=True, help="host whose URLs re-crawl")
+    pg.add_argument("--master", default=None)
+
     w = sub.add_parser(
         "warehouse",
         help="dimensional (star-schema) export of fetch_results "
@@ -453,6 +464,11 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "purge":
+            from scrapy_spark.plans.purge import purge_host
+
+            n = purge_host(spark, SnapshotCatalog(args.workdir), args.host)
+            print(json.dumps({"purged_host": args.host, "evicted": n}))
         elif args.cmd == "warehouse":
             from scrapy_spark.sources.warehouse import star_export
 

@@ -166,16 +166,15 @@ def check_hashes(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     )
 
 
-def delete_hashes(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-    """Remove one stored copy of each key's fingerprint (first matching slot
-    of i1, then i2). Returns a removed mask. Only keys that were inserted
-    may be deleted (standard cuckoo-filter contract); multiset inserts make
-    that sufficient for the no-false-negative guarantee on remaining keys."""
-    h = hashes.astype(np.int64)
-    fp, i1, i2 = _fingerprints(h)
-    removed = np.zeros(len(h), dtype=bool)
-    for j in range(len(h)):
-        for bb in (int(i1[j]), int(i2[j])):
+def delete_entries(table: np.ndarray, fp: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Remove one stored copy per (fingerprint, bucket) entry — searching
+    the given bucket first, then its XOR alternate (an inserted entry is
+    always in one of the two). The (fp, b) form is what delta MERGES use:
+    a delete delta's entries are re-playable without the original keys."""
+    alt = (b ^ _alt_offset(fp)).astype(np.int64)
+    removed = np.zeros(len(fp), dtype=bool)
+    for j in range(len(fp)):
+        for bb in (int(b[j]), int(alt[j])):
             row = table[bb]
             hit = np.flatnonzero(row == fp[j])
             if hit.size:
@@ -185,12 +184,25 @@ def delete_hashes(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     return removed
 
 
+def delete_hashes(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Remove one stored copy of each key's fingerprint (first matching slot
+    of i1, then i2). Returns a removed mask. Only keys that were inserted
+    may be deleted (standard cuckoo-filter contract); multiset inserts make
+    that sufficient for the no-false-negative guarantee on remaining keys."""
+    fp, i1, _ = _fingerprints(hashes.astype(np.int64))
+    return delete_entries(table, fp, i1)
+
+
 def build_cuckoo_rows(
-    keys: DataFrame, n_shards: int = N_SHARDS, generation: int = 0
+    keys: DataFrame, n_shards: int = N_SHARDS, generation: int = 0, op: str = "add"
 ) -> DataFrame:
-    """(url_hash) keys -> one (shard, generation, tbl) filter row per shard,
-    built ON THE EXECUTORS (groupBy(shard).applyInPandas; the driver never
-    holds filter bytes — merged_bloom_rows discipline)."""
+    """(url_hash) keys -> one (shard, generation, op, tbl) filter row per
+    shard, built ON THE EXECUTORS (groupBy(shard).applyInPandas; the driver
+    never holds filter bytes — merged_bloom_rows discipline). ``op`` is
+    "add" (insert delta) or "del" (eviction delta: the blob's entries are
+    the fingerprints the merge must REMOVE — "add" < "del" lexicographically,
+    so same-generation adds always merge first)."""
+    assert op in ("add", "del"), op
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         table = new_table()
@@ -200,6 +212,7 @@ def build_cuckoo_rows(
                 {
                     "shard": int(pdf["shard"].iloc[0]),
                     "generation": generation,
+                    "op": op,
                     "tbl": table.tobytes(),
                 }
             ]
@@ -210,7 +223,9 @@ def build_cuckoo_rows(
             "url_hash", F.pmod(F.col("url_hash"), F.lit(n_shards)).alias("shard")
         )
         .groupBy("shard")
-        .applyInPandas(per_shard, schema="shard int, generation int, tbl binary")
+        .applyInPandas(
+            per_shard, schema="shard int, generation int, op string, tbl binary"
+        )
     )
 
 
@@ -228,6 +243,25 @@ def stage_cuckoo_delta(
     )
 
 
+def stage_cuckoo_delete_delta(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    evicted: DataFrame,
+    gen: int,
+    n_shards: int = N_SHARDS,
+) -> list[str]:
+    """Eviction delta for purged seen keys — what the Bloom tier cannot do
+    at all. The merge removes exactly one stored copy per evicted key, so
+    remaining keys keep the no-false-negative guarantee (multiset inserts)
+    and purged keys turn (near-always) filter-negative instead of rotting
+    as permanent false positives."""
+    return catalog.stage(
+        build_cuckoo_rows(evicted, n_shards, generation=gen, op="del"),
+        "cuckoo",
+        gen,
+    )
+
+
 def merged_cuckoo_rows(
     spark: SparkSession, catalog: SnapshotCatalog, n_shards: int = N_SHARDS
 ) -> DataFrame | None:
@@ -239,13 +273,22 @@ def merged_cuckoo_rows(
     df = catalog.read(spark, "cuckoo")
     if df is None:
         return None
+    if "op" not in df.columns:  # pre-delete-delta cuckoo tables: all adds
+        df = df.withColumn("op", F.lit("add"))
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         table = new_table()
-        for blob in pdf.sort_values("generation")["tbl"]:
-            t = np.frombuffer(blob, dtype=np.uint16).reshape(N_BUCKETS, SLOTS)
+        # (generation, op) order: adds of a generation before its dels;
+        # dels commute among themselves and adds preserve membership
+        # regardless of layout, so this order fully determines membership
+        for row in pdf.sort_values(["generation", "op"]).itertuples(index=False):
+            t = np.frombuffer(row.tbl, dtype=np.uint16).reshape(N_BUCKETS, SLOTS)
             bidx, sidx = np.nonzero(t)
-            insert_entries(table, t[bidx, sidx], bidx.astype(np.int64))
+            fps = t[bidx, sidx]
+            if row.op == "del":
+                delete_entries(table, fps, bidx.astype(np.int64))
+            else:
+                insert_entries(table, fps, bidx.astype(np.int64))
         return pd.DataFrame(
             [{"shard": int(pdf["shard"].iloc[0]), "tbl": table.tobytes()}]
         )

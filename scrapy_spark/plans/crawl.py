@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import purge as purge_mod
 from ..operators import adaptive as adaptive_ops
 from ..operators import cuckoo as cuckoo_ops
 from ..operators import dedup as dedup_ops
@@ -158,9 +159,25 @@ class CrawlJob:
             raise ValueError("workdir already has a crawl; pass resume=True")
         stats: list[GenStats] = []
         try:
+            pa = self.params.purge_after
+            if resume and pa is not None and start > pa[0]:
+                # killed between the purge generation's commit and the purge
+                # itself: the snapshot log tells us whether it applied (a
+                # re-apply after re-fetches would wrongly evict them)
+                if not any(
+                    s["stats"].get("op") == "purge_host"
+                    and s["stats"].get("host") == pa[1]
+                    for s in self.catalog.snapshots()
+                ):
+                    purge_mod.purge_host(self.spark, self.catalog, pa[1])
             for gen in range(start, self.params.max_generations):
                 st = self._run_generation(gen)
                 stats.append(st)
+                if pa is not None and gen == pa[0]:
+                    # seen-set eviction (plans/purge.py): between this
+                    # generation's commit and the next's anti-join — the
+                    # same point the oracle twin applies it
+                    purge_mod.purge_host(self.spark, self.catalog, pa[1])
                 if st.scheduled == 0:
                     break
             # pipeline_complete (alerts.py:173-181): fires after the final

@@ -82,6 +82,11 @@ class CrawlParams:
     revalidate: bool = False
     freshness_max_age_days: int = 30
     revalidate_after_gens: int = 2
+    # seen-set eviction (plans/purge.py): after generation g commits, evict
+    # host H's URLs from url_seen (and the cuckoo filter tier, when active)
+    # so they re-fetch on re-discovery; (g, H) — the oracle twin applies the
+    # same eviction at its generation-g loop tail
+    purge_after: tuple[int, str] | None = None
     # per-host AIMD rate control + circuit breaker
     # (retry_strategies.py:256-390 DomainCircuitBreaker;
     #  async_enrichment.py:76-176 AIMD): the next generation's per-host
@@ -569,5 +574,14 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
                 "scheduled": len(selected),
             }
         )
+        # seen-set eviction twin (plans/purge.py): after generation g's
+        # bookkeeping, drop the host cohort from the seen set ONLY — fetch
+        # history / freshness state are untouched on both sides, so evicted
+        # URLs re-fetch when next re-discovered and re-enter seen at the
+        # new generation
+        if params.purge_after is not None and gen == params.purge_after[0]:
+            ph = params.purge_after[1]
+            for u in [u for u in res.seen if url_host(u) == ph]:
+                del res.seen[u]
         cands = next_cands
     return res

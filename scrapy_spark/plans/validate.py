@@ -204,6 +204,19 @@ def _check_params(
         for name in ("pagination_ttl_gens", "pagination_lookahead", "pagination_max_pages"):
             if getattr(p, name) < 1:
                 report.add("error", "logic", f"{name} must be >= 1")
+    if p.purge_after is not None:
+        pg, ph = p.purge_after
+        if not ph:
+            report.add("error", "logic", "purge_after host is empty")
+        if pg < 0:
+            report.add("error", "logic", f"purge_after generation {pg} must be >= 0")
+        elif pg >= p.max_generations - 1:
+            report.add(
+                "warning", "logic",
+                f"purge_after generation {pg} leaves no later generation to "
+                f"re-discover the cohort (max_generations={p.max_generations})",
+                "purge earlier or raise max_generations",
+            )
     if not (0.0 <= p.validation_threshold <= 1.0):
         report.add(
             "error", "logic",

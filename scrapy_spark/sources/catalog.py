@@ -182,6 +182,36 @@ class SnapshotCatalog:
             json.dump(m, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)  # atomic swap = the snapshot commit
 
+    def commit_rewrite(
+        self,
+        rewritten: dict[str, list[str]],
+        appended: dict[str, list[str]] | None = None,
+        stats: dict | None = None,
+    ) -> None:
+        """Overwrite snapshot (the Iceberg overwrite-commit analog, for
+        maintenance ops like seen-set purges): atomically REPLACE the full
+        file list of each table in ``rewritten`` and append ``appended``
+        tables, WITHOUT advancing committed_generation — crawl resume
+        numbering is untouched, and the snapshot entry records the op in
+        its stats. Replaced files stay on disk as orphans until
+        :meth:`vacuum` (readers holding the old manifest keep working —
+        snapshot isolation). NB :meth:`read_upto` time-travel keys on the
+        filename generation prefix, not the snapshot id, so it sees
+        rewritten content for all generations — same caveat as Iceberg
+        overwrite vs pre-overwrite snapshot ids."""
+        m = self._load()
+        for table, files in rewritten.items():
+            m["tables"][table] = files
+        for table, files in (appended or {}).items():
+            m["tables"].setdefault(table, []).extend(files)
+        m["snapshots"].append(
+            {"generation": m["committed_generation"], "stats": stats or {}}
+        )
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self._load()
         files = m["tables"].get(table, [])

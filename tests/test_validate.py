@@ -57,6 +57,22 @@ def test_performance_warnings():
     assert "per_host_budget" in warns and "gen_cap" in warns
 
 
+def test_purge_after_checks():
+    r = health_check(SynthConfig(), CrawlParams(purge_after=(-1, "")))
+    errs = " ".join(_msgs(r, "error"))
+    assert "purge_after host is empty" in errs
+    assert "must be >= 0" in errs
+    r2 = health_check(
+        SynthConfig(), CrawlParams(max_generations=4, purge_after=(3, "x.uconn.edu"))
+    )
+    assert r2.ok
+    assert any("no later generation" in m for m in _msgs(r2, "warning"))
+    r3 = health_check(
+        SynthConfig(), CrawlParams(max_generations=4, purge_after=(1, "x.uconn.edu"))
+    )
+    assert r3.ok and not _msgs(r3, "warning")
+
+
 def test_synth_invariants():
     r = health_check(
         SynthConfig(n_hosts=8, n_pages=4, n_seeds=6, bad_hosts=(99,)),
