@@ -3917,6 +3917,33 @@ def w_queue_orders(spark, sf_dir):
 QUERIES["w_queue_orders"] = (w_queue_orders, _combo_queue_orders_sql())
 
 
+def _combo_seen_antijoin_sql() -> str:
+    return f"""
+    SELECT 'exact' AS tier, user_id, event_type FROM {_sub("j1_seen_anti_join")}
+    UNION ALL
+    SELECT 'cuckoo' AS tier, user_id, event_type FROM {_sub("dedup_cuckoo_antijoin")}
+    """
+
+
+@_q("j_seen_antijoin_tiers", None)
+def j_seen_antijoin_tiers(spark, sf_dir):
+    """COMBO: the D1 seen-set anti-join in both execution tiers — the plain
+    exact left_anti (J1) and the cuckoo-filter-prefiltered path (the north
+    rule's deletable tier: operators/cuckoo.py shard-cogroup probe + exact
+    confirm), tagged in one result. Different seen/candidate cuts keep the
+    members non-degenerate; both reduce to the identical anti-join
+    semantics, which is exactly the decision-neutrality claim the cuckoo
+    tier must uphold."""
+    a = QUERIES["j1_seen_anti_join"][0](spark, sf_dir)
+    b = QUERIES["dedup_cuckoo_antijoin"][0](spark, sf_dir)
+    return a.select(
+        F.lit("exact").alias("tier"), "user_id", "event_type"
+    ).unionByName(b.select(F.lit("cuckoo").alias("tier"), "user_id", "event_type"))
+
+
+QUERIES["j_seen_antijoin_tiers"] = (j_seen_antijoin_tiers, _combo_seen_antijoin_sql())
+
+
 def _combo_f_filters_sql() -> str:
     return f"""
     SELECT 'bad_pattern' AS filter, doc_id, pattern AS reason
@@ -4302,7 +4329,7 @@ DRIVER_QUERY_NAMES: list[str] = [
     "w1_frontier_rank_topk",
     "w6_blended_priority",
     "w8_pagination_expand",
-    "j1_seen_anti_join",
+    "j_seen_antijoin_tiers",
     "j2_importance_join",
     "j7_robots_prefix_filter",
     "so_set_ops",
