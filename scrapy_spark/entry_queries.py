@@ -1161,6 +1161,69 @@ def text_quality_score(spark, sf_dir):
 
 
 @_q(
+    "dedup_keep_best",
+    f"""
+    WITH labels AS MATERIALIZED (
+      SELECT * FROM {_sub("dedup_minhash_clusters")}
+    ),
+    q AS MATERIALIZED (
+      SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS qm
+      FROM {_sub("text_quality_score")}
+    ),
+    j AS (
+      SELECT l.canonical_id, l.doc_id, coalesce(q.qm, -1) AS qm
+      FROM labels l LEFT JOIN q USING (doc_id)
+    ),
+    sel AS (
+      SELECT canonical_id, doc_id, qm,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY qm DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY canonical_id) AS n_members
+      FROM j
+    )
+    SELECT canonical_id, doc_id AS kept_doc_id, qm AS kept_q_micros,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM sel WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Cluster retention election — the step AFTER near-dup cluster
+    assignment in a training-data pipeline: per cluster keep the single
+    highest-quality member, drop the rest (the C4/RefinedWeb "keep one
+    representative" policy, quality-aware instead of arbitrary). Election
+    key is (quality_micros DESC, doc_id ASC) — quality is quantized to
+    integer micros so the winner is exact under the driver hash; docs the
+    quality scorer skips (n_tokens = 0) participate at qm = -1 so every
+    clustered doc is accounted for.
+
+    Scale shape: one equi-join (labels ⟕ quality on doc_id) + ONE hash
+    aggregate per canonical_id with max_by over the total order
+    (qm, -doc_id) — map-side partial combine, no per-cluster sort, no
+    window. Linear in docs; the giant boilerplate cluster costs one
+    combiner cell, never a K-row sort partition."""
+    labels = QUERIES["dedup_minhash_clusters"][0](spark, sf_dir)
+    q = (
+        QUERIES["text_quality_score"][0](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("quality") * 1000000).cast("long").alias("qm"),
+        )
+    )
+    j = labels.join(q, "doc_id", "left").withColumn(
+        "qm", F.coalesce("qm", F.lit(-1).cast("long"))
+    )
+    return j.groupBy("canonical_id").agg(
+        F.max_by("doc_id", F.struct(F.col("qm"), (-F.col("doc_id")).alias("nd"))).alias(
+            "kept_doc_id"
+        ),
+        F.max("qm").alias("kept_q_micros"),
+        F.count("*").alias("n_members"),
+        (F.count("*") - F.lit(1)).alias("n_dropped"),
+    )
+
+
+@_q(
     "text_token_count",
     """
     SELECT doc_id,
