@@ -4236,6 +4236,79 @@ def nlp_entities(spark, sf_dir):
     return nlpfn.entity_rows(r, F.col("t"), "doc_id")
 
 
+# Hashed-feature linear classifier (the "hashing trick", Weinberger et al.
+# 2009; the shape of fastText/CCNet-style quality filters): token -> rolling
+# polynomial hash -> bucket -> fixed integer weight; doc score = sum of
+# weights. The weight vector is a FIXED, versioned model artifact — here a
+# Knuth-multiplicative placeholder so the pipeline shape (feature hashing,
+# array-literal weight lookup, integer scoring) is real and exact; a trained
+# model swaps in the same 256-long table.
+_CLS_B = 256
+_CLS_M = 1000000007  # acc*257+255 < 2.6e11 — safe in int64 in BOTH engines
+_CLS_WEIGHTS = [((b * 2654435761) % 2001) - 1000 for b in range(_CLS_B)]
+
+
+def _hashed_classifier_sql() -> str:
+    warr = "[" + ", ".join(str(w) for w in _CLS_WEIGHTS) + "]"
+    tok_w = (
+        f"CAST({warr}[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tk, ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 257 + x) % {_CLS_M}) % {_CLS_B} AS INT) + 1] "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(toks) AS n_feats,
+             list_transform(toks, tk -> {tok_w}) AS ws
+      FROM t
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(coalesce(list_sum(ws), 0) AS BIGINT) AS cls_score,
+           CASE WHEN coalesce(list_sum(ws), 0) >= 0
+                THEN 'keep' ELSE 'drop' END AS cls_label
+    FROM h
+    """
+
+
+@_q("text_hashed_classifier", _hashed_classifier_sql())
+def text_hashed_classifier(spark, sf_dir):
+    """Hashed-feature linear document scorer — the CCNet/DataComp quality-
+    filter shape: hash every token into one of 256 buckets (rolling
+    polynomial hash mod 1e9+7, the hashing trick) and sum the buckets'
+    fixed integer weights; label = keep iff score >= 0. Entirely JVM-side
+    higher-order functions (split → filter → transform → aggregate): no
+    explode (no row blowup at 100 TB), no UDF, whole-stage codegen intact.
+    Integer weights + integer sum keep the driver hash exact; ALL-DOCS
+    grain (empty docs score 0/keep) per the combo discipline. Codepoint ==
+    UTF-8 byte on this corpus (ASCII, same caveat as doc_fingerprint)."""
+    d = load(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w).cast("long") for w in _CLS_WEIGHTS])
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+
+    def tok_weight(tk):
+        h = F.aggregate(
+            F.split(tk, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 257 + F.ascii(c)) % F.lit(_CLS_M),
+        )
+        return F.element_at(warr, (h % _CLS_B).cast("int") + 1)
+
+    ws = F.transform(toks, tok_weight)
+    score = F.aggregate(ws, F.lit(0).cast("long"), lambda a, x: a + x)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_feats"),
+        score.alias("cls_score"),
+        F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("cls_label"),
+    )
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
@@ -4247,7 +4320,8 @@ def _combo_text_analysis_sql() -> str:
            p.n_pii, p.redacted_len,
            c.is_eval, c.contamination_frac, c.is_contaminated,
            b.n_boiler, b.boiler_frac,
-           m.sample_rank, m.is_selected
+           m.sample_rank, m.is_selected,
+           hc.n_feats, hc.cls_score, hc.cls_label
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -4259,6 +4333,7 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("text_decontaminate")} c USING (doc_id)
     JOIN {_sub("text_boilerplate")} b USING (doc_id)
     JOIN {_sub("sample_mixture")} m USING (doc_id)
+    JOIN {_sub("text_hashed_classifier")} hc USING (doc_id)
     """
 
 
@@ -4270,7 +4345,8 @@ def text_analysis(spark, sf_dir):
     (since r5) the reference's get_text_stats columns (nlpfn), and
     (since r6) the Gopher-style repetition signals, the PII scrub counts,
     benchmark decontamination, cross-doc boilerplate and the
-    sqrt-temperature mixture-sampling decision — joined on doc_id."""
+    sqrt-temperature mixture-sampling decision, and the hashed-feature
+    linear classifier score — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -4295,10 +4371,13 @@ def text_analysis(spark, sf_dir):
     m = QUERIES["sample_mixture"][0](spark, sf_dir).select(
         "doc_id", "sample_rank", "is_selected"
     )
+    hc = QUERIES["text_hashed_classifier"][0](spark, sf_dir).select(
+        "doc_id", "n_feats", "cls_score", "cls_label"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
-        .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id")
+        .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id").join(hc, "doc_id")
     )
 
 
