@@ -4175,6 +4175,41 @@ def nlp_text_stats(spark, sf_dir):
     return r.select("doc_id", *cols.values())
 
 
+_QA_QUESTION = "What is the main topic of the document?"
+_QA_ANSWER = (
+    "This is a placeholder answer. The main topic is not yet determined."
+)
+
+
+@_q(
+    "qa_generation",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_qa,
+           CASE WHEN length(text) > 0 THEN '{_QA_QUESTION}' END AS question,
+           CASE WHEN length(text) > 0 THEN '{_QA_ANSWER}' END AS answer
+    FROM documents
+    """,
+)
+def qa_generation(spark, sf_dir):
+    """QA-pair generation twin (qa_generation.py:26-31 generate_qa_pairs):
+    the reference module is itself an explicit placeholder — non-empty text
+    yields exactly ONE fixed question/answer pair, empty/invalid text
+    yields none. Reproduced verbatim (same strings, same emptiness gate) so
+    a reference user's stage-3 QA hook runs unchanged; a real generator
+    slots into the same all-docs-grain projection. Pure column
+    expressions — the model-call seam would be an Arrow-batched pandas UDF
+    in the same position."""
+    d = load(spark, sf_dir, "documents")
+    has = F.length("text") > 0
+    return d.select(
+        "doc_id",
+        F.when(has, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("n_qa"),
+        F.when(has, F.lit(_QA_QUESTION)).alias("question"),
+        F.when(has, F.lit(_QA_ANSWER)).alias("answer"),
+    )
+
+
 def _nlp_keywords_sql() -> str:
     from scrapy_spark.functions import nlpfn
 
