@@ -111,6 +111,23 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--workdir", required=True)
     v.add_argument("--master", default=None)
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite small per-generation files (Iceberg rewrite_data_files "
+        "analog); --collapse merges all generations of a cumulative-state "
+        "table (url_seen) under the latest prefix",
+    )
+    cp.add_argument("--workdir", required=True)
+    cp.add_argument(
+        "--table", default=None, help="one table (default: every committed table)"
+    )
+    cp.add_argument("--collapse", action="store_true")
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.add_argument(
+        "--vacuum", action="store_true", help="also delete the replaced files"
+    )
+    cp.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "export",
         help="flat-file export of a catalog table "
@@ -259,6 +276,15 @@ def main(argv: list[str] | None = None) -> int:
             print_report(report)
             return 1
 
+    from pyspark.sql import SparkSession
+
+    # In-process callers (pytest CLI-surface locks) share their session via
+    # getOrCreate; stopping a borrowed session would poison every later
+    # test in the suite. Only stop what we started.
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = get_spark("scrapy_spark_cli", master=args.master)
     try:
         if args.cmd == "crawl":
@@ -305,6 +331,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "vacuum":
             removed = SnapshotCatalog(args.workdir).vacuum()
             print(json.dumps({"removed_files": len(removed)}))
+        elif args.cmd == "compact":
+            cat = SnapshotCatalog(args.workdir)
+            tables = (
+                [args.table]
+                if args.table
+                else sorted(cat._load()["tables"].keys())
+            )
+            for t in tables:
+                summary = cat.compact(
+                    spark,
+                    t,
+                    min_files_per_group=args.min_files,
+                    collapse=args.collapse,
+                )
+                print(json.dumps(summary))
+            if args.vacuum:
+                print(json.dumps({"removed_files": len(cat.vacuum())}))
         elif args.cmd == "export":
             from scrapy_spark.sources.exporters import export_csv, export_json
 
@@ -552,7 +595,8 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             pass  # cleanup must not replace the command's own failure
         finally:
-            spark.stop()
+            if owns_session:
+                spark.stop()
 
 
 if __name__ == "__main__":

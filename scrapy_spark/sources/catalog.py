@@ -231,6 +231,89 @@ class SnapshotCatalog:
             return None
         return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        min_files_per_group: int = 2,
+        collapse: bool = False,
+        coalesce: int = 1,
+    ) -> dict:
+        """Small-file compaction — the Iceberg ``rewrite_data_files``
+        maintenance action. A long crawl appends at least one file per
+        table per generation (10^10-URL design point: thousands of
+        generations -> thousands of footers per scan), so periodic
+        compaction bounds file count without touching semantics.
+
+        Default mode groups files by their ``g{generation:05d}-`` name
+        prefix and rewrites each group holding >= ``min_files_per_group``
+        files down to ``coalesce`` file(s) UNDER THE SAME PREFIX —
+        :meth:`read_upto` time travel and resume numbering are preserved
+        exactly. ``collapse=True`` additionally merges ALL generations
+        into one group filed under the latest generation prefix (right for
+        cumulative-state tables like ``url_seen`` where any generation's
+        rows remain live forever; it forfeits per-generation time travel
+        for that table — the same documented tradeoff as a purge
+        overwrite).
+
+        Row counts are verified from parquet footers before the commit;
+        replaced files become orphans reclaimed by :meth:`vacuum`.
+        Publication is a single :meth:`commit_rewrite` (atomic manifest
+        swap): readers holding the old manifest keep working — snapshot
+        isolation, no reader-visible intermediate state."""
+        m = self._load()
+        files = list(m["tables"].get(table, []))
+        if not files:
+            return {"table": table, "before_files": 0, "after_files": 0, "rows": 0}
+        groups: dict[int, list[str]] = {}
+        if collapse:
+            latest = max(int(os.path.basename(f)[1:6]) for f in files)
+            groups[latest] = files
+        else:
+            for f in files:
+                groups.setdefault(int(os.path.basename(f)[1:6]), []).append(f)
+        new_list: list[str] = []
+        rewritten_old: list[str] = []
+        for gen in sorted(groups):
+            group = groups[gen]
+            if len(group) < max(min_files_per_group, coalesce + 1):
+                new_list.extend(group)
+                continue
+            df = self.read_files(spark, group)
+            staged = self.stage(df, table, gen, coalesce=coalesce)
+            if self.staged_rows(staged) != self.staged_rows(group):
+                for s in staged:  # abort: never commit a lossy rewrite
+                    os.remove(os.path.join(self.root, s))
+                raise RuntimeError(
+                    f"compact row-count mismatch for {table} g{gen:05d}"
+                )
+            new_list.extend(staged)
+            rewritten_old.extend(group)
+        if not rewritten_old:
+            return {
+                "table": table,
+                "before_files": len(files),
+                "after_files": len(files),
+                "rows": self.staged_rows(files),
+            }
+        self.commit_rewrite(
+            {table: new_list},
+            stats={
+                "op": "compact",
+                "table": table,
+                "collapse": collapse,
+                "before_files": len(files),
+                "after_files": len(new_list),
+            },
+        )
+        return {
+            "table": table,
+            "before_files": len(files),
+            "after_files": len(new_list),
+            "rows": self.staged_rows(new_list),
+        }
+
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
 

@@ -317,3 +317,92 @@ def test_catalog_format_version_gate(spark, tmp_path):
     open(mpath, "w").write(_json.dumps(m_new))
     with pytest.raises(ValueError, match="NEWER build"):
         SnapshotCatalog(root).committed_generation()
+
+
+def _stage_n(cat, spark, table, gen, chunks):
+    """Stage `chunks` (list of (start, n)) as one file each; return files."""
+    files = []
+    for start, n in chunks:
+        df = spark.range(start, start + n).withColumnRenamed("id", "v")
+        files += cat.stage(df, table, gen, coalesce=1)
+    return files
+
+
+def test_catalog_compact_per_generation(spark, tmp_path):
+    """Default compact rewrites each multi-file generation group under the
+    SAME g-prefix: rows identical, time travel + resume numbering intact,
+    replaced files become vacuumable orphans."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    f0 = _stage_n(cat, spark, "t", 0, [(0, 5), (10, 5), (20, 5)])
+    cat.commit(0, {"t": f0})
+    f1 = _stage_n(cat, spark, "t", 1, [(100, 4), (110, 4)])
+    cat.commit(1, {"t": f1})
+    before = {r.v for r in cat.read(spark, "t").collect()}
+    upto0 = {r.v for r in cat.read_upto(spark, "t", 0).collect()}
+    n_snaps = len(cat.snapshots())
+
+    s = cat.compact(spark, "t")
+    assert s["before_files"] == 5 and s["after_files"] == 2
+    assert {r.v for r in cat.read(spark, "t").collect()} == before
+    assert {r.v for r in cat.read_upto(spark, "t", 0).collect()} == upto0
+    assert cat.committed_generation() == 1  # numbering untouched
+    assert len(cat.snapshots()) == n_snaps + 1  # one overwrite snapshot
+    assert set(cat.orphan_files()) == set(f0) | set(f1)
+    cat.vacuum()
+    assert {r.v for r in cat.read(spark, "t").collect()} == before
+
+
+def test_catalog_compact_collapse_and_noop(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    f0 = _stage_n(cat, spark, "seen", 0, [(0, 3), (10, 3)])
+    cat.commit(0, {"seen": f0})
+    f1 = _stage_n(cat, spark, "seen", 1, [(20, 3)])
+    cat.commit(1, {"seen": f1})
+    before = {r.v for r in cat.read(spark, "seen").collect()}
+
+    s = cat.compact(spark, "seen", collapse=True)
+    assert s["after_files"] == 1
+    m_files = cat._load()["tables"]["seen"]
+    assert len(m_files) == 1 and "g00001-" in m_files[0]  # latest prefix
+    assert {r.v for r in cat.read(spark, "seen").collect()} == before
+
+    # already compact -> no-op: no rewrite, no extra snapshot
+    n_snaps = len(cat.snapshots())
+    s2 = cat.compact(spark, "seen", collapse=True)
+    assert s2["before_files"] == s2["after_files"] == 1
+    assert len(cat.snapshots()) == n_snaps
+
+
+def test_compact_cli_over_crawl_workdir(spark, tmp_path, capsys):
+    """Lock the CLI surface: compact a real (tiny) crawl workdir, then the
+    compacted catalog still reads and reports."""
+    import json as _json
+
+    from main import main as cli_main
+
+    from scrapy_spark.plans.crawl import CrawlJob, CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    wd = str(tmp_path / "crawl")
+    cfg = SynthConfig(seed=7, n_hosts=4, n_pages=40, n_images=10)
+    job = CrawlJob(spark, cfg, CrawlParams(max_generations=2, per_host_budget=4), wd)
+    job.run()
+    cat = SnapshotCatalog(wd)
+    before = {
+        r.url_hash for r in cat.read(spark, "url_seen").select("url_hash").collect()
+    }
+
+    rc = cli_main(["compact", "--workdir", wd, "--table", "url_seen",
+                   "--collapse", "--vacuum"])
+    assert rc == 0
+    lines = [
+        _json.loads(x)
+        for x in capsys.readouterr().out.splitlines()
+        if x.startswith("{")
+    ]
+    assert lines[0]["table"] == "url_seen"
+    assert lines[0]["after_files"] <= lines[0]["before_files"]
+    after = {
+        r.url_hash for r in cat.read(spark, "url_seen").select("url_hash").collect()
+    }
+    assert after == before
