@@ -209,6 +209,23 @@ def _build_parser() -> argparse.ArgumentParser:
     imd.add_argument("--show", type=int, default=20)
     imd.add_argument("--master", default=None)
 
+    imf = sub.add_parser(
+        "imagefilter",
+        help="LAION-style image+caption admission funnel over an "
+        "input_hint-shaped images.parquet (size/aspect/caption-token "
+        "bounds, boilerplate-caption and exact-phash dup drops); prints "
+        "one JSON summary line",
+    )
+    imf.add_argument("--images", required=True)
+    imf.add_argument("--min-side", type=int, default=32)
+    imf.add_argument("--max-aspect", type=int, default=4)
+    imf.add_argument("--min-caption-tokens", type=int, default=2)
+    imf.add_argument("--max-caption-tokens", type=int, default=64)
+    imf.add_argument("--max-caption-freq", type=int, default=2)
+    imf.add_argument("--out", default=None,
+                     help="also write the per-image decision table")
+    imf.add_argument("--master", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="evict one host's URLs from the seen set (forced re-crawl "
@@ -507,6 +524,33 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "imagefilter":
+            from pyspark.sql import functions as F
+
+            from scrapy_spark.operators.imageops import image_caption_filter
+
+            dec = image_caption_filter(
+                spark.read.parquet(args.images),
+                min_side=args.min_side,
+                max_aspect=args.max_aspect,
+                min_caption_tokens=args.min_caption_tokens,
+                max_caption_tokens=args.max_caption_tokens,
+                max_caption_freq=args.max_caption_freq,
+            )
+            if args.out:
+                dec.write.mode("overwrite").parquet(args.out)
+                dec = spark.read.parquet(args.out)  # reuse, don't recompute
+            reasons = ["too_small", "bad_aspect", "caption_short",
+                       "caption_long", "dup_caption", "dup_phash"]
+            row = dec.agg(
+                F.count("*").alias("images"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                *[F.sum(F.col(r).cast("long")).alias(r) for r in reasons],
+            ).collect()[0]
+            summary = {"images": row["images"], "kept": row["kept"] or 0,
+                       "dropped": row["images"] - (row["kept"] or 0)}
+            summary.update({r: int(row[r] or 0) for r in reasons})
+            print(json.dumps(summary))
         elif args.cmd == "purge":
             from scrapy_spark.plans.purge import purge_host
 

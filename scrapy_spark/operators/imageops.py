@@ -301,3 +301,95 @@ def thumbnail_images(images: DataFrame, max_side: int = 16) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=THUMB_SCHEMA
     )
+
+
+def image_caption_filter(
+    images: DataFrame,
+    *,
+    min_side: int = 32,
+    max_aspect: int = 4,
+    min_caption_tokens: int = 2,
+    max_caption_tokens: int = 64,
+    max_caption_freq: int = 2,
+) -> DataFrame:
+    """LAION/DataComp-style image+caption admission funnel over the
+    input_hint table (image_id, bytes, w, h, fmt, caption, phash): per
+    image, boolean drop reasons + the final ``keep`` conjunction.
+
+    Reasons (each a public multimodal-curation rule):
+      - ``too_small``      min(w, h) < min_side (thumbnails/tracking pixels)
+      - ``bad_aspect``     max(w, h) > max_aspect * min(w, h) (banners)
+      - ``caption_short``  < min_caption_tokens whitespace tokens
+      - ``caption_long``   > max_caption_tokens (SEO keyword stuffing)
+      - ``dup_caption``    caption shared by > max_caption_freq images
+                           (boilerplate alt text carries no signal)
+      - ``dup_phash``      exact perceptual duplicate (same phash, >1 image;
+                           near-dup handled separately by phash_neardup_*)
+
+    Scale shape: pure column expressions plus TWO key-grouped aggregates
+    (caption frequency, phash frequency) joined back on their keys —
+    map-side partial combine, AQE broadcasts the count sides while small;
+    never touches the bytes column (metadata-only admission, bytes
+    discipline). Linear in images; no window, no UDF."""
+    toks = F.size(F.filter(F.split(F.col("caption"), " "), lambda t: t != F.lit("")))
+    base = images.select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        toks.alias("caption_tokens"),
+    )
+    cap_n = base.groupBy("caption").agg(F.count("*").alias("n_same_caption"))
+    ph_n = base.groupBy("phash").agg(F.count("*").alias("n_same_phash"))
+    j = base.join(cap_n, "caption").join(ph_n, "phash")
+    too_small = F.least("w", "h") < min_side
+    bad_aspect = F.greatest("w", "h") > max_aspect * F.least("w", "h")
+    cap_short = F.col("caption_tokens") < min_caption_tokens
+    cap_long = F.col("caption_tokens") > max_caption_tokens
+    dup_caption = F.col("n_same_caption") > max_caption_freq
+    dup_phash = F.col("n_same_phash") > 1
+    keep = ~(too_small | bad_aspect | cap_short | cap_long | dup_caption | dup_phash)
+    return j.select(
+        "image_id", "w", "h", "fmt", "caption_tokens",
+        "n_same_caption", "n_same_phash",
+        too_small.alias("too_small"),
+        bad_aspect.alias("bad_aspect"),
+        cap_short.alias("caption_short"),
+        cap_long.alias("caption_long"),
+        dup_caption.alias("dup_caption"),
+        dup_phash.alias("dup_phash"),
+        keep.alias("keep"),
+    )
+
+
+def py_image_caption_filter(rows, **kw) -> list[dict]:
+    """Sequential python twin of :func:`image_caption_filter` (same knobs,
+    same reason order) for brute-force test parity."""
+    p = dict(min_side=32, max_aspect=4, min_caption_tokens=2,
+             max_caption_tokens=64, max_caption_freq=2)
+    p.update(kw)
+    from collections import Counter
+
+    cap_n = Counter(r["caption"] for r in rows)
+    ph_n = Counter(r["phash"] for r in rows)
+    out = []
+    for r in rows:
+        toks = len([t for t in r["caption"].split(" ") if t != ""])
+        too_small = min(r["w"], r["h"]) < p["min_side"]
+        bad_aspect = max(r["w"], r["h"]) > p["max_aspect"] * min(r["w"], r["h"])
+        cap_short = toks < p["min_caption_tokens"]
+        cap_long = toks > p["max_caption_tokens"]
+        dup_caption = cap_n[r["caption"]] > p["max_caption_freq"]
+        dup_phash = ph_n[r["phash"]] > 1
+        out.append(
+            {
+                "image_id": r["image_id"],
+                "caption_tokens": toks,
+                "too_small": too_small,
+                "bad_aspect": bad_aspect,
+                "caption_short": cap_short,
+                "caption_long": cap_long,
+                "dup_caption": dup_caption,
+                "dup_phash": dup_phash,
+                "keep": not (too_small or bad_aspect or cap_short or cap_long
+                             or dup_caption or dup_phash),
+            }
+        )
+    return out

@@ -85,3 +85,97 @@ def test_psnr_parity_operator(spark, images_df):
     out = psnr_parity(images_df, images_df).collect()
     assert len(out) == 25
     assert all(r["pixel_exact"] and r["psnr"] == float("inf") for r in out)
+
+
+def test_image_caption_filter_brute_force(spark):
+    """Spark funnel == sequential twin on constructed rows planting every
+    drop reason plus clean keeps."""
+    import pandas as pd
+
+    from scrapy_spark.operators.imageops import (
+        image_caption_filter,
+        py_image_caption_filter,
+    )
+
+    rows = [
+        # clean keeps
+        {"image_id": "ok1", "w": 640, "h": 480, "fmt": "png",
+         "caption": "a dog on the lawn", "phash": 111},
+        {"image_id": "ok2", "w": 200, "h": 200, "fmt": "jpeg",
+         "caption": "campus building at dusk", "phash": 222},
+        # too small
+        {"image_id": "tiny", "w": 16, "h": 500, "fmt": "png",
+         "caption": "tracking pixel art", "phash": 333},
+        # banner aspect
+        {"image_id": "banner", "w": 1200, "h": 100, "fmt": "gif",
+         "caption": "wide banner advertisement here", "phash": 444},
+        # caption too short / too long
+        {"image_id": "short", "w": 300, "h": 300, "fmt": "png",
+         "caption": "x", "phash": 555},
+        {"image_id": "long", "w": 300, "h": 300, "fmt": "png",
+         "caption": " ".join(["kw"] * 70), "phash": 666},
+        # boilerplate caption x3
+        *[{"image_id": f"boiler{i}", "w": 300, "h": 300, "fmt": "png",
+           "caption": "logo", "phash": 700 + i} for i in range(3)],
+        # exact phash dup pair
+        {"image_id": "dupa", "w": 300, "h": 300, "fmt": "png",
+         "caption": "the original image caption", "phash": 999},
+        {"image_id": "dupb", "w": 300, "h": 300, "fmt": "png",
+         "caption": "a mirrored re-upload caption", "phash": 999},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["image_id"]: r.asDict() for r in image_caption_filter(df).collect()}
+    want = {r["image_id"]: r for r in py_image_caption_filter(rows)}
+    assert set(got) == set(want)
+    for iid, w in want.items():
+        g = got[iid]
+        for k in w:
+            assert g[k] == w[k], (iid, k, g[k], w[k])
+    assert got["ok1"]["keep"] and got["ok2"]["keep"]
+    for iid in ("tiny", "banner", "short", "long",
+                "boiler0", "boiler1", "boiler2", "dupa", "dupb"):
+        assert not got[iid]["keep"], iid
+
+
+def test_imagefilter_cli_on_synth_images(spark, tmp_path, capsys):
+    """CLI lock: the funnel over real synth-built input_hint images; JSON
+    summary equals the sequential twin's aggregate."""
+    import json
+
+    import pandas as pd
+
+    from main import main as cli_main
+    from scrapy_spark.operators.imageops import py_image_caption_filter
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    cfg = SynthConfig(seed=13, n_hosts=4, n_pages=40, n_images=25)
+    pdf = synth.build_images(cfg).drop(columns=["bytes"])
+    # plant two rows the funnel must drop (the clean synth corpus keeps
+    # everything at default knobs — verified by the twin equality below)
+    planted = pd.DataFrame(
+        [
+            {"image_id": "planted-tiny", "w": 8, "h": 8, "fmt": "png",
+             "caption": "tiny planted image", "phash": -12345},
+            {"image_id": "planted-dup", "w": 100, "h": 100, "fmt": "png",
+             "caption": "planted exact dup", "phash": int(pdf["phash"].iloc[0])},
+        ]
+    )
+    pdf = pd.concat([pdf, planted.astype(pdf.dtypes.to_dict())],
+                    ignore_index=True)
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    rc = cli_main(["imagefilter", "--images", path])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    summary = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+
+    twin = py_image_caption_filter(pdf.to_dict("records"))
+    assert summary["images"] == len(twin) == 27
+    assert summary["kept"] == sum(1 for t in twin if t["keep"])
+    for reason in ("too_small", "bad_aspect", "caption_short",
+                   "caption_long", "dup_caption", "dup_phash"):
+        assert summary[reason] == sum(1 for t in twin if t[reason]), reason
+    # the synth corpus must exercise the funnel non-vacuously
+    assert 0 < summary["kept"] < summary["images"]
