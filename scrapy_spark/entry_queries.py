@@ -4424,19 +4424,37 @@ QUERIES["text_analysis"] = (text_analysis, _combo_text_analysis_sql())
 
 def _combo_dedup_labels_sql() -> str:
     return f"""
-    SELECT c.doc_id, c.canonical_id, s.simhash32
+    SELECT c.doc_id, c.canonical_id, s.simhash32,
+           k.kept_doc_id, k.kept_q_micros, k.n_members,
+           CAST(c.doc_id = k.kept_doc_id AS BOOLEAN) AS is_kept
     FROM {_sub("dedup_minhash_clusters")} c
     JOIN {_sub("dedup_simhash")} s USING (doc_id)
+    JOIN {_sub("dedup_keep_best")} k USING (canonical_id)
     """
 
 
 @_q("dedup_doc_labels", None)
 def dedup_doc_labels(spark, sf_dir):
     """COMBO: per-document dedup labels — MinHash-band cluster assignment
-    (the linear 100 TB shape) ⋈ SimHash fingerprint — joined on doc_id."""
+    (the linear 100 TB shape) ⋈ SimHash fingerprint on doc_id, plus (r6)
+    the cluster's quality-aware retention election joined back on
+    canonical_id: every doc row carries its cluster's kept_doc_id and its
+    own is_kept decision. Grain stays one row per doc (keep_best is
+    exactly one row per canonical_id)."""
     c = QUERIES["dedup_minhash_clusters"][0](spark, sf_dir)
     s = QUERIES["dedup_simhash"][0](spark, sf_dir)
-    return c.join(s, "doc_id")
+    k = QUERIES["dedup_keep_best"][0](spark, sf_dir).select(
+        "canonical_id", "kept_doc_id", "kept_q_micros", "n_members"
+    )
+    return (
+        c.join(s, "doc_id")
+        .join(k, "canonical_id")
+        .select(
+            "doc_id", "canonical_id", "simhash32",
+            "kept_doc_id", "kept_q_micros", "n_members",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("is_kept"),
+        )
+    )
 
 
 QUERIES["dedup_doc_labels"] = (dedup_doc_labels, _combo_dedup_labels_sql())
