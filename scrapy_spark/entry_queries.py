@@ -2502,6 +2502,66 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _diversity_sample_sql(n_clusters: int = 8, iters: int = 2, pct: int = 20) -> str:
+    parts = _ivf_parts(n_clusters, iters)[:-2]  # qv .. af only (no aq/p)
+    parts.append(
+        "sz AS (SELECT vec_id, cid,"
+        " count(*) OVER (PARTITION BY cid) AS n_c,"
+        " row_number() OVER (PARTITION BY cid"
+        " ORDER BY md5('divs:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)"
+        " AS sample_rank"
+        " FROM af)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT vec_id, cid, CAST(n_c AS BIGINT) AS cluster_size,
+           CAST(sample_rank AS BIGINT) AS sample_rank,
+           100 * sample_rank <= n_c * {pct} + 99 AS is_selected
+    FROM sz"""
+    )
+
+
+@_q("embed_diversity_sample", _diversity_sample_sql())
+def embed_diversity_sample(spark, sf_dir):
+    """SemDeDup-family diversity sampling (Abbas et al. 2023; DataComp
+    cluster-balanced curation): train integer-Lloyd centroids over the
+    embedding corpus, assign every vector to its home cluster, then keep a
+    fixed fraction PER CLUSTER (ceil(20%), exact integer compare
+    100*rank <= n*20 + 99) elected by md5 total order — semantic strata
+    instead of source strata (the sqrt-temperature twin is
+    sample_mixture). ALL-VECTORS grain: every embedding keeps a row with
+    its cluster, rank and decision.
+
+    Scale shape: Lloyd is the existing hash-exact IVF trainer (broadcast
+    centroids, linear passes); ranking is one window PER CLUSTER (cluster
+    count scales with the corpus, per-partition width ~n/K); no
+    all-pairs anything — the SemDeDup within-cluster pairwise-similarity
+    prune is exactly what embed_neardup_pairs/clusters already provide on
+    the blocked path."""
+    from scrapy_spark.operators.ann import ivf_assign, ivf_train
+
+    vecs = _spark_quantized(spark, sf_dir)
+    cent = ivf_train(vecs, n_clusters=8, iters=2)
+    a = ivf_assign(vecs, cent)
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.md5(F.concat(F.lit("divs:"), F.col("vec_id").cast("string"))).asc(),
+        F.col("vec_id").asc(),
+    )
+    sized = a.select(
+        "vec_id",
+        "cid",
+        F.count("*").over(Window.partitionBy("cid")).alias("n_c"),
+        F.row_number().over(w_rank).alias("sample_rank"),
+    )
+    return sized.select(
+        "vec_id",
+        "cid",
+        F.col("n_c").cast("long").alias("cluster_size"),
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        (100 * F.col("sample_rank") <= F.col("n_c") * 20 + 99).alias("is_selected"),
+    )
+
+
 @_q(
     "asof_join_last_order",
     """

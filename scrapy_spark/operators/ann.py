@@ -155,6 +155,21 @@ def ivf_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def ivf_train(vecs: DataFrame, n_clusters: int = 8, iters: int = 2) -> DataFrame:
+    """Fixed-iteration integer-Lloyd training: seeds are the lowest
+    vec_ids, assignments use 6dp-rounded cosine with centroid-id
+    tie-breaks, updates are exact integer sums — deterministic and
+    engine/order-independent. Returns the trained centroids with a lineage
+    cut (they always feed multiple consumers — the CLAUDE.md
+    multiply-consumed-mid-plan rule)."""
+    cent = vecs.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
+    )
+    for _ in range(iters):
+        cent = ivf_centroids(ivf_assign(vecs, cent))
+    return _cut(cent, name="ivf-centroids")
+
+
 def ivf_topk(
     vecs: DataFrame,
     query_pred: Column,
@@ -169,15 +184,7 @@ def ivf_topk(
     lowest vec_ids, assignments use rounded cosine with id tie-breaks,
     centroid updates are exact integer sums — hash-identical to the
     unrolled DuckDB CTE oracle."""
-    cent = vecs.filter(F.col("vec_id") < n_clusters).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
-    )
-    for _ in range(iters):
-        cent = ivf_centroids(ivf_assign(vecs, cent))
-    # trained centroids feed TWO consumers (home assignment + query probes):
-    # cut the Lloyd lineage so it is not recomputed per consumer
-    # (plans/materialize — the CLAUDE.md multiply-consumed-mid-plan rule)
-    cent = _cut(cent, name="ivf-centroids")
+    cent = ivf_train(vecs, n_clusters=n_clusters, iters=iters)
     assigned = ivf_assign(vecs, cent)
     # queries probe their n_probe nearest lists; candidates stay in their
     # single home list, so each (query, neighbor) pair matches at most once
