@@ -216,7 +216,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "bounds, boilerplate-caption and exact-phash dup drops); prints "
         "one JSON summary line",
     )
-    imf.add_argument("--images", required=True)
+    imf.add_argument("--images", default=None,
+                     help="input_hint-shaped images.parquet")
+    imf.add_argument("--workdir", default=None,
+                     help="crawl workdir (decode fetched image bytes)")
     imf.add_argument("--min-side", type=int, default=32)
     imf.add_argument("--max-aspect", type=int, default=4)
     imf.add_argument("--min-caption-tokens", type=int, default=2)
@@ -246,6 +249,31 @@ def _build_parser() -> argparse.ArgumentParser:
     w.add_argument("--out", required=True, help="output directory for parquet tables")
     w.add_argument("--master", default=None)
     return p
+
+
+def _final_crawl_images(spark, cat):
+    """One row per fetched image URL from a crawl workdir: latest-generation
+    final row wins (revalidation re-fetches leave several final rows). The
+    winner set is a NARROW (url, generation) broadcast back onto the base so
+    the bytes column never shuffles (bytes discipline). Shared by imagedup
+    and imagefilter."""
+    from pyspark.sql import functions as F
+
+    fr = cat.read(spark, "fetch_results")
+    if fr is None:
+        return None
+    base = fr.filter(
+        F.col("bytes").isNotNull()
+        & F.col("content_type").startswith("image/")
+        & F.col("is_final")
+    )
+    winners = base.groupBy("url").agg(F.max("generation").alias("generation"))
+    return base.join(F.broadcast(winners), ["url", "generation"]).select(
+        F.col("url").alias("image_id"),
+        "bytes",
+        F.regexp_replace("content_type", "^image/", "").alias("fmt"),
+        "caption",
+    )
 
 
 def _crawl_config(args):
@@ -470,29 +498,10 @@ def main(argv: list[str] | None = None) -> int:
                 meta = spark.read.parquet(args.images).select("image_id", "phash")
             else:
                 cat = SnapshotCatalog(args.workdir)
-                fr = cat.read(spark, "fetch_results")
-                if fr is None:
+                imgs = _final_crawl_images(spark, cat)
+                if imgs is None:
                     print("no fetch_results in " + args.workdir, file=sys.stderr)
                     return 2
-                # one row per URL: revalidation re-fetches leave several
-                # final rows; elect the latest generation via a NARROW
-                # (url, generation) winner set broadcast back so the bytes
-                # column never shuffles (bytes discipline)
-                base = fr.filter(
-                    F.col("bytes").isNotNull()
-                    & F.col("content_type").startswith("image/")
-                    & F.col("is_final")
-                )
-                winners = base.groupBy("url").agg(
-                    F.max("generation").alias("generation")
-                )
-                imgs = base.join(
-                    F.broadcast(winners), ["url", "generation"]
-                ).select(
-                    F.col("url").alias("image_id"),
-                    "bytes",
-                    F.regexp_replace("content_type", "^image/", "").alias("fmt"),
-                )
                 meta = (
                     extract_image_meta(imgs)
                     .filter(F.col("decode_ok"))
@@ -529,8 +538,33 @@ def main(argv: list[str] | None = None) -> int:
 
             from scrapy_spark.operators.imageops import image_caption_filter
 
+            if (args.workdir is None) == (args.images is None):
+                print("pass exactly one of --workdir / --images", file=sys.stderr)
+                return 2
+            if args.images:
+                inp = spark.read.parquet(args.images)
+            else:
+                from scrapy_spark.operators.imageops import extract_image_meta
+
+                imgs = _final_crawl_images(spark, SnapshotCatalog(args.workdir))
+                if imgs is None:
+                    print("no fetch_results in " + args.workdir, file=sys.stderr)
+                    return 2
+                meta = extract_image_meta(imgs).filter(F.col("decode_ok"))
+                # bytes stay behind: the funnel consumes decoded metadata +
+                # the caption via a narrow column-pruned re-join only
+                inp = meta.join(
+                    imgs.select("image_id", "fmt", "caption"), "image_id"
+                ).select(
+                    "image_id",
+                    F.col("decoded_w").alias("w"),
+                    F.col("decoded_h").alias("h"),
+                    "fmt",
+                    "caption",
+                    F.col("decoded_phash").alias("phash"),
+                )
             dec = image_caption_filter(
-                spark.read.parquet(args.images),
+                inp,
                 min_side=args.min_side,
                 max_aspect=args.max_aspect,
                 min_caption_tokens=args.min_caption_tokens,

@@ -179,3 +179,26 @@ def test_imagefilter_cli_on_synth_images(spark, tmp_path, capsys):
         assert summary[reason] == sum(1 for t in twin if t[reason]), reason
     # the synth corpus must exercise the funnel non-vacuously
     assert 0 < summary["kept"] < summary["images"]
+
+
+def test_imagefilter_cli_workdir_mode(spark, tmp_path, capsys):
+    """imagefilter --workdir: decode real fetched bytes, funnel on decoded
+    dims + crawl captions; summary counts consistent."""
+    import json
+
+    from main import main as cli_main
+    from scrapy_spark.plans.crawl import CrawlJob, CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    wd = str(tmp_path / "crawl")
+    cfg = SynthConfig(seed=9, n_hosts=4, n_pages=40, n_images=12)
+    CrawlJob(spark, cfg, CrawlParams(max_generations=3, per_host_budget=6), wd).run()
+
+    rc = cli_main(["imagefilter", "--workdir", wd])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    summary = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert summary["images"] > 0
+    assert summary["kept"] + summary["dropped"] == summary["images"]
+    # mode exclusivity guard
+    assert cli_main(["imagefilter"]) == 2
