@@ -109,6 +109,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("vacuum", help="delete orphan files from crashed generations")
     v.add_argument("--workdir", required=True)
+    v.add_argument(
+        "--expire-snapshots", type=int, default=None, metavar="N",
+        help="also trim the snapshot log to the last N entries "
+        "(maintenance-op entries always kept — resume consults them)",
+    )
     v.add_argument("--master", default=None)
 
     cp = sub.add_parser(
@@ -374,8 +379,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "vacuum":
-            removed = SnapshotCatalog(args.workdir).vacuum()
-            print(json.dumps({"removed_files": len(removed)}))
+            cat = SnapshotCatalog(args.workdir)
+            removed = cat.vacuum()
+            out = {"removed_files": len(removed)}
+            if args.expire_snapshots is not None:
+                out["expired_snapshots"] = cat.expire_snapshots(
+                    keep_last=args.expire_snapshots
+                )
+            print(json.dumps(out))
         elif args.cmd == "compact":
             cat = SnapshotCatalog(args.workdir)
             tables = (

@@ -314,6 +314,36 @@ class SnapshotCatalog:
             "rows": self.staged_rows(new_list),
         }
 
+    def expire_snapshots(self, keep_last: int = 100) -> int:
+        """Trim the snapshot LOG (the Iceberg ``expire_snapshots`` analog
+        for this manifest): drop plain generation-commit entries older than
+        the last ``keep_last`` log entries. Entries whose stats carry an
+        ``op`` (purge_host, compact — maintenance overwrites) are ALWAYS
+        kept: crawl resume consults the log to decide whether a killed
+        purge already applied (plans/crawl.py), so expiring one could
+        re-apply an eviction onto re-fetched rows. Only the log shrinks —
+        table file lists, committed_generation and read_upto time travel
+        are untouched (time travel keys on filename prefixes, not snapshot
+        ids). Returns the number of expired entries."""
+        m = self._load()
+        snaps = m["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        cut = len(snaps) - keep_last
+        kept = [
+            s for i, s in enumerate(snaps)
+            if i >= cut or (s.get("stats") or {}).get("op") is not None
+        ]
+        expired = len(snaps) - len(kept)
+        if expired == 0:
+            return 0
+        m["snapshots"] = kept
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+        return expired
+
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
 

@@ -406,3 +406,28 @@ def test_compact_cli_over_crawl_workdir(spark, tmp_path, capsys):
         r.url_hash for r in cat.read(spark, "url_seen").select("url_hash").collect()
     }
     assert after == before
+
+
+def test_expire_snapshots_keeps_op_entries(spark, tmp_path):
+    """Snapshot-log expiry drops old plain commits but NEVER maintenance-op
+    entries (crawl resume consults them for purge catch-up)."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    for g in range(6):
+        f = _stage_n(cat, spark, "t", g, [(g * 10, 2)])
+        cat.commit(g, {"t": f})
+    # a maintenance overwrite early in the log
+    cat.commit_rewrite({"t": cat._load()["tables"]["t"]},
+                       stats={"op": "purge_host", "host": "x.uconn.edu"})
+    for g in range(6, 9):
+        f = _stage_n(cat, spark, "t", g, [(g * 10, 2)])
+        cat.commit(g, {"t": f})
+    total = len(cat.snapshots())  # 10 entries: 9 commits + 1 op (mid-log)
+    assert total == 10
+    expired = cat.expire_snapshots(keep_last=3)
+    snaps = cat.snapshots()
+    assert expired == total - len(snaps)
+    assert len(snaps) == 4  # last 3 + the always-kept op entry
+    assert any((s["stats"] or {}).get("op") == "purge_host" for s in snaps)
+    assert cat.committed_generation() == 8  # untouched
+    assert cat.read(spark, "t").count() == 18  # data untouched
+    assert cat.expire_snapshots(keep_last=3) in (0, 1)  # idempotent-ish tail
