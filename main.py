@@ -116,6 +116,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     v.add_argument("--master", default=None)
 
+    dff = sub.add_parser(
+        "diff",
+        help="time-travel diff between two committed generations "
+        "(read_upto snapshot reads): URLs newly seen, per-host breakdown "
+        "(data_refresh.py change-detection semantics over the catalog)",
+    )
+    dff.add_argument("--workdir", required=True)
+    dff.add_argument("--from", dest="gen_from", type=int, required=True)
+    dff.add_argument("--to", dest="gen_to", type=int, required=True)
+    dff.add_argument("--show", type=int, default=10,
+                     help="sample of newly-seen URLs to print")
+    dff.add_argument("--master", default=None)
+
     cp = sub.add_parser(
         "compact",
         help="rewrite small per-generation files (Iceberg rewrite_data_files "
@@ -387,6 +400,50 @@ def main(argv: list[str] | None = None) -> int:
                     keep_last=args.expire_snapshots
                 )
             print(json.dumps(out))
+        elif args.cmd == "diff":
+            from pyspark.sql import functions as F
+
+            cat = SnapshotCatalog(args.workdir)
+            if args.gen_to > cat.committed_generation() or args.gen_from < 0:
+                print(
+                    f"generations out of range: committed up to "
+                    f"{cat.committed_generation()}", file=sys.stderr,
+                )
+                return 2
+            old = cat.read_upto(spark, "url_seen", args.gen_from)
+            new = cat.read_upto(spark, "url_seen", args.gen_to)
+            if new is None:
+                print("no url_seen in " + args.workdir, file=sys.stderr)
+                return 2
+            # snapshot semantics: url_seen only grows between generations,
+            # so the diff is one anti-join on the hash key
+            added = (
+                new.join(old.select("url_hash"), "url_hash", "left_anti")
+                if old is not None
+                else new
+            )
+            by_host = {
+                r["host"]: r["n"]
+                for r in added.groupBy("host")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            sample = [
+                r["url"]
+                for r in added.orderBy("host", "url").limit(args.show).collect()
+            ]
+            print(
+                json.dumps(
+                    {
+                        "from": args.gen_from,
+                        "to": args.gen_to,
+                        "new_urls": sum(by_host.values()),
+                        "hosts_touched": len(by_host),
+                        "by_host": dict(sorted(by_host.items())),
+                        "sample": sample,
+                    }
+                )
+            )
         elif args.cmd == "compact":
             cat = SnapshotCatalog(args.workdir)
             tables = (

@@ -1224,6 +1224,78 @@ def dedup_keep_best(spark, sf_dir):
 
 
 @_q(
+    "corpus_stats",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok,
+             n_chars, lang
+      FROM documents
+    ),
+    h AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    cum AS (SELECT tok, sum(c) OVER (ORDER BY tok) AS cum FROM h),
+    n AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT lang) AS n_langs
+      FROM t
+    )
+    SELECT CAST(n.n_docs AS BIGINT) AS n_docs, n.total_tokens, n.total_chars,
+           CAST(n.n_langs AS BIGINT) AS n_langs,
+           CAST((SELECT min(tok) FROM cum WHERE 100 * cum >= 50 * n.n_docs)
+                AS BIGINT) AS p50_tokens,
+           CAST((SELECT min(tok) FROM cum WHERE 100 * cum >= 95 * n.n_docs)
+                AS BIGINT) AS p95_tokens
+    FROM n
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """One-row corpus sizing summary — the "how big is my training set"
+    readout next to hygiene_funnel's drop counts: doc/token/char totals,
+    language count, and EXACT p50/p95 document token lengths.
+
+    Scale shape for exact global quantiles: sort the HISTOGRAM, never the
+    rows — token counts aggregate to (length, freq) pairs first, and the
+    cumulative window runs over distinct lengths only (bounded by the
+    longest document, not the corpus; the document analog of the
+    domain-latency integer-index rule). Percentile pick is the integer
+    compare 100*cum >= q*n. The three 1-row joins are bounded broadcast
+    builds."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = d.select(
+        F.size(toks).alias("tok"), "n_chars", "lang"
+    )
+    h = t.groupBy("tok").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("cum", F.sum("c").over(wc))
+    n = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    j = cum.crossJoin(F.broadcast(n))
+    p50 = j.filter(100 * F.col("cum") >= 50 * F.col("n_docs")).agg(
+        F.min("tok").cast("long").alias("p50_tokens")
+    )
+    p95 = j.filter(100 * F.col("cum") >= 95 * F.col("n_docs")).agg(
+        F.min("tok").cast("long").alias("p95_tokens")
+    )
+    return (
+        n.select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_tokens",
+            "total_chars",
+            F.col("n_langs").cast("long").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p95))
+    )
+
+
+@_q(
     "text_token_count",
     """
     SELECT doc_id,

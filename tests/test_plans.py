@@ -67,6 +67,7 @@ BNLJ_ALLOWLIST = {
     "ann_pq_recall",  # 1-row x 1-row recall-ratio cross (bounded build)
     "ann_ivfpq_topk",  # centroid broadcast cross (8-row build, ivf_assign)
     "ann_ivfpq_recall",
+    "corpus_stats",  # 1-row summary x 1-row quantile-pick crosses (bounded)
     "embed_diversity_sample",  # centroid broadcast cross (8-row build, ivf_assign)
     "pagerank_copurchase",
     "hits_copurchase",

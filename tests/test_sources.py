@@ -431,3 +431,31 @@ def test_expire_snapshots_keeps_op_entries(spark, tmp_path):
     assert cat.committed_generation() == 8  # untouched
     assert cat.read(spark, "t").count() == 18  # data untouched
     assert cat.expire_snapshots(keep_last=3) in (0, 1)  # idempotent-ish tail
+
+
+def test_diff_cli_time_travel(spark, tmp_path, capsys):
+    """diff CLI: newly-seen URLs between two generations == the url_seen
+    rows committed at generations in (from, to] (snapshot append-only)."""
+    import json as _json
+
+    from main import main as cli_main
+
+    from scrapy_spark.plans.crawl import CrawlJob, CrawlParams
+    from scrapy_spark.sources.synth import SynthConfig
+
+    wd = str(tmp_path / "crawl")
+    cfg = SynthConfig(seed=5, n_hosts=4, n_pages=40, n_images=10)
+    CrawlJob(spark, cfg, CrawlParams(max_generations=3, per_host_budget=5), wd).run()
+    cat = SnapshotCatalog(wd)
+    seen = cat.read(spark, "url_seen")
+    want = seen.filter("generation > 0 AND generation <= 2").count()
+
+    rc = cli_main(["diff", "--workdir", wd, "--from", "0", "--to", "2"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    d = _json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert d["new_urls"] == want
+    assert sum(d["by_host"].values()) == want
+    assert len(d["sample"]) == min(10, want)
+    # out-of-range guard
+    assert cli_main(["diff", "--workdir", wd, "--from", "0", "--to", "9"]) == 2
