@@ -658,3 +658,32 @@ def test_lineage_path_traces_to_seed(oracle, spark_run):
     got = [(p["url"], p["source_url"], p["source_type"]) for p in path]
     assert got == want
     assert len(path) >= 2  # genuinely multi-hop
+
+
+def test_resume_after_compaction_bit_identical(spark, oracle, tmp_path_factory):
+    """Maintenance must not disturb a mid-crawl resume: kill after
+    generation 1, COMPACT every table (+ collapse the cumulative url_seen
+    + vacuum), resume to the horizon — final schedule still oracle-exact."""
+    from scrapy_spark.sources.catalog import SnapshotCatalog
+
+    wd = str(tmp_path_factory.mktemp("crawl_compact_resume"))
+    p1 = CrawlParams(max_generations=2, per_host_budget=PARAMS.per_host_budget)
+    CrawlJob(spark, CFG, p1, wd, salt_buckets=4).run()
+
+    cat = SnapshotCatalog(wd)
+    for t in sorted(cat._load()["tables"]):
+        cat.compact(spark, t, collapse=(t == "url_seen"))
+    cat.vacuum()
+
+    job2 = CrawlJob(spark, CFG, PARAMS, wd, salt_buckets=4)
+    job2.run(resume=True)
+    rows = job2.catalog.read(spark, "fetch_results").collect()
+    got = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"], r["caption"])
+        for r in rows
+    )
+    want = sorted(
+        (r["generation"], r["host"], r["rank_in_host"], r["url"], r["caption"])
+        for r in oracle.scheduled
+    )
+    assert got == want
