@@ -140,6 +140,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--table", default=None, help="one table (default: every committed table)"
     )
     cp.add_argument("--collapse", action="store_true")
+    cp.add_argument(
+        "--sort-by", default=None, metavar="COL",
+        help="sort rows within each rewritten file (row-group min/max "
+        "stats become selective for point probes, e.g. url_seen on "
+        "url_hash — the Iceberg sort-order analog)",
+    )
     cp.add_argument("--min-files", type=int, default=2)
     cp.add_argument(
         "--vacuum", action="store_true", help="also delete the replaced files"
@@ -457,6 +463,7 @@ def main(argv: list[str] | None = None) -> int:
                     t,
                     min_files_per_group=args.min_files,
                     collapse=args.collapse,
+                    sort_by=args.sort_by,
                 )
                 print(json.dumps(summary))
             if args.vacuum:

@@ -239,6 +239,7 @@ class SnapshotCatalog:
         min_files_per_group: int = 2,
         collapse: bool = False,
         coalesce: int = 1,
+        sort_by: str | None = None,
     ) -> dict:
         """Small-file compaction — the Iceberg ``rewrite_data_files``
         maintenance action. A long crawl appends at least one file per
@@ -256,6 +257,14 @@ class SnapshotCatalog:
         rows remain live forever; it forfeits per-generation time travel
         for that table — the same documented tradeoff as a purge
         overwrite).
+
+        ``sort_by`` additionally sorts rows within each rewritten file
+        (``sortWithinPartitions``) so parquet row-group min/max statistics
+        become selective for point probes on that column — the Iceberg
+        sort-order/z-order analog; right for ``url_seen`` on ``url_hash``
+        where every anti-join is a hash-key probe. Row ORDER inside a
+        catalog table is never semantic (readers treat tables as sets), so
+        this is stats-only.
 
         Row counts are verified from parquet footers before the commit;
         replaced files become orphans reclaimed by :meth:`vacuum`.
@@ -281,7 +290,14 @@ class SnapshotCatalog:
                 new_list.extend(group)
                 continue
             df = self.read_files(spark, group)
-            staged = self.stage(df, table, gen, coalesce=coalesce)
+            if sort_by is not None:
+                # coalesce FIRST so each output file is one fully-sorted
+                # partition (sorting before the merge would leave
+                # interleaved sorted runs and useless row-group stats)
+                df = df.coalesce(coalesce).sortWithinPartitions(sort_by)
+                staged = self.stage(df, table, gen)
+            else:
+                staged = self.stage(df, table, gen, coalesce=coalesce)
             if self.staged_rows(staged) != self.staged_rows(group):
                 for s in staged:  # abort: never commit a lossy rewrite
                     os.remove(os.path.join(self.root, s))

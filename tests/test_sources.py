@@ -459,3 +459,23 @@ def test_diff_cli_time_travel(spark, tmp_path, capsys):
     assert len(d["sample"]) == min(10, want)
     # out-of-range guard
     assert cli_main(["diff", "--workdir", wd, "--from", "0", "--to", "9"]) == 2
+
+
+def test_compact_sort_by_gives_sorted_files(spark, tmp_path):
+    """compact(sort_by=...) rewrites each file fully sorted (row-group
+    stats become selective) without changing table contents."""
+    import pyarrow.parquet as _pq
+    import os as _os
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    # interleaved values across files so the pre-compact layout is unsorted
+    f0 = _stage_n(cat, spark, "seen", 0, [(100, 5), (0, 5), (50, 5)])
+    cat.commit(0, {"seen": f0})
+    before = {r.v for r in cat.read(spark, "seen").collect()}
+
+    s = cat.compact(spark, "seen", sort_by="v")
+    assert s["after_files"] == 1
+    assert {r.v for r in cat.read(spark, "seen").collect()} == before
+    f = cat._load()["tables"]["seen"][0]
+    vals = _pq.read_table(_os.path.join(str(tmp_path / "cat"), f)).column("v").to_pylist()
+    assert vals == sorted(vals)
