@@ -72,6 +72,11 @@ HEADLINE = [
     # round-6 training-data hygiene
     "text_decontaminate",
     "text_boilerplate",
+    # round-6 late additions
+    "dedup_keep_best",
+    "text_hashed_classifier",
+    "embed_diversity_sample",
+    "corpus_stats",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
