@@ -181,6 +181,12 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=20)
     q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing "
+        "(PushedFilters / ReadSchema / join strategies — the .explain "
+        "introspection surface)",
+    )
     q.add_argument("--master", default=None)
 
     ln = sub.add_parser(
@@ -502,6 +508,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query {args.name!r} (use --list)", file=sys.stderr)
                 return 2
             df = QUERIES[args.name][0](spark, args.sf_dir)
+            if args.explain:
+                df.explain("formatted")
+                return 0
             df.show(args.show, truncate=False)
             print(json.dumps({"query": args.name, "rows": df.count()}))
         elif args.cmd == "lineage":
