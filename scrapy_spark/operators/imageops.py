@@ -331,9 +331,14 @@ def image_caption_filter(
     map-side partial combine, AQE broadcasts the count sides while small;
     never touches the bytes column (metadata-only admission, bytes
     discipline). Linear in images; no window, no UDF."""
-    toks = F.size(F.filter(F.split(F.col("caption"), " "), lambda t: t != F.lit("")))
+    # NULL caption (real-HTTP images without alt text) reads as the empty
+    # caption: 0 tokens -> caption_short drop, and all captionless images
+    # share one frequency group — never a -1 from size(NULL)
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    toks = F.size(F.filter(F.split(cap, " "), lambda t: t != F.lit("")))
     base = images.select(
-        "image_id", "w", "h", "fmt", "caption", "phash",
+        "image_id", "w", "h", "fmt", "phash",
+        cap.alias("caption"),
         toks.alias("caption_tokens"),
     )
     cap_n = base.groupBy("caption").agg(F.count("*").alias("n_same_caption"))
@@ -367,16 +372,17 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
     p.update(kw)
     from collections import Counter
 
-    cap_n = Counter(r["caption"] for r in rows)
+    cap_n = Counter((r["caption"] or "") for r in rows)
     ph_n = Counter(r["phash"] for r in rows)
     out = []
     for r in rows:
-        toks = len([t for t in r["caption"].split(" ") if t != ""])
+        caption = r["caption"] or ""
+        toks = len([t for t in caption.split(" ") if t != ""])
         too_small = min(r["w"], r["h"]) < p["min_side"]
         bad_aspect = max(r["w"], r["h"]) > p["max_aspect"] * min(r["w"], r["h"])
         cap_short = toks < p["min_caption_tokens"]
         cap_long = toks > p["max_caption_tokens"]
-        dup_caption = cap_n[r["caption"]] > p["max_caption_freq"]
+        dup_caption = cap_n[caption] > p["max_caption_freq"]
         dup_phash = ph_n[r["phash"]] > 1
         out.append(
             {

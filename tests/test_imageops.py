@@ -122,6 +122,9 @@ def test_image_caption_filter_brute_force(spark):
          "caption": "the original image caption", "phash": 999},
         {"image_id": "dupb", "w": 300, "h": 300, "fmt": "png",
          "caption": "a mirrored re-upload caption", "phash": 999},
+        # NULL caption (real-HTTP image without alt text) == empty caption
+        {"image_id": "noalt", "w": 300, "h": 300, "fmt": "png",
+         "caption": None, "phash": 1111},
     ]
     df = spark.createDataFrame(pd.DataFrame(rows))
     got = {r["image_id"]: r.asDict() for r in image_caption_filter(df).collect()}
@@ -133,8 +136,9 @@ def test_image_caption_filter_brute_force(spark):
             assert g[k] == w[k], (iid, k, g[k], w[k])
     assert got["ok1"]["keep"] and got["ok2"]["keep"]
     for iid in ("tiny", "banner", "short", "long",
-                "boiler0", "boiler1", "boiler2", "dupa", "dupb"):
+                "boiler0", "boiler1", "boiler2", "dupa", "dupb", "noalt"):
         assert not got[iid]["keep"], iid
+    assert got["noalt"]["caption_tokens"] == 0  # never -1 from size(NULL)
 
 
 def test_imagefilter_cli_on_synth_images(spark, tmp_path, capsys):
