@@ -416,10 +416,10 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             cat = SnapshotCatalog(args.workdir)
-            if args.gen_to > cat.committed_generation() or args.gen_from < 0:
+            if not 0 <= args.gen_from <= args.gen_to <= cat.committed_generation():
                 print(
-                    f"generations out of range: committed up to "
-                    f"{cat.committed_generation()}", file=sys.stderr,
+                    f"generations out of range: need 0 <= from <= to <= "
+                    f"{cat.committed_generation()} (committed)", file=sys.stderr,
                 )
                 return 2
             old = cat.read_upto(spark, "url_seen", args.gen_from)

@@ -1206,10 +1206,7 @@ def dedup_keep_best(spark, sf_dir):
     labels = QUERIES["dedup_minhash_clusters"][0](spark, sf_dir)
     q = (
         QUERIES["text_quality_score"][0](spark, sf_dir)
-        .select(
-            "doc_id",
-            F.round(F.col("quality") * 1000000).cast("long").alias("qm"),
-        )
+        .select("doc_id", _micros(F.col("quality")).alias("qm"))
     )
     j = labels.join(q, "doc_id", "left").withColumn(
         "qm", F.coalesce("qm", F.lit(-1).cast("long"))

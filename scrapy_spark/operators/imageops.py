@@ -342,8 +342,17 @@ def image_caption_filter(
         toks.alias("caption_tokens"),
     )
     cap_n = base.groupBy("caption").agg(F.count("*").alias("n_same_caption"))
-    ph_n = base.groupBy("phash").agg(F.count("*").alias("n_same_phash"))
-    j = base.join(cap_n, "caption").join(ph_n, "phash")
+    # NULL phash (failed decode rows in a metadata parquet) is UNKNOWN
+    # content, not a duplicate group: a null-unsafe inner join would drop
+    # the row entirely; left-join + coalesce keeps it as a singleton
+    ph_n = base.filter(F.col("phash").isNotNull()).groupBy("phash").agg(
+        F.count("*").alias("n_same_phash")
+    )
+    j = (
+        base.join(cap_n, "caption")
+        .join(ph_n, "phash", "left")
+        .withColumn("n_same_phash", F.coalesce("n_same_phash", F.lit(1)))
+    )
     too_small = F.least("w", "h") < min_side
     bad_aspect = F.greatest("w", "h") > max_aspect * F.least("w", "h")
     cap_short = F.col("caption_tokens") < min_caption_tokens
@@ -373,7 +382,7 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
     from collections import Counter
 
     cap_n = Counter((r["caption"] or "") for r in rows)
-    ph_n = Counter(r["phash"] for r in rows)
+    ph_n = Counter(r["phash"] for r in rows if r["phash"] is not None)
     out = []
     for r in rows:
         caption = r["caption"] or ""
@@ -383,7 +392,7 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
         cap_short = toks < p["min_caption_tokens"]
         cap_long = toks > p["max_caption_tokens"]
         dup_caption = cap_n[caption] > p["max_caption_freq"]
-        dup_phash = ph_n[r["phash"]] > 1
+        dup_phash = (r["phash"] is not None) and ph_n[r["phash"]] > 1
         out.append(
             {
                 "image_id": r["image_id"],

@@ -79,6 +79,14 @@ class SnapshotCatalog:
             )
         return m
 
+    def _write_manifest(self, m: dict) -> None:
+        """Atomic manifest publish: tmp write + os.replace IS the snapshot
+        commit — every mutation path must go through here."""
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
     def committed_generation(self) -> int:
         return self._load()["committed_generation"]
 
@@ -177,10 +185,7 @@ class SnapshotCatalog:
             ] + files
         m["committed_generation"] = generation
         m["snapshots"].append({"generation": generation, "stats": stats or {}})
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path)  # atomic swap = the snapshot commit
+        self._write_manifest(m)  # atomic swap = the snapshot commit
 
     def commit_rewrite(
         self,
@@ -207,10 +212,7 @@ class SnapshotCatalog:
         m["snapshots"].append(
             {"generation": m["committed_generation"], "stats": stats or {}}
         )
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(m)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self._load()
@@ -284,9 +286,25 @@ class SnapshotCatalog:
                 groups.setdefault(int(os.path.basename(f)[1:6]), []).append(f)
         new_list: list[str] = []
         rewritten_old: list[str] = []
+        if sort_by is not None:
+            import pyarrow.parquet as _pq
+
+            schema_cols = set(
+                _pq.read_schema(os.path.join(self.root, files[0])).names
+            )
+            if sort_by not in schema_cols:
+                raise ValueError(
+                    f"compact sort_by column {sort_by!r} not in table "
+                    f"{table!r} (columns: {sorted(schema_cols)})"
+                )
         for gen in sorted(groups):
             group = groups[gen]
-            if len(group) < max(min_files_per_group, coalesce + 1):
+            # an explicit sort request rewrites even single-file groups
+            # (an already-collapsed url_seen must still be sortable)
+            threshold = 1 if sort_by is not None else max(
+                min_files_per_group, coalesce + 1
+            )
+            if len(group) < threshold:
                 new_list.extend(group)
                 continue
             df = self.read_files(spark, group)
@@ -354,10 +372,7 @@ class SnapshotCatalog:
         if expired == 0:
             return 0
         m["snapshots"] = kept
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(m)
         return expired
 
     def snapshots(self) -> list[dict]:

@@ -125,6 +125,10 @@ def test_image_caption_filter_brute_force(spark):
         # NULL caption (real-HTTP image without alt text) == empty caption
         {"image_id": "noalt", "w": 300, "h": 300, "fmt": "png",
          "caption": None, "phash": 1111},
+        # NULL phash (failed decode in a metadata parquet): unknown content,
+        # kept as a singleton — never silently dropped, never a dup group
+        {"image_id": "nohash", "w": 300, "h": 300, "fmt": "png",
+         "caption": "decode failed but caption fine ok", "phash": None},
     ]
     df = spark.createDataFrame(pd.DataFrame(rows))
     got = {r["image_id"]: r.asDict() for r in image_caption_filter(df).collect()}
@@ -139,6 +143,8 @@ def test_image_caption_filter_brute_force(spark):
                 "boiler0", "boiler1", "boiler2", "dupa", "dupb", "noalt"):
         assert not got[iid]["keep"], iid
     assert got["noalt"]["caption_tokens"] == 0  # never -1 from size(NULL)
+    assert "nohash" in got  # null phash row survives the frequency join
+    assert not got["nohash"]["dup_phash"] and got["nohash"]["keep"]
 
 
 def test_imagefilter_cli_on_synth_images(spark, tmp_path, capsys):

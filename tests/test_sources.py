@@ -457,8 +457,9 @@ def test_diff_cli_time_travel(spark, tmp_path, capsys):
     assert d["new_urls"] == want
     assert sum(d["by_host"].values()) == want
     assert len(d["sample"]) == min(10, want)
-    # out-of-range guard
+    # out-of-range guards: to beyond committed, and from > to
     assert cli_main(["diff", "--workdir", wd, "--from", "0", "--to", "9"]) == 2
+    assert cli_main(["diff", "--workdir", wd, "--from", "2", "--to", "1"]) == 2
 
 
 def test_compact_sort_by_gives_sorted_files(spark, tmp_path):
@@ -479,3 +480,19 @@ def test_compact_sort_by_gives_sorted_files(spark, tmp_path):
     f = cat._load()["tables"]["seen"][0]
     vals = _pq.read_table(_os.path.join(str(tmp_path / "cat"), f)).column("v").to_pylist()
     assert vals == sorted(vals)
+
+    # an explicit sort request rewrites even the (already-collapsed)
+    # single-file group — no silent no-op
+    f1 = _stage_n(cat, spark, "one", 0, [(30, 3), (0, 3)])
+    cat.commit(1, {"one": f1})
+    cat.compact(spark, "one", collapse=True)          # -> 1 unsorted file
+    s2 = cat.compact(spark, "one", collapse=True, sort_by="v")
+    assert s2["after_files"] == 1
+    f = cat._load()["tables"]["one"][0]
+    vals = _pq.read_table(_os.path.join(str(tmp_path / "cat"), f)).column("v").to_pylist()
+    assert vals == sorted(vals)
+
+    # unknown sort column fails fast, before any rewrite
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sort_by column"):
+        cat.compact(spark, "one", sort_by="nope")
