@@ -457,6 +457,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "compact":
+            if args.sort_by and not args.table:
+                print(
+                    "--sort-by is column-specific: pass --table too "
+                    "(sorting every table by one column is ill-defined)",
+                    file=sys.stderr,
+                )
+                return 2
             cat = SnapshotCatalog(args.workdir)
             tables = (
                 [args.table]
