@@ -4476,6 +4476,50 @@ def text_hashed_classifier(spark, sf_dir):
     )
 
 
+@_q(
+    "classifier_calibration",
+    f"""
+    WITH c AS MATERIALIZED (
+      SELECT doc_id, cls_label FROM {_sub("text_hashed_classifier")}
+    ),
+    q AS MATERIALIZED (
+      SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS qm
+      FROM {_sub("text_quality_score")}
+    )
+    SELECT c.cls_label,
+           CAST(least(3, q.qm // 250000) AS BIGINT) AS q_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.qm) AS BIGINT) AS sum_qm
+    FROM c JOIN q USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def classifier_calibration(spark, sf_dir):
+    """Model-evaluation readout for the hashed classifier: cross-tab of its
+    keep/drop label against heuristic-quality quartile bands — the
+    calibration table an operator checks before trusting a filter model at
+    corpus scale (a keep-heavy low-quality band means the weight table
+    needs retraining). Bands are exact integer arithmetic on quality
+    micros (qm // 250000 capped at 3 — DuckDB // == Spark floor for
+    non-negative ints); grain is (label, band), bounded at 2 x 4 rows.
+    One doc_id equi-join + one tiny hash aggregate."""
+    c = QUERIES["text_hashed_classifier"][0](spark, sf_dir).select(
+        "doc_id", "cls_label"
+    )
+    q = QUERIES["text_quality_score"][0](spark, sf_dir).select(
+        "doc_id", _micros(F.col("quality")).alias("qm")
+    )
+    band = F.least(F.lit(3), F.floor(F.col("qm") / 250000)).cast("long")
+    return (
+        c.join(q, "doc_id")
+        .groupBy("cls_label", band.alias("q_band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("qm").cast("long").alias("sum_qm"),
+        )
+    )
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
