@@ -62,6 +62,80 @@ def _optimizer_guard(spark) -> None:
     _GUARDED_SESSIONS.add(key)
 
 
+def grouped_total_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    rank_col: str,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Exact 1-based rank of EVERY row within its group under a total order,
+    without ever sorting a whole group in one task.
+
+    The naive shape — ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    — funnels each group through one task, so parallelism is bounded by the
+    group count and per-task width by the largest group (the
+    embed_diversity_sample scale defect from the round-6 verdict). This
+    computes identical ranks with bounded per-task width for ANY group-size
+    distribution:
+
+    1. **range-partition** on ``(group asc..., order...)`` — each partition
+       holds a contiguous slice of the lexicographic total order, so one
+       group spans a RUN of partitions and a giant group simply spans more
+       of them (a (pid, group) cell count of at most P + G - 1).
+    2. **local positions**: ``sortWithinPartitions`` + the
+       ``monotonically_increasing_id`` contract from :func:`topk_total_order`
+       — the id's low 33 bits are the within-partition position and its high
+       bits the partition id. The frame is lineage-cut here
+       (plans/materialize) because range partitioning samples for boundaries
+       and the id is non-deterministic: both downstream consumers must see
+       ONE materialization.
+    3. **tiny offset table**: ``groupBy(pid, group)`` → (first position,
+       count); per-group running-count offsets via a window over THIS
+       ≤ P + G - 1 row table (never the data), broadcast-joined back.
+       ``rank = pos - first + offset + 1``.
+
+    ``order_by`` must be a TOTAL order within each group (unique tie-break)
+    — equal keys could straddle a range boundary and make ranks ambiguous.
+    ``size_col``, if given, emits the group size from the same offset table
+    (saves the caller a second count-over-group window).
+    """
+    _optimizer_guard(df.sparkSession)
+    from ..plans.materialize import materialize as _cut
+
+    sort_cols = [F.col(g).asc() for g in group_cols] + list(order_by)
+    positioned = _cut(
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_gid", F.monotonically_increasing_id())
+        .withColumn("_pos", F.col("_gid").bitwiseAND(F.lit(_POS_MASK)))
+        .withColumn("_pid", F.shiftright("_gid", 33))
+        .drop("_gid"),
+        name="grouped-rank",
+    )
+    cells = positioned.groupBy("_pid", *group_cols).agg(
+        F.min("_pos").alias("_first"), F.count("*").alias("_cnt")
+    )
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        "_pid",
+        *group_cols,
+        "_first",
+        F.coalesce(F.sum("_cnt").over(w_run), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy(*group_cols)).alias("_gsz"),
+    )
+    out = positioned.join(F.broadcast(offsets), ["_pid", *group_cols]).withColumn(
+        rank_col, (F.col("_pos") - F.col("_first") + F.col("_off") + 1).cast("int")
+    )
+    if size_col is not None:
+        out = out.withColumn(size_col, F.col("_gsz"))
+    return out.drop("_pid", "_pos", "_first", "_off", "_gsz")
+
+
 def topk_total_order(
     df: DataFrame,
     order_by: list[Column],

@@ -347,3 +347,42 @@ def test_ivfpq_candidates_within_probed_lists(spark):
     assert rows
     for r in rows:
         assert home[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+def test_diversity_sample_scales_k_with_corpus(spark):
+    """The production seam derives K = ceil(n / target_cluster_size) so
+    cluster width stays ~constant as the corpus grows (round-6 verdict #1):
+    more vectors per target size -> more clusters; the pinned-K path matches
+    the driver query exactly; per-cluster selection keeps ceil(20%)."""
+    from scrapy_spark.operators.ann import diversity_sample
+
+    v = _vecs(spark)
+    n = v.count()
+    tgt = max(2, n // 8)
+    out = diversity_sample(v, pct=20, target_cluster_size=tgt)
+    k_derived = out.select("cid").distinct().count()
+    assert k_derived <= -(-n // tgt)  # never more clusters than derived K
+    # smaller target -> at least as many clusters trained (K grows with n/tgt)
+    out2 = diversity_sample(v, pct=20, target_cluster_size=max(2, tgt // 2))
+    assert out2.select("cid").distinct().count() >= k_derived
+
+    rows = out.groupBy("cid").agg(
+        F.max("cluster_size").alias("n_c"),
+        F.sum(F.col("is_selected").cast("int")).alias("n_sel"),
+        F.count("*").alias("n_rows"),
+    ).collect()
+    for r in rows:
+        assert r.n_rows == r.n_c  # all-vectors grain, size consistent
+        assert r.n_sel == -(-r.n_c * 20 // 100)  # exactly ceil(20%)
+
+
+def test_diversity_sample_pinned_k_matches_entry(spark):
+    """diversity_sample(n_clusters=8) is byte-identical to the driver query
+    (which pins K for its statically-unrolled oracle)."""
+    from scrapy_spark.entry_queries import QUERIES
+
+    entry = sorted(map(tuple, QUERIES["embed_diversity_sample"][0](spark, SF_DIR).collect()))
+    from scrapy_spark.operators.ann import diversity_sample
+
+    op = sorted(map(tuple, diversity_sample(_vecs(spark), pct=20, n_clusters=8, iters=2).collect()))
+    assert entry == op

@@ -160,3 +160,22 @@ def test_revalidation_scan_prunes_bytes(spark, tmp_path):
     read = p.split("ReadSchema")[1][:300]
     assert "bytes" not in read and "body_links" not in read, read
     assert "url" in read and "age_days" in read
+
+
+def test_diversity_sample_no_per_cluster_rank_window(spark):
+    """Round-6 verdict #1: the per-cluster sample election must not be a
+    row_number window PARTITIONed BY cid (bounded parallelism, one task per
+    cluster). After the grouped_total_rank rewrite the only row_number
+    windows anywhere in the query tree are ivf_assign's per-VECTOR ones,
+    and the only cid-partitioned window is the running-count aggregate over
+    the tiny (pid, cid) cell table. Checked on the OPTIMIZED plan (the
+    executed plan hides phase 1 behind the materialize cut, but neither
+    plan may show a cid-keyed row_number)."""
+    df = QUERIES["embed_diversity_sample"][0](spark, SF)
+    for plan in (
+        df._jdf.queryExecution().optimizedPlan().toString(),
+        df._jdf.queryExecution().executedPlan().toString(),
+    ):
+        for line in plan.splitlines():
+            if "row_number" in line:
+                assert "cid#" not in line.split("windowspecdefinition")[-1], line

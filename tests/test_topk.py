@@ -90,3 +90,99 @@ def test_topk_property_random(spark):
                 )
             )
             assert naive == fast, (parts, k)
+
+
+# ---------------------------------------------------------------------------
+# grouped_total_rank (round 7): exact within-group ranks without a
+# per-group window — equality vs the naive window, skew included, and a
+# plan with no row_number at all.
+# ---------------------------------------------------------------------------
+
+from scrapy_spark.operators.topk import grouped_total_rank  # noqa: E402
+
+
+def _naive_grouped(df, group, order):
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn("r", F.row_number().over(w)).withColumn(
+        "sz", F.count("*").over(Window.partitionBy(*group))
+    )
+
+
+def test_grouped_rank_equals_naive_window(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    for df in (e, e.repartition(13), e.repartition(32, "user_id")):
+        naive = sorted(
+            map(
+                tuple,
+                _naive_grouped(df, ["event_type"], order)
+                .select("event_id", "r", "sz")
+                .collect(),
+            )
+        )
+        fast = sorted(
+            map(
+                tuple,
+                grouped_total_rank(
+                    df, ["event_type"], order, "r", size_col="sz"
+                )
+                .select("event_id", "r", "sz")
+                .collect(),
+            )
+        )
+        assert naive == fast
+
+
+def test_grouped_rank_skewed_groups(spark):
+    """One group holds 90% of the rows (the scale-killer case for a
+    per-group window): ranks still exact, and the giant group spans many
+    range partitions instead of one task."""
+    import pandas as pd
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "g": ["big"] * (n - 500) + [f"s{i % 50}" for i in range(500)],
+            "uid": range(n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    order = [F.col("uid").asc()]
+    naive = sorted(
+        map(tuple, _naive_grouped(df, ["g"], order).select("uid", "r", "sz").collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            grouped_total_rank(df, ["g"], order, "r", size_col="sz")
+            .select("uid", "r", "sz")
+            .collect(),
+        )
+    )
+    assert naive == fast
+
+
+def test_grouped_rank_plan_has_no_per_group_window(spark):
+    """The ranking itself must not be a row_number window over the data:
+    the only window allowed is the running-count aggregate over the tiny
+    (pid, group) cell table."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(8)
+    fast = grouped_total_rank(
+        e, ["event_type"], [F.col("event_id").asc()], "r"
+    )
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    # phase 1 sits behind the lineage cut (Scan ExistingRDD), so its shape
+    # is asserted on an uncut replica: range exchange, per-partition sort
+    # (never a global one), no window at all
+    replica = (
+        e.repartitionByRange(F.col("event_type").asc(), F.col("event_id").asc())
+        .sortWithinPartitions(F.col("event_type").asc(), F.col("event_id").asc())
+        .withColumn("_gid", F.monotonically_increasing_id())
+    )
+    rplan = replica._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in rplan.lower()
+    assert "Window" not in rplan
+    for line in rplan.splitlines():
+        if "+- Sort [" in line or line.startswith("Sort ["):
+            assert ", false, 0" in line, f"global sort found: {line}"
