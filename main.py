@@ -75,6 +75,13 @@ def _add_crawl_args(c: argparse.ArgumentParser) -> None:
         help="explicit seed URL (repeatable); replaces the synthetic seed CSV",
     )
     c.add_argument(
+        "--seed-file",
+        dest="seed_file",
+        default=None,
+        help="seed CSV (header 'url'), e.g. the output of `main.py seeds`; "
+        "replaces the synthetic seed CSV",
+    )
+    c.add_argument(
         "--domain",
         default="uconn.edu",
         help="crawl domain allow-list suffix (default uconn.edu)",
@@ -115,6 +122,48 @@ def _build_parser() -> argparse.ArgumentParser:
         "(maintenance-op entries always kept — resume consults them)",
     )
     v.add_argument("--master", default=None)
+
+    sd = sub.add_parser(
+        "seeds",
+        help="seed-list maintenance (tools/update_seeds.py analog): mine a "
+        "catalog table for URLs, canonicalize, drop already-crawled ones, "
+        "merge an existing seed CSV, write one deduped sorted seed CSV",
+    )
+    sd.add_argument("--workdir", required=True)
+    sd.add_argument("--out", required=True, help="output seed CSV (header 'url')")
+    sd.add_argument(
+        "--merge-from", dest="merge_from", default="candidates",
+        help="catalog table to mine (candidates = pending frontier; "
+        "fetch_results = validated 200/text-html pages)",
+    )
+    sd.add_argument(
+        "--seed-file", dest="seed_file", default=None,
+        help="existing seed CSV to merge (header 'url')",
+    )
+    sd.add_argument(
+        "--min-validations", dest="min_validations", type=int, default=1,
+        help="fetch_results source only: minimum successful validations",
+    )
+    sd.add_argument(
+        "--include-seen", dest="include_seen", action="store_true",
+        help="keep already-crawled URLs (reference behavior)",
+    )
+    sd.add_argument("--domain", default=None, help="optional allow-list gate")
+    sd.add_argument("--master", default=None)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="roll the workdir back to generation N (checkpoint reset "
+        "analog): later files become vacuum orphans, resume re-runs N+1..; "
+        "refused when a purge/compact/retention op after N would be severed",
+    )
+    rb.add_argument("--workdir", required=True)
+    rb.add_argument("--to-generation", dest="to_gen", type=int, required=True)
+    rb.add_argument(
+        "--vacuum", action="store_true",
+        help="also delete the orphaned post-N files",
+    )
+    rb.add_argument("--master", default=None)
 
     dff = sub.add_parser(
         "diff",
@@ -377,6 +426,7 @@ def main(argv: list[str] | None = None) -> int:
                 use_bloom=args.seen_filter or args.bloom,
                 resolver_factory=resolver_factory,
                 seed_urls=args.seed_url,
+                seed_file=args.seed_file,
             )
             stats = job.run(resume=args.resume)
             for s in stats:
@@ -411,6 +461,36 @@ def main(argv: list[str] | None = None) -> int:
                 out["expired_snapshots"] = cat.expire_snapshots(
                     keep_last=args.expire_snapshots
                 )
+            print(json.dumps(out))
+        elif args.cmd == "seeds":
+            from scrapy_spark.sources.seeds import merged_seed_urls, write_seed_csv
+
+            cat = SnapshotCatalog(args.workdir)
+            try:
+                urls = merged_seed_urls(
+                    spark,
+                    cat,
+                    merge_from=args.merge_from,
+                    seed_file=args.seed_file,
+                    min_validations=args.min_validations,
+                    include_seen=args.include_seen,
+                    domain=args.domain,
+                )
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            n = write_seed_csv(urls, args.out)
+            print(json.dumps({"seeds": n, "out": args.out,
+                              "merge_from": args.merge_from}))
+        elif args.cmd == "rollback":
+            cat = SnapshotCatalog(args.workdir)
+            try:
+                out = cat.rollback(args.to_gen)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
+            if args.vacuum:
+                out["removed_files"] = len(cat.vacuum())
             print(json.dumps(out))
         elif args.cmd == "diff":
             from pyspark.sql import functions as F

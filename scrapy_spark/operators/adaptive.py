@@ -80,6 +80,80 @@ def stats_delta(staged_read: DataFrame) -> DataFrame:
     )
 
 
+def _recent(col_name: str):
+    """Newest-first flatten of a per-generation delta column, truncated to
+    WINDOW values — THE merge rule for adaptive history (shared by the
+    per-generation derivation and the retention compaction, so a truncation
+    tweak can never desynchronize them): order deltas by generation
+    descending, concatenate their (already newest-first) value arrays, keep
+    the first WINDOW."""
+    return F.slice(
+        F.flatten(
+            F.transform(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("generation").alias("g"),
+                                F.col(col_name).alias("v"),
+                            )
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            )
+        ),
+        1,
+        WINDOW,
+    )
+
+
+def compact_stats(spark, catalog) -> dict | None:
+    """Retention rewrite for the ``adaptive_stats`` history (round-6 verdict
+    #2): the table grows one delta row per (host, generation), so the
+    per-generation :func:`adaptive_config` read grows O(G) and total crawl
+    work O(G²) at the thousands-of-generations design point. This rewrites
+    it to ONE merged row per host — succ_lats/err_types collapsed with the
+    SAME newest-first/truncate-to-WINDOW rule the derivation applies
+    (:func:`_recent`), generation = the host's newest delta generation.
+
+    EXACT by construction: the derivation only ever consumes the first
+    WINDOW values of the newest-first flatten, and the merged row IS that
+    prefix in order — any later deltas sort strictly newer (their
+    generations are larger), so prepending them to the merged row yields the
+    same sequence the un-compacted table would. A generation predicate alone
+    would NOT be exact (an idle host's newest deltas can be arbitrarily
+    old); this keeps every host's live window regardless of idleness.
+
+    Files are staged under the newest generation prefix and published with
+    one atomic overwrite commit (``commit_rewrite`` — snapshot isolation,
+    replaced files become vacuum orphans). Like url_seen ``--collapse``,
+    this forfeits per-generation time travel FOR THIS TABLE — documented
+    trade for a hosts×1-row bound; the op snapshot entry records it.
+    Returns the op stats dict, or None when the table has fewer than two
+    files (nothing to bound)."""
+    m = catalog._load()
+    files = m["tables"].get("adaptive_stats", [])
+    if len(files) < 2:
+        return None
+    stats = catalog.read(spark, "adaptive_stats")
+    merged = stats.groupBy("host").agg(
+        _recent("succ_lats").alias("succ_lats"),
+        _recent("err_types").alias("err_types"),
+        F.max("generation").alias("generation"),
+    )
+    latest = max(int(f.split("/")[-1][1:6]) for f in files)
+    staged = catalog.stage(merged, "adaptive_stats", latest, coalesce=1)
+    op = {
+        "op": "adaptive_retention_compact",
+        "table": "adaptive_stats",
+        "before_files": len(files),
+        "after_files": len(staged),
+    }
+    catalog.commit_rewrite({"adaptive_stats": staged}, stats=op)
+    return op
+
+
 def adaptive_config(
     stats: DataFrame | None, max_attempts: int
 ) -> DataFrame | None:
@@ -100,29 +174,8 @@ def adaptive_config(
     if stats is None:
         return None
 
-    def recent(col_name):
-        return F.slice(
-            F.flatten(
-                F.transform(
-                    F.reverse(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("generation").alias("g"),
-                                    F.col(col_name).alias("v"),
-                                )
-                            )
-                        )
-                    ),
-                    lambda x: x["v"],
-                )
-            ),
-            1,
-            WINDOW,
-        )
-
     g = stats.groupBy("host").agg(
-        recent("succ_lats").alias("sl"), recent("err_types").alias("et")
+        _recent("succ_lats").alias("sl"), _recent("err_types").alias("et")
     )
     n_s = F.size("sl")
     avg = F.expr("aggregate(sl, 0L, (a, x) -> a + x) div size(sl)")

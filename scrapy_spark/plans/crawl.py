@@ -119,6 +119,7 @@ class CrawlJob:
         fetch_partitions: int | None = None,
         resolver_factory=None,
         seed_urls: list[str] | None = None,
+        seed_file: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -136,6 +137,9 @@ class CrawlJob:
         # explicit seed list (real-site crawls: pair with http_resolver and
         # params.domain); None = the synthetic web's seed CSV
         self.seed_urls = seed_urls
+        # seed CSV path (header 'url') — main.py seeds output round-trips
+        # here; read distributed (a merged frontier can be large)
+        self.seed_file = seed_file
         self._robots = None
 
     def robots_df(self) -> DataFrame:
@@ -145,6 +149,9 @@ class CrawlJob:
         return self._robots
 
     def _gen0_candidates(self) -> DataFrame:
+        if self.seed_file is not None:
+            seeds = self.spark.read.csv(self.seed_file, header=True).select("url")
+            return seeds_to_candidates(seeds, domain=self.params.domain)
         if self.seed_urls is not None:
             seeds = self.spark.createDataFrame(
                 [(u,) for u in self.seed_urls], "url string"
@@ -685,4 +692,19 @@ class CrawlJob:
         self.catalog.commit(
             gen, staged, stats={"generation": gen, "scheduled": n_sel}
         )
+
+        # adaptive_stats retention (round-6 verdict #2): on a fixed,
+        # generation-keyed cadence (deterministic under resume — a resumed
+        # crawl re-triggers at the same generations), rewrite the history
+        # to one merged row per host so the next adaptive_config read is
+        # hosts × WINDOW values instead of hosts × generations. Exact by
+        # the _recent prefix argument in adaptive.compact_stats; the oracle
+        # twin needs no change.
+        if (
+            params.adaptive_fetch
+            and params.adaptive_retention_every
+            and gen > 0
+            and gen % params.adaptive_retention_every == 0
+        ):
+            adaptive_ops.compact_stats(spark, self.catalog)
         return GenStats(gen, n_sel, elapsed)

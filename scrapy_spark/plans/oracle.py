@@ -125,6 +125,15 @@ class CrawlParams:
     # throttle-dominated domains raise their pacing delay. Constants and the
     # python/Spark twin derivations live in operators/adaptive.py
     adaptive_fetch: bool = False
+    # retention cadence for the adaptive_stats history table
+    # (operators/adaptive.compact_stats): every N committed generations the
+    # per-(host, generation) delta rows are rewritten to ONE merged row per
+    # host, bounding the per-generation config read at hosts × WINDOW values
+    # instead of hosts × generations (0 disables). Semantically EXACT — the
+    # merge rule is the derivation's own newest-first truncate-to-WINDOW
+    # prefix — so this oracle needs no counterpart; parity across a
+    # mid-crawl compaction is pinned in tests/test_crawl_parity.py
+    adaptive_retention_every: int = 8
     # alert severity gate for the JSONL file channel (alerts.py:130-135
     # _should_alert): events below this severity are recorded in the
     # committed `alerts` catalog table but not appended to alerts.jsonl
@@ -169,7 +178,12 @@ def _candidate(raw_url, source_url, source_type, anchor, depth, domain, attempt=
     }
 
 
-def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
+def run_oracle(
+    cfg: SynthConfig, params: CrawlParams, seed_urls: list[str] | None = None
+) -> OracleResult:
+    """``seed_urls`` replaces the synthetic seed CSV (the twin of
+    CrawlJob's seed_urls/seed_file plumbing — the main.py seeds round-trip
+    test crawls a merged seed list on both engines)."""
     from ..operators import adaptive as adaptive_mod
 
     counts = synth.zipf_page_counts(cfg)
@@ -278,10 +292,12 @@ def run_oracle(cfg: SynthConfig, params: CrawlParams) -> OracleResult:
     # generation 0 candidates: cleaned seeds (discovery_spider.py:199-245,927-992)
     # plus one sitemap.xml per distinct seed host (robots Sitemap recursion,
     # discovery_spider.py:994-1095)
-    seeds_df = synth.build_seeds(cfg)
+    seed_iter = (
+        seed_urls if seed_urls is not None else synth.build_seeds(cfg)["url"]
+    )
     cands = []
     seed_hosts = []
-    for raw in seeds_df["url"]:
+    for raw in seed_iter:
         cleaned = clean_seed_url(raw)
         if cleaned is None:
             continue

@@ -348,6 +348,87 @@ class SnapshotCatalog:
             "rows": self.staged_rows(new_list),
         }
 
+    def rollback(self, to_generation: int) -> dict:
+        """Roll the catalog back to the state committed at ``to_generation``
+        — the reset half of the reference's checkpoint manager
+        (``SP/tools/checkpoint_manager_cli.py`` list/resume/reset/export;
+        the Iceberg ``rollback_to_snapshot`` analog). An operator who
+        committed a bad generation truncates it away and resumes from N,
+        instead of purging hosts or restarting the crawl.
+
+        Mechanics (one atomic manifest swap, same as every commit):
+
+        - every table drops its files with a ``g{gen:05d}-`` prefix > N —
+          they stay on disk as orphans until :meth:`vacuum`, so a reader
+          holding the old manifest keeps working (snapshot isolation);
+        - ``committed_generation`` returns to N, so ``run(resume=True)``
+          re-runs N+1.. exactly as if the crawl had stopped at N;
+        - the snapshot log is truncated past N's commit entry and the
+          rollback itself is recorded as a maintenance-op entry
+          (op entries are always kept by :meth:`expire_snapshots`).
+
+        REFUSED when a maintenance op (purge/compact/retention) was
+        committed after generation N: those ops REWRITE files of earlier
+        generations (a purge drops url_seen rows; collapse/retention merge
+        them under the newest prefix), so the pre-op state of gens <= N is
+        no longer reachable from this manifest and a silent rollback would
+        resurrect a corrupted table view. Run the rollback first, maintain
+        after — or start a fresh workdir."""
+        m = self._load()
+        cur = m["committed_generation"]
+        if not 0 <= to_generation <= cur:
+            raise ValueError(
+                f"rollback target {to_generation} outside committed range "
+                f"0..{cur}"
+            )
+        if to_generation == cur:
+            return {"op": "rollback", "from": cur, "to": cur, "dropped_files": 0}
+        idx = None
+        for i, s in enumerate(m["snapshots"]):
+            st = s.get("stats", {})
+            if s.get("generation") == to_generation and "op" not in st:
+                idx = i
+        if idx is None:
+            raise ValueError(
+                f"no crawl commit found for generation {to_generation} in "
+                "the snapshot log (expired?) — cannot anchor the rollback"
+            )
+        severed = [
+            s["stats"]["op"]
+            for s in m["snapshots"][idx + 1 :]
+            if s.get("stats", {}).get("op")
+        ]
+        if severed:
+            raise ValueError(
+                "rollback refused: maintenance op(s) "
+                f"{sorted(set(severed))} were committed after generation "
+                f"{to_generation} and rewrote files of earlier generations; "
+                "the pre-op state is not reachable from this manifest"
+            )
+        dropped = 0
+        for table in sorted(m["tables"]):
+            keep = [
+                f
+                for f in m["tables"][table]
+                if int(os.path.basename(f)[1:6]) <= to_generation
+            ]
+            dropped += len(m["tables"][table]) - len(keep)
+            if keep:
+                m["tables"][table] = keep
+            else:
+                del m["tables"][table]
+        m["snapshots"] = m["snapshots"][: idx + 1]
+        m["committed_generation"] = to_generation
+        op = {
+            "op": "rollback",
+            "from": cur,
+            "to": to_generation,
+            "dropped_files": dropped,
+        }
+        m["snapshots"].append({"generation": to_generation, "stats": dict(op)})
+        self._write_manifest(m)
+        return op
+
     def expire_snapshots(self, keep_last: int = 100) -> int:
         """Trim the snapshot LOG (the Iceberg ``expire_snapshots`` analog
         for this manifest): drop plain generation-commit entries older than
