@@ -304,6 +304,16 @@ def _build_parser() -> argparse.ArgumentParser:
     imf.add_argument("--min-caption-tokens", type=int, default=2)
     imf.add_argument("--max-caption-tokens", type=int, default=64)
     imf.add_argument("--max-caption-freq", type=int, default=2)
+    imf.add_argument(
+        "--drop-neardups", dest="drop_neardups", action="store_true",
+        help="also drop banded-hamming phash near-dups (keep one image "
+        "per near-dup component, min image_id)",
+    )
+    imf.add_argument(
+        "--neardup-max-hamming", dest="neardup_max_hamming",
+        type=int, default=3,
+        help="near-dup hamming radius (complete recall needs < 4 bands)",
+    )
     imf.add_argument("--out", default=None,
                      help="also write the per-image decision table")
     imf.add_argument("--master", default=None)
@@ -741,12 +751,15 @@ def main(argv: list[str] | None = None) -> int:
                 min_caption_tokens=args.min_caption_tokens,
                 max_caption_tokens=args.max_caption_tokens,
                 max_caption_freq=args.max_caption_freq,
+                drop_neardups=args.drop_neardups,
+                neardup_max_hamming=args.neardup_max_hamming,
             )
             if args.out:
                 dec.write.mode("overwrite").parquet(args.out)
                 dec = spark.read.parquet(args.out)  # reuse, don't recompute
             reasons = ["too_small", "bad_aspect", "caption_short",
-                       "caption_long", "dup_caption", "dup_phash"]
+                       "caption_long", "dup_caption", "dup_phash",
+                       "dup_neardup"]
             row = dec.agg(
                 F.count("*").alias("images"),
                 F.sum(F.col("keep").cast("long")).alias("kept"),

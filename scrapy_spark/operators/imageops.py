@@ -311,6 +311,8 @@ def image_caption_filter(
     min_caption_tokens: int = 2,
     max_caption_tokens: int = 64,
     max_caption_freq: int = 2,
+    drop_neardups: bool = False,
+    neardup_max_hamming: int = 3,
 ) -> DataFrame:
     """LAION/DataComp-style image+caption admission funnel over the
     input_hint table (image_id, bytes, w, h, fmt, caption, phash): per
@@ -325,6 +327,23 @@ def image_caption_filter(
                            (boilerplate alt text carries no signal)
       - ``dup_phash``      exact perceptual duplicate (same phash, >1 image;
                            near-dup handled separately by phash_neardup_*)
+      - ``dup_neardup``    opt-in (``drop_neardups=True``): image sits in a
+                           banded-hamming near-dup component (1..3 flipped
+                           phash bits — re-encodes, light crops) and is not
+                           the component's elected keeper. LAION practice
+                           drops these alongside exact dups.
+
+    Near-dup arm shape: the kernel runs over DISTINCT phash values, not
+    images (exact-dup groups collapse to one node first, so a hot re-upload
+    can never explode the band join), pairs collapse via the linear
+    min-label fixpoint (phash_components), and the keeper is the MIN
+    image_id among the component's members — deterministic, no window over
+    images. The fixpoint's bounded iterations fully collapse chains up to
+    2^iterations bucket-hops (imageops.phash_components docstring); longer
+    chains split and keep one image per fragment — fail-safe toward
+    keeping. Quality-aware election (the doc-cluster retention pattern,
+    entry_queries quality_cluster_retention) composes on top by re-joining
+    components; the funnel keeps the admission decision content-only.
 
     Scale shape: pure column expressions plus TWO key-grouped aggregates
     (caption frequency, phash frequency) joined back on their keys —
@@ -353,13 +372,48 @@ def image_caption_filter(
         .join(ph_n, "phash", "left")
         .withColumn("n_same_phash", F.coalesce("n_same_phash", F.lit(1)))
     )
+    if drop_neardups:
+        # kernel over distinct phashes: id = the phash itself (stringified
+        # for the component labels), so hamming-0 exact dups are one node
+        ph_nodes = (
+            base.filter(F.col("phash").isNotNull())
+            # long cast: input_hint pins int64, but a pandas-built metadata
+            # parquet with missing phashes arrives float64 — banding needs
+            # integral bits (exact: phash doubles are integral by contract)
+            .select(F.col("phash").cast("long").alias("phash"))
+            .distinct()
+            .select(F.col("phash").cast("string").alias("image_id"), "phash")
+        )
+        pairs = phash_neardup_pairs(ph_nodes, max_hamming=neardup_max_hamming)
+        comp = phash_components(pairs).select(
+            F.col("image_id").cast("long").alias("phash"), "component_id"
+        )
+        # members: only phashes appearing in >=1 verified pair (every
+        # component therefore spans >=2 distinct phashes by construction)
+        members = (
+            base.select("image_id", "phash").join(comp, "phash")
+        )
+        winners = members.groupBy("component_id").agg(
+            F.min("image_id").alias("nd_keeper")
+        )
+        nd = members.join(winners, "component_id").select(
+            "image_id",
+            (F.col("image_id") != F.col("nd_keeper")).alias("dup_neardup"),
+        )
+        j = j.join(nd, "image_id", "left").withColumn(
+            "dup_neardup", F.coalesce("dup_neardup", F.lit(False))
+        )
+    else:
+        j = j.withColumn("dup_neardup", F.lit(False))
     too_small = F.least("w", "h") < min_side
     bad_aspect = F.greatest("w", "h") > max_aspect * F.least("w", "h")
     cap_short = F.col("caption_tokens") < min_caption_tokens
     cap_long = F.col("caption_tokens") > max_caption_tokens
     dup_caption = F.col("n_same_caption") > max_caption_freq
     dup_phash = F.col("n_same_phash") > 1
-    keep = ~(too_small | bad_aspect | cap_short | cap_long | dup_caption | dup_phash)
+    dup_neardup = F.col("dup_neardup")
+    keep = ~(too_small | bad_aspect | cap_short | cap_long | dup_caption
+             | dup_phash | dup_neardup)
     return j.select(
         "image_id", "w", "h", "fmt", "caption_tokens",
         "n_same_caption", "n_same_phash",
@@ -369,20 +423,52 @@ def image_caption_filter(
         cap_long.alias("caption_long"),
         dup_caption.alias("dup_caption"),
         dup_phash.alias("dup_phash"),
+        "dup_neardup",
         keep.alias("keep"),
     )
 
 
 def py_image_caption_filter(rows, **kw) -> list[dict]:
     """Sequential python twin of :func:`image_caption_filter` (same knobs,
-    same reason order) for brute-force test parity."""
+    same reason order) for brute-force test parity. The near-dup arm pairs
+    distinct phashes by brute-force hamming — equal to the banded kernel
+    for ``neardup_max_hamming < 4`` (pigeonhole-complete recall) — and
+    collapses with full union-find: equality with the Spark fixpoint holds
+    while chains are shorter than its 2^iterations collapse diameter (all
+    test fixtures; the split-chain regime keeps MORE on the Spark side)."""
     p = dict(min_side=32, max_aspect=4, min_caption_tokens=2,
-             max_caption_tokens=64, max_caption_freq=2)
+             max_caption_tokens=64, max_caption_freq=2,
+             drop_neardups=False, neardup_max_hamming=3)
     p.update(kw)
     from collections import Counter
 
     cap_n = Counter((r["caption"] or "") for r in rows)
     ph_n = Counter(r["phash"] for r in rows if r["phash"] is not None)
+    nd_drop: set = set()
+    if p["drop_neardups"]:
+        phs = sorted({r["phash"] for r in rows if r["phash"] is not None})
+        parent = {x: x for x in phs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        paired = set()
+        for i, a in enumerate(phs):
+            for b in phs[i + 1:]:
+                h = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if 0 < h <= p["neardup_max_hamming"]:
+                    parent[find(a)] = find(b)
+                    paired.update((a, b))
+        comps: dict = {}
+        for r in rows:
+            if r["phash"] in paired:
+                comps.setdefault(find(r["phash"]), []).append(r["image_id"])
+        for ids in comps.values():
+            keeper = min(ids)
+            nd_drop.update(i for i in ids if i != keeper)
     out = []
     for r in rows:
         caption = r["caption"] or ""
@@ -393,6 +479,7 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
         cap_long = toks > p["max_caption_tokens"]
         dup_caption = cap_n[caption] > p["max_caption_freq"]
         dup_phash = (r["phash"] is not None) and ph_n[r["phash"]] > 1
+        dup_neardup = r["image_id"] in nd_drop
         out.append(
             {
                 "image_id": r["image_id"],
@@ -403,8 +490,9 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
                 "caption_long": cap_long,
                 "dup_caption": dup_caption,
                 "dup_phash": dup_phash,
+                "dup_neardup": dup_neardup,
                 "keep": not (too_small or bad_aspect or cap_short or cap_long
-                             or dup_caption or dup_phash),
+                             or dup_caption or dup_phash or dup_neardup),
             }
         )
     return out

@@ -386,3 +386,28 @@ def test_diversity_sample_pinned_k_matches_entry(spark):
 
     op = sorted(map(tuple, diversity_sample(_vecs(spark), pct=20, n_clusters=8, iters=2).collect()))
     assert entry == op
+
+
+def test_ivfpq_recall_monotone_in_n_probe(spark):
+    """Round-6 verdict #7: the composed IVF-PQ path needs the same knob-
+    response evidence as plain IVF. With an UNBINDING shortlist the ADC
+    re-rank is exact over every candidate the probed lists contain, so
+    probing more lists can only add candidates: recall is monotonically
+    non-decreasing in n_probe and probing every list recovers brute force
+    exactly. (With the default bounded shortlist monotonicity is NOT a
+    theorem — a new candidate can displace a true neighbor from the ADC
+    shortlist — which is why this sweep pins the unbounded variant; the
+    default-knob point stays covered by the bounded-by-plain-IVF test.)"""
+    from scrapy_spark.operators.ann import ivfpq_recall
+
+    v = _vecs(spark).cache()
+    pred = F.col("vec_id") < 20
+    r = {
+        np_: ivfpq_recall(
+            v, pred, 3, n_clusters=8, n_probe=np_, shortlist=10**6
+        ).collect()[0]["recall"]
+        for np_ in (1, 2, 8)
+    }
+    v.unpersist()
+    assert r[1] <= r[2] <= r[8], r
+    assert r[8] == 1.0, r

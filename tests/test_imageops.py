@@ -212,3 +212,67 @@ def test_imagefilter_cli_workdir_mode(spark, tmp_path, capsys):
     assert summary["kept"] + summary["dropped"] == summary["images"]
     # mode exclusivity guard
     assert cli_main(["imagefilter"]) == 2
+
+
+def test_image_caption_filter_neardup_arm(spark):
+    """Round-6 verdict #6: opt-in ``drop_neardups`` drops banded-hamming
+    phash near-dups (not just exact-phash ones), keeping one image per
+    component (min image_id). Planted: a 1-bit-flip pair, a 3-node 1-bit
+    chain, and an exact-dup group adjacent to a near phash; Spark funnel ==
+    sequential union-find twin on every column."""
+    import pandas as pd
+
+    from scrapy_spark.operators.imageops import (
+        image_caption_filter,
+        py_image_caption_filter,
+    )
+
+    def img(iid, phash, caption):
+        return {"image_id": iid, "w": 300, "h": 300, "fmt": "png",
+                "caption": caption, "phash": phash}
+
+    rows = [
+        # 1-bit-flip near-dup pair: keeper = min image_id ("nd-a")
+        img("nd-a", 0b1011_0000_1111_0000, "a lighthouse at noon"),
+        img("nd-b", 0b1011_0000_1111_0001, "a lighthouse at noon again"),
+        # 1-bit chain p, p^1, p^3 — pairwise hamming 1/1/2, ONE component
+        img("chain-1", 1 << 40, "first crop of the quad"),
+        img("chain-2", (1 << 40) | 1, "second crop of the quad"),
+        img("chain-3", (1 << 40) | 3, "third crop of the quad"),
+        # exact-dup pair whose phash is ALSO 2 bits from a third image:
+        # x1/x2 fire dup_phash; the component {q, q^2} elects min("x1",
+        # "x2", "y-solo") and drops the rest as near-dups
+        img("x1", 0b111000, "original upload of the statue"),
+        img("x2", 0b111000, "mirror upload of the statue"),
+        img("y-solo", 0b111010, "recompressed statue image"),
+        # far singleton + null phash: never near-dup members
+        img("far", 0x5555555555555555, "an unrelated mountain photo"),
+        img("nohash", None, "decode failed caption present"),
+    ]
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "image_id string, w int, h int, fmt string, caption string, "
+        "phash long",  # the input_hint contract type (int64, nullable)
+    )
+    got = {r["image_id"]: r.asDict()
+           for r in image_caption_filter(df, drop_neardups=True).collect()}
+    want = {r["image_id"]: r
+            for r in py_image_caption_filter(rows, drop_neardups=True)}
+    assert set(got) == set(want)
+    for iid, w in want.items():
+        for k in w:
+            assert got[iid][k] == w[k], (iid, k, got[iid][k], w[k])
+    # keepers survive, non-keepers carry dup_neardup
+    assert got["nd-a"]["keep"] and not got["nd-a"]["dup_neardup"]
+    assert got["nd-b"]["dup_neardup"] and not got["nd-b"]["keep"]
+    assert got["chain-1"]["keep"]
+    assert got["chain-2"]["dup_neardup"] and got["chain-3"]["dup_neardup"]
+    assert got["x1"]["dup_phash"] and not got["x1"]["dup_neardup"]
+    assert got["x2"]["dup_phash"] and got["x2"]["dup_neardup"]
+    assert got["y-solo"]["dup_neardup"] and not got["y-solo"]["dup_phash"]
+    assert got["far"]["keep"] and got["nohash"]["keep"]
+    # default stays off: same rows, no near-dup column firing
+    off = {r["image_id"]: r.asDict()
+           for r in image_caption_filter(df).collect()}
+    assert not any(r["dup_neardup"] for r in off.values())
+    assert off["nd-b"]["keep"] and off["y-solo"]["keep"]
