@@ -200,3 +200,189 @@ def test_property_roundtrip_exact(w, h, seed, cache):
     out = decode_webp(encode_webp(px, use_color_cache=cache))
     assert out.shape == (h, w, 3)
     assert np.array_equal(out, px)
+
+
+# --- decoder independence: hand-built external VP8L streams -----------------
+# Round-6 verdict #9: every decode test above feeds the decoder its OWN
+# encoder's output. These streams are built by an independent bit-writer in
+# the test (spec conventions only: LSB-first packing, code bits MSB-first,
+# canonical shorter-first/ties-by-symbol assignment — RFC 9649 §5), so a
+# shared encoder/decoder misconception cannot cancel out.
+
+
+class _XW:
+    """Independent LSB-first bit accumulator (NOT webpfn._BitWriter)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        self.bits.extend((v >> i) & 1 for i in range(n))
+
+    def code(self, c, length):  # prefix-code bits go MSB-of-code first
+        self.bits.extend((c >> i) & 1 for i in range(length - 1, -1, -1))
+
+    def vp8l(self):
+        by = bytearray([0x2F])
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << j
+            by.append(b)
+        payload = bytes(by)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _x_canon(lengths):
+    """Independent canonical assignment (shorter first, ties by symbol)."""
+    codes, code, last = {}, 0, None
+    for s in sorted(lengths, key=lambda s: (lengths[s], s)):
+        code = 0 if last is None else (code + 1) << (lengths[s] - last)
+        codes[s] = (code, lengths[s])
+        last = lengths[s]
+    return codes
+
+
+def _x_simple(w, syms):
+    """Simple-code tree header, symbols written in the GIVEN order."""
+    w.put(1, 1)                  # simple
+    w.put(len(syms) - 1, 1)      # num_symbols - 1
+    if syms[0] <= 1:
+        w.put(0, 1)
+        w.put(syms[0], 1)
+    else:
+        w.put(1, 1)
+        w.put(syms[0], 8)
+    if len(syms) == 2:
+        w.put(syms[1], 8)
+
+
+def _x_header(w, width, height):
+    w.put(width - 1, 14)
+    w.put(height - 1, 14)
+    w.put(0, 1)   # alpha hint
+    w.put(0, 3)   # version
+
+
+def test_external_stream_simple_codes():
+    """4x2 red/blue checker, all five trees simple-coded, no transform, no
+    cache. The red tree writes its two symbols DESCENDING (255 then 0) —
+    a spec-valid order self-encoded streams never produce: canonical code 0
+    must still land on the numerically smaller symbol."""
+    from scrapy_spark.functions.webpfn import decode_webp
+
+    w = _XW()
+    _x_header(w, 4, 2)
+    w.put(0, 1)  # no transforms
+    w.put(0, 1)  # no color cache
+    w.put(0, 1)  # no meta-huffman
+    _x_simple(w, [0])         # green: always 0
+    _x_simple(w, [255, 0])    # red: {0,255} written DESCENDING
+    _x_simple(w, [0, 255])    # blue: {0,255} ascending
+    _x_simple(w, [255])       # alpha: opaque
+    _x_simple(w, [0])         # dist: unused but mandatory
+    # canonical 1-bit codes: smaller symbol gets code 0 in BOTH orders
+    for i in range(8):
+        red = i % 2 == 0
+        w.code(1 if red else 0, 1)   # red channel: 255 -> code 1
+        w.code(0 if red else 1, 1)   # blue channel: 0 -> code 0
+    px = decode_webp(w.vp8l())
+    assert px.shape == (2, 4, 3)
+    flat = px.reshape(-1, 3)
+    for i, p in enumerate(flat):
+        want = (255, 0, 0) if i % 2 == 0 else (0, 0, 255)
+        assert tuple(p) == want, (i, tuple(p))
+
+
+def test_external_stream_backref_and_cl_coded_tree():
+    """8x1 stream whose green tree is CODE-LENGTH-coded (symbol 259 cannot
+    ride a simple code) with the max-symbol short-circuit, ending in a
+    linear back-reference (length 4, distance 4): pins the cl-tree reader,
+    the length/distance prefix decode and the copy loop against spec."""
+    from scrapy_spark.functions.webpfn import decode_webp
+
+    w = _XW()
+    _x_header(w, 8, 1)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)  # transforms/cache/meta: none
+    # green tree: lengths {0: 1, 259: 1} over the 280-symbol alphabet
+    w.put(0, 1)       # not simple
+    w.put(0, 4)       # num_code_lengths = 4: order prefix [17, 18, 0, 1]
+    for ln in (0, 1, 0, 1):     # cl-symbol lengths: 18 -> 1, 1 -> 1
+        w.put(ln, 3)
+    clc = _x_canon({18: 1, 1: 1})
+    w.put(1, 1)       # max-symbol short-circuit present
+    w.put(0, 3)       # length_nbits = 2 + 2*0
+    w.put(2, 2)       # max_symbol = 2 + 2 = 4 cl reads
+    w.code(*clc[1])               # sym 0: length 1
+    w.code(*clc[18]); w.put(138 - 11, 7)   # skip 138 zeros
+    w.code(*clc[18]); w.put(120 - 11, 7)   # skip 120 -> at sym 259
+    w.code(*clc[1])               # sym 259 (length prefix 3): length 1
+    gc = _x_canon({0: 1, 259: 1})
+    _x_simple(w, [0, 255])    # red
+    _x_simple(w, [0, 255])    # blue
+    _x_simple(w, [255])       # alpha
+    _x_simple(w, [13])        # dist: prefix 13 == linear distance band
+    for i in range(4):        # literals R,B,R,B
+        red = i % 2 == 0
+        w.code(*gc[0])
+        w.code(1 if red else 0, 1)
+        w.code(0 if red else 1, 1)
+    w.code(*gc[259])          # length prefix 3 -> length 4, no extra bits
+    w.put(27, 5)              # dist prefix 13 extras: (2+1)<<5 + 27 + 1
+    #                           = dist_code 124 -> linear distance 4
+    px = decode_webp(w.vp8l())
+    assert px.shape == (1, 8, 3)
+    flat = px.reshape(-1, 3)
+    for i, p in enumerate(flat):
+        want = (255, 0, 0) if i % 2 == 0 else (0, 0, 255)
+        assert tuple(p) == want, (i, tuple(p))
+
+
+def test_external_stream_color_cache_and_subtract_green():
+    """4x1 single-color stream through the remaining decode paths: the
+    subtract-green transform bit and a 1-bit color cache — one literal
+    seeds the cache, three cache-hit symbols replay it; the inverse
+    transform must restore the original color."""
+    from scrapy_spark.functions.webpfn import decode_webp
+
+    r0, g0, b0 = 10, 200, 30
+    rt, bt = (r0 - g0) & 0xFF, (b0 - g0) & 0xFF   # subtract-green domain
+    argb = (255 << 24) | (rt << 16) | (g0 << 8) | bt
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 31   # spec cache hash, 1 bit
+    cache_sym = 256 + 24 + idx
+
+    w = _XW()
+    _x_header(w, 4, 1)
+    w.put(1, 1); w.put(2, 2)   # transform present: subtract-green (type 2)
+    w.put(0, 1)                # no more transforms
+    w.put(1, 1); w.put(1, 4)   # color cache, cache_bits = 1
+    w.put(0, 1)                # no meta-huffman
+    # green tree: lengths {200: 1, cache_sym: 1} over 282 symbols, cl-coded
+    w.put(0, 1)
+    w.put(0, 4)
+    for ln in (0, 1, 0, 1):
+        w.put(ln, 3)
+    clc = _x_canon({18: 1, 1: 1})
+    w.put(1, 1)
+    w.put(0, 3)
+    w.put(3, 2)                # max_symbol = 2 + 3 = 5 cl reads
+    w.code(*clc[18]); w.put(138 - 11, 7)             # skip 138
+    w.code(*clc[18]); w.put(62 - 11, 7)              # skip 62 -> sym 200
+    w.code(*clc[1])                                   # sym 200: length 1
+    w.code(*clc[18]); w.put(cache_sym - 201 - 11, 7)  # skip to cache_sym
+    w.code(*clc[1])                                   # cache_sym: length 1
+    gc = _x_canon({200: 1, cache_sym: 1})
+    _x_simple(w, [rt])        # red (transformed): trivial
+    _x_simple(w, [bt])        # blue (transformed): trivial
+    _x_simple(w, [255])       # alpha
+    _x_simple(w, [0])         # dist: unused
+    w.code(*gc[200])          # literal seeds cache[idx]
+    for _ in range(3):
+        w.code(*gc[cache_sym])
+    px = decode_webp(w.vp8l())
+    assert px.shape == (1, 4, 3)
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [(r0, g0, b0)] * 4
