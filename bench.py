@@ -77,6 +77,9 @@ HEADLINE = [
     "text_hashed_classifier",
     "embed_diversity_sample",
     "corpus_stats",
+    # round-7 additions
+    "dedup_duplicate_spans",
+    "leakage_safe_split",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
@@ -103,6 +106,7 @@ DATA_SCALE_QUERIES = [
     "sessionize_events",
     "text_decontaminate",
     "text_boilerplate",
+    "dedup_duplicate_spans",
 ]
 
 # a data-scale query without an sf0.1 HEADLINE timing has no denominator

@@ -2788,6 +2788,126 @@ def dedup_minhash_components(spark, sf_dir):
     return minhash_components(bands, iterations=4)
 
 
+_SPAN_K = 8  # duplicate-span k-gram width (tokens)
+
+
+def _pos_grams_sql(k: int = _SPAN_K) -> str:
+    """DuckDB twin of the POSITIONAL k-gram explode (no distinct — every
+    occurrence keeps its 1-based token position)."""
+    cols = ", ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"""
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', {cols}) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - {k - 1})) AS t(i)
+      WHERE len(w) >= {k}
+"""
+
+
+def _duplicate_spans_sql(k: int = _SPAN_K) -> str:
+    return f"""
+    WITH grams AS MATERIALIZED ({_pos_grams_sql(k)}),
+    freq2 AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+      GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN freq2 USING (g)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {k}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+@_q("dedup_duplicate_spans", _duplicate_spans_sql())
+def dedup_duplicate_spans(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2021, the suffix-array
+    dedup recast as k-gram posting lists): every maximal token span whose
+    8-grams all recur in >= 2 distinct docs, located so the pipeline can
+    CUT the span rather than drop the doc. LINEAR end to end — one gram
+    doc-frequency groupBy, one semi-join, per-DOC windows — no pair join
+    (operators/neardup.duplicate_spans docstring has the 100 TB analysis).
+    Exactness: positions are 1-based bigints in both engines; the NULL lag
+    at each doc's first duplicated position falls to the ELSE branch (new
+    island) identically in Spark and DuckDB three-valued logic."""
+    from scrapy_spark.operators.neardup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    d = d.filter(F.size("w") >= _SPAN_K)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("w"), i + j) if j else
+                            F.element_at(F.col("w"), i)
+                            for j in range(_SPAN_K)
+                        ],
+                    ).alias("g"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    return duplicate_spans(grams, k=_SPAN_K)
+
+
+@_q(
+    "leakage_safe_split",
+    f"""
+    WITH comp AS MATERIALIZED ({_minhash_components_sql()})
+    SELECT d.doc_id,
+           coalesce(c.component_id, d.doc_id) AS group_key,
+           CASE WHEN substr(md5(concat('split:',
+                       coalesce(c.component_id, d.doc_id))), 1, 4) < 'e666'
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/heldout split: the split is a deterministic hash
+    of the near-dup COMPONENT id, not the doc id, so a document and its
+    near-duplicates can never straddle the boundary (the classic eval-
+    contamination failure of doc-hash splits: a paraphrase of a heldout doc
+    lands in train). ~90% train (md5 4-hex prefix < 'e666' ==
+    58982/65536); docs too short to shingle are their own singleton group.
+
+    Scale shape: the component table is doc-grain, the join is one doc_id
+    equi-join, the hash is JVM-side md5 — linear over the corpus, no new
+    shuffle beyond the component fixpoint it reuses. All-docs grain
+    (text_analysis combo member)."""
+    comp = QUERIES["dedup_minhash_components"][0](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gk = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        gk.alias("group_key"),
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("split:"), gk)), 1, 4)
+            < "e666",
+            F.lit("train"),
+        )
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
 @_q("ann_ivf_recall", _ivf_recall_sql(n_probe=2))
 def ann_ivf_recall(spark, sf_dir):
     """Recall of the n_probe=2 IVF variant vs the brute-force baseline (one
@@ -4522,7 +4642,8 @@ def _combo_text_analysis_sql() -> str:
            c.is_eval, c.contamination_frac, c.is_contaminated,
            b.n_boiler, b.boiler_frac,
            m.sample_rank, m.is_selected,
-           hc.n_feats, hc.cls_score, hc.cls_label
+           hc.n_feats, hc.cls_score, hc.cls_label,
+           ls.group_key, ls.split
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -4535,6 +4656,7 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("text_boilerplate")} b USING (doc_id)
     JOIN {_sub("sample_mixture")} m USING (doc_id)
     JOIN {_sub("text_hashed_classifier")} hc USING (doc_id)
+    JOIN {_sub("leakage_safe_split")} ls USING (doc_id)
     """
 
 
@@ -4546,8 +4668,9 @@ def text_analysis(spark, sf_dir):
     (since r5) the reference's get_text_stats columns (nlpfn), and
     (since r6) the Gopher-style repetition signals, the PII scrub counts,
     benchmark decontamination, cross-doc boilerplate and the
-    sqrt-temperature mixture-sampling decision, and the hashed-feature
-    linear classifier score — joined on doc_id."""
+    sqrt-temperature mixture-sampling decision, the hashed-feature
+    linear classifier score, and (since r7) the leakage-safe
+    component-keyed train/heldout split — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -4575,10 +4698,14 @@ def text_analysis(spark, sf_dir):
     hc = QUERIES["text_hashed_classifier"][0](spark, sf_dir).select(
         "doc_id", "n_feats", "cls_score", "cls_label"
     )
+    ls = QUERIES["leakage_safe_split"][0](spark, sf_dir).select(
+        "doc_id", "group_key", "split"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
         .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id").join(hc, "doc_id")
+        .join(ls, "doc_id")
     )
 
 

@@ -224,3 +224,52 @@ def ngram_containment_pairs(
             F.round(c_ba, 6).alias("containment_ba"),
         )
     )
+
+
+def duplicate_spans(grams: DataFrame, k: int) -> DataFrame:
+    """Span-level EXACT substring dedup — the distributed recast of the
+    suffix-array dedup in "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2021): find every maximal token span whose
+    k-grams all recur in OTHER documents, so the pipeline can cut the span
+    instead of dropping the whole doc (the doc-grain ops ngram_jaccard /
+    containment decide doc fate; this one localizes the overlap).
+
+    ``grams`` = (doc_id, pos, g): one row per k-gram occurrence, pos
+    1-based. A k-gram is *duplicated* when it appears in >= 2 distinct
+    docs; runs of duplicated positions closer than k tokens merge into one
+    maximal span (gaps-and-islands with a lag window).
+
+    100 TB shape — LINEAR, no pair join anywhere: the doc-frequency
+    aggregate is one hash groupBy on the gram (at scale, group on
+    xxhash64(g) instead of the text to shrink the shuffle key — same
+    result, collision odds ~n^2/2^64); marking positions is one equi
+    semi-join; the lag/sum windows partition BY DOC, so no partition
+    outgrows a document. A boilerplate gram in 10^6 docs contributes 10^6
+    linear rows here, versus 10^12 pairs in a naive pair join.
+
+    Output grain: one row per (doc_id, maximal span):
+    (doc_id, span_start, span_end, span_tokens, n_dup_grams)."""
+    from pyspark.sql import Window
+
+    grams = _cut(grams, name="dup-span-grams")  # feeds freq + position mark
+    freq2 = (
+        grams.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    dup = grams.join(freq2, "g", "left_semi").select("doc_id", "pos")
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    w_cum = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_lag) <= k, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn("island", F.sum("brk").over(w_cum))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+        F.count("*").cast("long").alias("n_dup_grams"),
+    ).drop("island")

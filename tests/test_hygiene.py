@@ -202,3 +202,96 @@ def test_containment_asymmetric_branch(spark):
     assert r["containment_ba"] == round(3 / 14, 6)
     # the same pair's Jaccard = 3/14 < 0.9 -> dedup_ngram_jaccard at a
     # containment-grade threshold would never surface it
+
+
+def test_duplicate_spans_constructed(spark):
+    """Span-level exact substring dedup (k=8): a 12-token passage shared
+    between two docs yields ONE maximal span per doc covering exactly the
+    passage; a 7-token shared run (< k) never surfaces; repetition WITHIN
+    one doc alone is not cross-doc duplication."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(passage.split()) == 12
+    seven = "one two three four five six seven"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # passage at positions 3..14 (1-based)
+                "intro words here " + passage + " trailing tail",
+                # passage at positions 1..12
+                passage + " different ending text",
+                # 7 shared tokens only (< k=8): no duplicated 8-gram
+                seven + " unique filler tokens to pad the document body",
+                seven + " other padding words that do not repeat passage",
+                # self-repetition inside ONE doc: not cross-doc, no span
+                "solo phrase repeated here now solo phrase repeated here "
+                "now solo phrase repeated here now",
+            ],
+        }
+    )
+    rows = _with_docs(spark, pdf, "dedup_duplicate_spans")
+    got = {(r["doc_id"]): r for r in rows}
+    assert set(got) == {1, 2}
+    assert (got[1]["span_start"], got[1]["span_end"]) == (4, 15)
+    assert (got[2]["span_start"], got[2]["span_end"]) == (1, 12)
+    assert got[1]["span_tokens"] == got[2]["span_tokens"] == 12
+    # 12-token passage contains 12 - 8 + 1 = 5 duplicated 8-grams
+    assert got[1]["n_dup_grams"] == got[2]["n_dup_grams"] == 5
+
+
+def test_duplicate_spans_merge_and_split_islands(spark):
+    """Duplicated passages separated by ANY unique tokens stay separate
+    spans (cutting would swallow unique text); ADJACENT duplicated
+    passages merge into one maximal span."""
+    p1 = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    p2 = "iota kappa lambda mu nu xi omicron pi"              # 8 tokens
+    gap = "x1 x2 x3"                                          # unique gap
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                p1 + " " + gap + " " + p2,    # unique gap: 2 spans
+                p1 + " " + p2,                # adjacent: 1 merged span
+                p1 + " spacer words " + p2,   # donor doc for both
+            ],
+        }
+    )
+    rows = _with_docs(spark, pdf, "dedup_duplicate_spans")
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2
+    assert {(r["span_start"], r["span_end"]) for r in by_doc[1]} == {
+        (1, 8), (12, 19)
+    }
+    assert len(by_doc[2]) == 1
+    # doc 2 = p1 immediately followed by p2: duplicated 8-grams at pos 1
+    # and pos 9 are exactly k apart -> one maximal span [1, 16]
+    assert (by_doc[2][0]["span_start"], by_doc[2][0]["span_end"]) == (1, 16)
+    assert by_doc[2][0]["span_tokens"] == 16
+    assert len(by_doc[3]) == 2
+
+
+def test_leakage_safe_split_constructed(spark):
+    """Near-dup docs share a minhash component, so they land on the SAME
+    side of the split by construction; every doc (even unshingleable short
+    ones) gets a row; split values are the two expected labels."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " tail one",
+                shared + " tail two",          # near-dup of doc 1
+                "completely different words entirely",
+                "xy",                          # < 3 tokens: no shingles
+            ],
+        }
+    )
+    rows = _with_docs(spark, pdf, "leakage_safe_split")
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["group_key"] == got[2]["group_key"]
+    assert got[1]["split"] == got[2]["split"]
+    assert got[4]["group_key"] == 4            # singleton fallback
+    assert all(r["split"] in ("train", "heldout") for r in rows)
