@@ -318,6 +318,20 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="also write the per-image decision table")
     imf.add_argument("--master", default=None)
 
+    ib = sub.add_parser(
+        "imagebuckets",
+        help="aspect-ratio bucket assignment (NovelAI/SDXL training "
+        "practice): exact-integer argmin over the aspect ladder; prints "
+        "one JSON occupancy summary line",
+    )
+    ib.add_argument("--images", default=None,
+                    help="input_hint-shaped images.parquet")
+    ib.add_argument("--workdir", default=None,
+                    help="crawl workdir (decode fetched image bytes)")
+    ib.add_argument("--out", default=None,
+                    help="also write the per-image assignment table")
+    ib.add_argument("--master", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="evict one host's URLs from the seen set (forced re-crawl "
@@ -769,6 +783,49 @@ def main(argv: list[str] | None = None) -> int:
                        "dropped": row["images"] - (row["kept"] or 0)}
             summary.update({r: int(row[r] or 0) for r in reasons})
             print(json.dumps(summary))
+        elif args.cmd == "imagebuckets":
+            from pyspark.sql import functions as F
+
+            from scrapy_spark.operators.imageops import (
+                aspect_bucket_assign,
+                aspect_bucket_stats,
+            )
+
+            if (args.workdir is None) == (args.images is None):
+                print("pass exactly one of --workdir / --images", file=sys.stderr)
+                return 2
+            if args.images:
+                inp = spark.read.parquet(args.images).select(
+                    "image_id", "w", "h"
+                )
+            else:
+                from scrapy_spark.operators.imageops import extract_image_meta
+
+                imgs = _final_crawl_images(spark, SnapshotCatalog(args.workdir))
+                if imgs is None:
+                    print("no fetch_results in " + args.workdir, file=sys.stderr)
+                    return 2
+                inp = (
+                    extract_image_meta(imgs)
+                    .filter(F.col("decode_ok"))
+                    .select(
+                        "image_id",
+                        F.col("decoded_w").alias("w"),
+                        F.col("decoded_h").alias("h"),
+                    )
+                )
+            assigned = aspect_bucket_assign(inp)
+            if args.out:
+                assigned.write.mode("overwrite").parquet(args.out)
+                assigned = spark.read.parquet(args.out)
+            stats = sorted(
+                (r.asDict() for r in aspect_bucket_stats(assigned).collect()),
+                key=lambda r: (-r["n_images"], r["bucket_w"]),
+            )
+            print(json.dumps({
+                "images": sum(r["n_images"] for r in stats),
+                "buckets": stats,
+            }))
         elif args.cmd == "purge":
             from scrapy_spark.plans.purge import purge_host
 

@@ -496,3 +496,101 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
             }
         )
     return out
+
+
+# SDXL-style aspect ladder: landscape/portrait mirror pairs around square,
+# all heights multiples of 64 (the common latent-grid constraint). lcm of
+# heights stays < 2^21, so the exact integer compare below fits a long.
+ASPECT_LADDER: tuple[tuple[int, int], ...] = (
+    (512, 512),
+    (576, 448), (448, 576),
+    (640, 384), (384, 640),
+    (704, 320), (320, 704),
+)
+
+
+def aspect_bucket_assign(
+    images: DataFrame, ladder: tuple[tuple[int, int], ...] = ASPECT_LADDER
+) -> DataFrame:
+    """Aspect-ratio bucketing (NovelAI/SDXL training practice: batch images
+    of similar aspect so per-batch resize-crop waste is minimal): assign
+    each image to the ladder bucket minimizing |w/h - bw/bh|, EXACTLY —
+    the rational distance |w*bh - h*bw| / (h*bh) is compared across
+    buckets by multiplying through lcm(all bh) (h cancels; constants fold
+    at plan build), so the argmin is pure bigint arithmetic, no float
+    log-aspect approximations to drift between engines. Ties break to the
+    earlier ladder entry.
+
+    Scale shape: one array_min over a 7-struct literal array per row —
+    pure column expressions, zero shuffle, zero UDF; the occupancy rollup
+    (:func:`aspect_bucket_stats`) is one hash groupBy on the bucket key.
+
+    Output: (image_id, w, h, bucket_w, bucket_h)."""
+    import math
+
+    lads = list(ladder)
+    lcm_h = math.lcm(*[bh for _, bh in lads])
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    F.abs(
+                        F.col("w").cast("long") * bh
+                        - F.col("h").cast("long") * bw
+                    )
+                    * (lcm_h // bh)
+                ).alias("k"),
+                F.lit(i).alias("i"),
+                F.lit(bw).alias("bucket_w"),
+                F.lit(bh).alias("bucket_h"),
+            )
+            for i, (bw, bh) in enumerate(lads)
+        ]
+    )
+    best = F.array_min(entries)
+    return images.select(
+        "image_id", "w", "h",
+        best["bucket_w"].alias("bucket_w"),
+        best["bucket_h"].alias("bucket_h"),
+    )
+
+
+def aspect_bucket_stats(assigned: DataFrame) -> DataFrame:
+    """Bucket occupancy + mean upscale need: per ladder bucket, image
+    count and the count whose source resolution is below the bucket target
+    on either axis (those pay an upscale at train time — the knob for
+    pruning a starved bucket). One hash groupBy, bucket-cardinality rows."""
+    return assigned.groupBy("bucket_w", "bucket_h").agg(
+        F.count("*").alias("n_images"),
+        F.sum(
+            (
+                (F.col("w") < F.col("bucket_w"))
+                | (F.col("h") < F.col("bucket_h"))
+            ).cast("long")
+        ).alias("n_upscaled"),
+    )
+
+
+def py_aspect_bucket_assign(rows, ladder=ASPECT_LADDER) -> list[dict]:
+    """Sequential twin of :func:`aspect_bucket_assign` on exact fractions."""
+    from fractions import Fraction
+
+    out = []
+    for r in rows:
+        best = min(
+            range(len(ladder)),
+            key=lambda i: (
+                abs(
+                    Fraction(r["w"], r["h"])
+                    - Fraction(ladder[i][0], ladder[i][1])
+                ),
+                i,
+            ),
+        )
+        out.append(
+            {
+                "image_id": r["image_id"], "w": r["w"], "h": r["h"],
+                "bucket_w": ladder[best][0], "bucket_h": ladder[best][1],
+            }
+        )
+    return out

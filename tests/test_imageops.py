@@ -276,3 +276,106 @@ def test_image_caption_filter_neardup_arm(spark):
            for r in image_caption_filter(df).collect()}
     assert not any(r["dup_neardup"] for r in off.values())
     assert off["nd-b"]["keep"] and off["y-solo"]["keep"]
+
+
+def test_aspect_bucket_assign_twin_and_exactness(spark):
+    """Spark argmin over the exact-integer rational compare == the
+    Fraction-arithmetic twin, including boundary aspects exactly between
+    two buckets (tie -> earlier ladder entry) and extreme panoramas."""
+    from scrapy_spark.operators.imageops import (
+        ASPECT_LADDER,
+        aspect_bucket_assign,
+        aspect_bucket_stats,
+        py_aspect_bucket_assign,
+    )
+
+    rows = [
+        {"image_id": "sq", "w": 500, "h": 500},        # square -> 512x512
+        {"image_id": "land", "w": 1280, "h": 1000},    # 1.28 ~ 576/448
+        {"image_id": "port", "w": 1000, "h": 1280},
+        {"image_id": "wide", "w": 1665, "h": 1000},    # 1.665 ~ 640/384
+        {"image_id": "pano", "w": 4000, "h": 1000},    # beyond ladder: 704/320
+        {"image_id": "tall", "w": 320, "h": 3000},
+        # EXACT midpoint of 512/512 (1) and 576/448 (9/7): aspect 8/7
+        # -> |8/7-1| = 1/7 == |8/7-9/7|; tie must take the EARLIER entry
+        {"image_id": "mid", "w": 8, "h": 7},
+        {"image_id": "small", "w": 16, "h": 16},       # upscale case
+    ]
+    df = spark.createDataFrame(
+        [(r["image_id"], r["w"], r["h"]) for r in rows],
+        "image_id string, w int, h int",
+    )
+    got = {r["image_id"]: r.asDict()
+           for r in aspect_bucket_assign(df).collect()}
+    want = {r["image_id"]: r for r in py_aspect_bucket_assign(rows)}
+    assert got == want
+    assert (got["sq"]["bucket_w"], got["sq"]["bucket_h"]) == (512, 512)
+    assert (got["land"]["bucket_w"], got["land"]["bucket_h"]) == (576, 448)
+    assert (got["port"]["bucket_w"], got["port"]["bucket_h"]) == (448, 576)
+    assert (got["pano"]["bucket_w"], got["pano"]["bucket_h"]) == (704, 320)
+    assert (got["tall"]["bucket_w"], got["tall"]["bucket_h"]) == (320, 704)
+    assert (got["mid"]["bucket_w"], got["mid"]["bucket_h"]) == (512, 512)
+    # mirror symmetry: transposing w/h lands in the mirrored bucket
+    for a, b in (("land", "port"), ("pano", "tall")):
+        assert (got[a]["bucket_w"], got[a]["bucket_h"]) == (
+            got[b]["bucket_h"], got[b]["bucket_w"],
+        )
+    stats = {(r["bucket_w"], r["bucket_h"]): r.asDict()
+             for r in aspect_bucket_stats(aspect_bucket_assign(df)).collect()}
+    assert stats[(512, 512)]["n_images"] == 3      # sq, mid, small
+    # all three sit below 512 on an axis (sq is 500x500) -> all upscale
+    assert stats[(512, 512)]["n_upscaled"] == 3
+    assert sum(s["n_images"] for s in stats.values()) == len(rows)
+    assert set(stats) <= set(ASPECT_LADDER)
+
+
+def test_aspect_bucket_assign_on_synth_images(spark):
+    """Twin equality over the real synth input_hint corpus (every image
+    assigned, no nulls, plan stays shuffle-free for the assignment)."""
+    import pandas as pd
+
+    from scrapy_spark.operators.imageops import (
+        aspect_bucket_assign, py_aspect_bucket_assign,
+    )
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=7, n_hosts=4, n_pages=60,
+                                         n_images=40)).drop(columns=["bytes"])
+    df = spark.createDataFrame(pdf)
+    out = aspect_bucket_assign(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan   # pure row-local column exprs
+    got = {r["image_id"]: r.asDict() for r in out.collect()}
+    want = {r["image_id"]: r
+            for r in py_aspect_bucket_assign(pdf.to_dict("records"))}
+    assert got == want and len(got) == len(pdf)
+
+
+def test_imagebuckets_cli(spark, tmp_path, capsys):
+    """CLI lock: occupancy summary over a synth corpus equals the twin's
+    aggregate; counts cover every image."""
+    import json
+    from collections import Counter
+
+    from main import main as cli_main
+    from scrapy_spark.operators.imageops import py_aspect_bucket_assign
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=21, n_hosts=4, n_pages=50,
+                                         n_images=30)).drop(columns=["bytes"])
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    rc = cli_main(["imagebuckets", "--images", path])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    summary = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    twin = Counter(
+        (r["bucket_w"], r["bucket_h"])
+        for r in py_aspect_bucket_assign(pdf.to_dict("records"))
+    )
+    assert summary["images"] == len(pdf) == sum(twin.values())
+    got = {(b["bucket_w"], b["bucket_h"]): b["n_images"]
+           for b in summary["buckets"]}
+    assert got == dict(twin)
