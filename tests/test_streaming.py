@@ -399,3 +399,139 @@ def test_streaming_url_seen_state_expiry(spark, tmp_path):
         assert got == [1, 1, 99]  # two emissions of key 1 across horizons
     finally:
         q.stop()
+
+
+def test_streaming_image_admission_gate(spark, tmp_path):
+    """Ingest-gate funnel: stateless reasons drop row-locally; the phash
+    dedup admits the FIRST arrival in-horizon and drops repeats across
+    micro-batches; a null phash never forms a dup group."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.funnel import streaming_image_admission
+
+    src = tmp_path / "adm_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def rows(batch):
+        return pd.DataFrame(batch)
+
+    b1 = [
+        {"image_id": "ok1", "w": 300, "h": 300, "caption": "a fine caption",
+         "phash": 111, "ts": t0},
+        {"image_id": "tiny", "w": 8, "h": 300, "caption": "another caption",
+         "phash": 222, "ts": t0 + pd.Timedelta(seconds=1)},
+        {"image_id": "banner", "w": 1300, "h": 100, "caption": "wide thing",
+         "phash": 333, "ts": t0 + pd.Timedelta(seconds=2)},
+        {"image_id": "shortcap", "w": 300, "h": 300, "caption": "x",
+         "phash": 444, "ts": t0 + pd.Timedelta(seconds=3)},
+        # in-batch exact repeat of ok1's phash
+        {"image_id": "dup-in-batch", "w": 310, "h": 310,
+         "caption": "same image reupload", "phash": 111,
+         "ts": t0 + pd.Timedelta(seconds=4)},
+        # two null-phash rows: both admitted (unknown content, singletons)
+        {"image_id": "null-a", "w": 300, "h": 300,
+         "caption": "decode failed once", "phash": None,
+         "ts": t0 + pd.Timedelta(seconds=5)},
+        {"image_id": "null-b", "w": 300, "h": 300,
+         "caption": "decode failed twice", "phash": None,
+         "ts": t0 + pd.Timedelta(seconds=6)},
+    ]
+    rows(b1).astype({"phash": "Int64"}).to_parquet(
+        src / "b1.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(
+        "image_id string, w long, h long, caption string, phash long, "
+        "ts timestamp"
+    ).parquet(str(src))
+    out = streaming_image_admission(stream, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("adm_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["image_id"]
+                for r in spark.sql("SELECT image_id FROM adm_out").collect()}
+        assert got1 == {"ok1", "null-a", "null-b"}
+
+        # batch 2: cross-batch repeat of phash 111 dropped; new phash admitted
+        b2 = [
+            {"image_id": "dup-later", "w": 305, "h": 305,
+             "caption": "late reupload of ok1", "phash": 111,
+             "ts": t0 + pd.Timedelta(seconds=60)},
+            {"image_id": "fresh", "w": 305, "h": 305,
+             "caption": "genuinely new image", "phash": 999,
+             "ts": t0 + pd.Timedelta(seconds=61)},
+        ]
+        rows(b2).astype({"phash": "Int64"}).to_parquet(
+            src / "b2.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        q.processAllAvailable()
+        got2 = {r["image_id"]
+                for r in spark.sql("SELECT image_id FROM adm_out").collect()}
+        assert got2 == {"ok1", "null-a", "null-b", "fresh"}
+    finally:
+        q.stop()
+
+
+def test_streaming_admission_stats_windows(spark, tmp_path):
+    """Windowed drop-reason rollup: closed windows emit exactly once with
+    counts equal to a per-window python tally."""
+    import pandas as pd
+
+    from scrapy_spark.streaming.funnel import streaming_admission_stats
+
+    src = tmp_path / "admstat_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batch = [
+        # window [00:00, 10:00): 1 clean, 1 tiny, 1 short caption
+        {"image_id": "a", "w": 300, "h": 300, "caption": "fine one",
+         "phash": 1, "ts": t0 + pd.Timedelta(minutes=1)},
+        {"image_id": "b", "w": 8, "h": 300, "caption": "fine two",
+         "phash": 2, "ts": t0 + pd.Timedelta(minutes=2)},
+        {"image_id": "c", "w": 300, "h": 300, "caption": "x",
+         "phash": 3, "ts": t0 + pd.Timedelta(minutes=3)},
+        # window [10:00, 20:00): 1 banner
+        {"image_id": "d", "w": 1300, "h": 100, "caption": "wide banner here",
+         "phash": 4, "ts": t0 + pd.Timedelta(minutes=11)},
+    ]
+    pd.DataFrame(batch).to_parquet(src / "b1.parquet",
+                                   coerce_timestamps="us",
+                                   allow_truncated_timestamps=True)
+    stream = spark.readStream.schema(
+        "image_id string, w long, h long, caption string, phash long, "
+        "ts timestamp"
+    ).parquet(str(src))
+    out = streaming_admission_stats(stream, watermark="1 minute",
+                                    window="10 minutes")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("admstat_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far enough to close both windows
+        pd.DataFrame([
+            {"image_id": "z", "w": 300, "h": 300, "caption": "mover row",
+             "phash": 9, "ts": t0 + pd.Timedelta(hours=2)},
+        ]).to_parquet(src / "b2.parquet", coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        q.processAllAvailable()
+        got = {
+            str(r["window_start"]): r.asDict()
+            for r in spark.sql("SELECT * FROM admstat_out").collect()
+        }
+        w1 = got["2024-01-01 00:00:00"]
+        assert (w1["n_arrived"], w1["n_too_small"], w1["n_caption_short"]) \
+            == (3, 1, 1)
+        # reasons are independent flags: the 8x300 row is too_small AND
+        # (300 > 4*8) bad_aspect, exactly like the batch funnel
+        assert w1["n_bad_aspect"] == 1 and w1["n_caption_long"] == 0
+        w2 = got["2024-01-01 00:10:00"]
+        assert (w2["n_arrived"], w2["n_bad_aspect"]) == (1, 1)
+    finally:
+        q.stop()
