@@ -154,8 +154,10 @@ def _build_parser() -> argparse.ArgumentParser:
     rb = sub.add_parser(
         "rollback",
         help="roll the workdir back to generation N (checkpoint reset "
-        "analog): later files become vacuum orphans, resume re-runs N+1..; "
-        "refused when a purge/compact/retention op after N would be severed",
+        "analog, Spark-free): later files become vacuum orphans, resume "
+        "re-runs N+1..; refused when a purge/compact after N severed the "
+        "pre-op state, or when N < the last adaptive-retention as_of "
+        "(targets at/above it compose)",
     )
     rb.add_argument("--workdir", required=True)
     rb.add_argument("--to-generation", dest="to_gen", type=int, required=True)
@@ -424,6 +426,20 @@ def main(argv: list[str] | None = None) -> int:
             print_report(report)
             return 1
 
+    if args.cmd == "rollback":
+        # ops-recovery path: pure manifest/file surgery, instant by design —
+        # never pay a JVM spin-up to truncate a JSON manifest
+        cat = SnapshotCatalog(args.workdir)
+        try:
+            out = cat.rollback(args.to_gen)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        if args.vacuum:
+            out["removed_files"] = len(cat.vacuum())
+        print(json.dumps(out))
+        return 0
+
     from pyspark.sql import SparkSession
 
     # In-process callers (pytest CLI-surface locks) share their session via
@@ -506,16 +522,6 @@ def main(argv: list[str] | None = None) -> int:
             n = write_seed_csv(urls, args.out)
             print(json.dumps({"seeds": n, "out": args.out,
                               "merge_from": args.merge_from}))
-        elif args.cmd == "rollback":
-            cat = SnapshotCatalog(args.workdir)
-            try:
-                out = cat.rollback(args.to_gen)
-            except ValueError as e:
-                print(str(e), file=sys.stderr)
-                return 2
-            if args.vacuum:
-                out["removed_files"] = len(cat.vacuum())
-            print(json.dumps(out))
         elif args.cmd == "diff":
             from pyspark.sql import functions as F
 

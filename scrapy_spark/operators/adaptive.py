@@ -149,6 +149,10 @@ def compact_stats(spark, catalog) -> dict | None:
         "table": "adaptive_stats",
         "before_files": len(files),
         "after_files": len(staged),
+        # rollback anchor: the merged file lives under the g{as_of}- prefix;
+        # catalog.rollback to any N >= as_of keeps it (plus later deltas)
+        # and stays adaptive-parity-exact, N < as_of refuses
+        "as_of": latest,
     }
     catalog.commit_rewrite({"adaptive_stats": staged}, stats=op)
     return op

@@ -132,7 +132,7 @@ class CrawlParams:
     # instead of hosts × generations (0 disables). Semantically EXACT — the
     # merge rule is the derivation's own newest-first truncate-to-WINDOW
     # prefix — so this oracle needs no counterpart; parity across a
-    # mid-crawl compaction is pinned in tests/test_crawl_parity.py
+    # mid-crawl compaction is pinned in tests/test_adaptive_retention.py
     adaptive_retention_every: int = 8
     # alert severity gate for the JSONL file channel (alerts.py:130-135
     # _should_alert): events below this severity are recorded in the

@@ -367,13 +367,19 @@ class SnapshotCatalog:
           rollback itself is recorded as a maintenance-op entry
           (op entries are always kept by :meth:`expire_snapshots`).
 
-        REFUSED when a maintenance op (purge/compact/retention) was
-        committed after generation N: those ops REWRITE files of earlier
-        generations (a purge drops url_seen rows; collapse/retention merge
-        them under the newest prefix), so the pre-op state of gens <= N is
-        no longer reachable from this manifest and a silent rollback would
-        resurrect a corrupted table view. Run the rollback first, maintain
-        after — or start a fresh workdir."""
+        REFUSED when a maintenance op that REWRITES earlier-generation
+        files (purge, compact) was committed after generation N: the
+        pre-op state of gens <= N is no longer reachable from this
+        manifest and a silent rollback would resurrect a corrupted table
+        view. Run the rollback first, maintain after — or start a fresh
+        workdir. Two ops compose with rollback instead of refusing:
+        earlier ``rollback`` entries (they only drop refs ABOVE their
+        target, which the log order proves is >= N), and
+        ``adaptive_retention_compact`` when N >= its recorded ``as_of``
+        (the merged adaptive_stats file sits under the g{as_of}- prefix
+        and encodes exactly the WINDOW prefix a crawl stopped at N would
+        consume — the automatic mid-crawl retention cadence therefore
+        never locks rollback out of the post-compaction range)."""
         m = self._load()
         cur = m["committed_generation"]
         if not 0 <= to_generation <= cur:
@@ -393,11 +399,33 @@ class SnapshotCatalog:
                 f"no crawl commit found for generation {to_generation} in "
                 "the snapshot log (expired?) — cannot anchor the rollback"
             )
-        severed = [
-            s["stats"]["op"]
-            for s in m["snapshots"][idx + 1 :]
-            if s.get("stats", {}).get("op")
-        ]
+        severed = []
+        for s in m["snapshots"][idx + 1 :]:
+            st = s.get("stats", {})
+            op = st.get("op")
+            if not op:
+                continue
+            if op == "rollback":
+                # a rollback op at target T only DROPS file refs with
+                # gen > T, and the log is chronological: an op surviving
+                # after this anchor implies T >= to_generation, so the
+                # state at to_generation was never touched — repeated /
+                # deeper rollbacks compose freely
+                continue
+            if op == "adaptive_retention_compact" and (
+                st.get("as_of") is not None
+                and to_generation >= st["as_of"]
+            ):
+                # the retention rewrite merged adaptive_stats into ONE
+                # file under the g{as_of}- prefix using the derivation's
+                # own WINDOW-prefix rule; rolling back to N >= as_of keeps
+                # that file plus every later delta <= N, which IS the
+                # compacted state a crawl stopped at N would hold — exact.
+                # N < as_of would drop the merged history entirely
+                # (resume would see an empty table, breaking adaptive
+                # parity), so that direction still refuses below.
+                continue
+            severed.append(op)
         if severed:
             raise ValueError(
                 "rollback refused: maintenance op(s) "

@@ -70,7 +70,9 @@ def merged_seed_urls(
         urls = urls.unionByName(existing)
     urls = urls.filter(F.col("url").isNotNull())
     if domain:
-        host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+        from ..operators.frontier import _host_col  # ONE host vocabulary
+
+        host = _host_col(F.col("url"))
         urls = urls.filter(
             (host == domain.lower()) | host.endswith("." + domain.lower())
         )

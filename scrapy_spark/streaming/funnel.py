@@ -66,10 +66,10 @@ def streaming_image_admission(
         _stateless_keep(min_side, max_aspect, min_caption_tokens,
                         max_caption_tokens)
     )
-    # sentinel: xxhash64(image_id) has its top bit forced to 1 while real
-    # phashes keep theirs meaningful — collisions between a sentinel and a
-    # real phash are the generic 2^-64 hash-collision risk, same class as
-    # the url_hash key the URL kernel already accepts
+    # sentinel: xxhash64(image_id) is unique per image (so null-phash rows
+    # never collapse into one dup group); a sentinel colliding with a real
+    # phash is the generic 2^-64 hash-collision risk, the same class the
+    # url_hash key of the URL kernel already accepts
     dedup_key = F.coalesce(
         F.col("phash"), F.xxhash64(F.col("image_id"))
     ).alias("dedup_key")

@@ -199,3 +199,61 @@ def test_adaptive_resume_across_compaction_cadence(spark, tmp_path_factory):
         )
 
     assert rowset(straight) == rowset(resumed)
+
+
+def test_rollback_composes_with_retention_compaction(spark, tmp_path_factory):
+    """catalog.rollback and the automatic retention cadence must not be
+    mutually exclusive (review finding r7): rolling back to N >= the last
+    compaction's as_of keeps the merged file (g{as_of}- prefix) plus later
+    deltas — exactly the state a crawl STOPPED at N holds, since the
+    cadence keys on generation number — and resume from there matches an
+    uninterrupted run. N < as_of still refuses: the pre-compaction deltas
+    are no longer manifest-reachable."""
+    import pytest
+
+    cfg = SynthConfig(
+        seed=42, n_hosts=12, n_pages=300, n_images=120, throttle_hosts=(2,)
+    )
+
+    def params(gens):
+        return CrawlParams(
+            max_generations=gens, per_host_budget=10,
+            adaptive_fetch=True, adaptive_retention_every=2,
+        )
+
+    wd = str(tmp_path_factory.mktemp("af_rb"))            # 6 gens, roll to 4
+    wd_stop = str(tmp_path_factory.mktemp("af_rb_stop"))  # stopped at gen 4
+    wd_full = str(tmp_path_factory.mktemp("af_rb_full"))  # straight 6 gens
+    CrawlJob(spark, cfg, params(6), wd, salt_buckets=4).run()
+    CrawlJob(spark, cfg, params(5), wd_stop, salt_buckets=4).run()
+    CrawlJob(spark, cfg, params(6), wd_full, salt_buckets=4).run()
+
+    cat = SnapshotCatalog(wd)
+    ops = [s["stats"] for s in cat.snapshots()
+           if s["stats"].get("op") == "adaptive_retention_compact"]
+    assert [o["as_of"] for o in ops] == [2, 4]
+
+    # below the last compaction's as_of: refused, loudly and specifically
+    with pytest.raises(ValueError, match="adaptive_retention_compact"):
+        cat.rollback(3)
+
+    # at/above as_of: composes — and equals the stopped-at-4 crawl exactly
+    out = cat.rollback(4)
+    assert out["op"] == "rollback" and out["to"] == 4
+
+    def rows(root, table):
+        c = SnapshotCatalog(root)
+        df = c.read(spark, table)
+        return sorted(
+            (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                   for v in r) for r in df.collect()),
+            key=repr,
+        )
+
+    for table in ("fetch_results", "url_seen", "adaptive_stats"):
+        assert rows(wd, table) == rows(wd_stop, table), table
+
+    # resume re-runs gen 5 with the SAME derived adaptive config
+    CrawlJob(spark, cfg, params(6), wd, salt_buckets=4).run(resume=True)
+    for table in ("fetch_results", "url_seen", "adaptive_stats"):
+        assert rows(wd, table) == rows(wd_full, table), table

@@ -116,3 +116,22 @@ def test_rollback_refusals(spark, tmp_path, capsys):
     # impossible too only for earlier gens — the op anchored at gen 2 (the
     # current head) still blocks gen-1 rollback while head stays resumable
     _crawl(spark, wd, 4, resume=True)
+
+
+def test_rollback_composes_with_earlier_rollback(spark, tmp_path):
+    """A rollback op entry never severs a later, deeper rollback: the
+    earlier rollback only dropped refs ABOVE its target, so the state at
+    any lower generation is intact (review finding r7: the first cut
+    refused here and locked the feature out of the workdir)."""
+    wd = str(tmp_path / "rr")
+    wd_stop = str(tmp_path / "rr_stop")
+    _crawl(spark, wd, 4)
+    _crawl(spark, wd_stop, 2)
+    cat = SnapshotCatalog(wd)
+    cat.rollback(2)
+    _crawl(spark, wd, 4, resume=True)      # re-run 3.. past the rollback
+    out = cat.rollback(1)                   # deeper rollback must compose
+    assert out["op"] == "rollback" and out["to"] == 1
+    assert cat.committed_generation() == 1
+    # and the rolled-back state is still bit-identical to a stopped crawl
+    assert _table_rows(spark, wd) == _table_rows(spark, wd_stop)
