@@ -80,6 +80,7 @@ HEADLINE = [
     # round-7 additions
     "dedup_duplicate_spans",
     "leakage_safe_split",
+    "pack_sequences",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1

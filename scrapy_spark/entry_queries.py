@@ -1932,6 +1932,77 @@ def sample_mixture(spark, sf_dir):
     )
 
 
+_PACK_CTX = 256  # packing context length (tokens) — 4k/8k at real scale
+
+
+@_q(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS stream_pos
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, stream_pos,
+           stream_pos // {_PACK_CTX} AS seq_first,
+           CASE WHEN n_tokens > 0
+                THEN (stream_pos + n_tokens - 1) // {_PACK_CTX}
+                ELSE stream_pos // {_PACK_CTX} END AS seq_last
+    FROM ordered
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining (the GPT-style concat-and-chunk:
+    per source, concatenate documents in a deterministic pseudo-random
+    order and cut every CTX tokens; a doc then spans sequences
+    [seq_first, seq_last]): the map every data loader needs to locate a
+    document inside the packed token stream, and the audit for boundary
+    statistics (docs crossing a cut get truncated attention context —
+    the known packing trade).
+
+    Exactness: ordering is the same (md5, doc_id) total order as
+    sample_mixture (no RNG state); positions are bigint token offsets;
+    Spark ``div`` == DuckDB ``//`` on non-negative ints. Zero-token docs
+    occupy no stream space (stream_pos div CTX keeps them locatable).
+
+    Scale shape: ONE source-keyed shuffle + per-partition sort (the
+    window) — same single-shuffle form and same hot-source caveat as
+    sample_mixture (a source bigger than one task's sort budget swaps in
+    the grouped two-phase rank of operators/topk.grouped_total_rank; at
+    catalog source cardinalities the window is the cheaper form)."""
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", toks.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn(
+        "stream_pos", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    return d.select(
+        "doc_id", "source", "n_tokens", "stream_pos",
+        F.expr(f"stream_pos div {_PACK_CTX}").alias("seq_first"),
+        # integer div in BOTH branches (float `/` + cast would round)
+        F.expr(
+            f"CASE WHEN n_tokens > 0 "
+            f"THEN (stream_pos + n_tokens - 1) div {_PACK_CTX} "
+            f"ELSE stream_pos div {_PACK_CTX} END"
+        ).alias("seq_last"),
+    )
+
+
 @_q(
     "hygiene_funnel",
     f"""
@@ -4643,7 +4714,8 @@ def _combo_text_analysis_sql() -> str:
            b.n_boiler, b.boiler_frac,
            m.sample_rank, m.is_selected,
            hc.n_feats, hc.cls_score, hc.cls_label,
-           ls.group_key, ls.split
+           ls.group_key, ls.split,
+           pk.stream_pos, pk.seq_first, pk.seq_last
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -4657,6 +4729,7 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("sample_mixture")} m USING (doc_id)
     JOIN {_sub("text_hashed_classifier")} hc USING (doc_id)
     JOIN {_sub("leakage_safe_split")} ls USING (doc_id)
+    JOIN {_sub("pack_sequences")} pk USING (doc_id)
     """
 
 
@@ -4701,11 +4774,14 @@ def text_analysis(spark, sf_dir):
     ls = QUERIES["leakage_safe_split"][0](spark, sf_dir).select(
         "doc_id", "group_key", "split"
     )
+    pk = QUERIES["pack_sequences"][0](spark, sf_dir).select(
+        "doc_id", "stream_pos", "seq_first", "seq_last"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
         .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id").join(hc, "doc_id")
-        .join(ls, "doc_id")
+        .join(ls, "doc_id").join(pk, "doc_id")
     )
 
 

@@ -295,3 +295,57 @@ def test_leakage_safe_split_constructed(spark):
     assert got[1]["split"] == got[2]["split"]
     assert got[4]["group_key"] == 4            # singleton fallback
     assert all(r["split"] in ("train", "heldout") for r in rows)
+
+
+def test_pack_sequences_constructed(spark):
+    """Concat-and-chunk packing invariants on a constructed corpus: per
+    source the stream is gapless (positions tile exactly), sequence spans
+    follow from integer division by CTX=256, a doc straddling a cut spans
+    two sequences, and a zero-token doc occupies no stream space but stays
+    locatable."""
+    pdf = pd.DataFrame(
+        {
+            # source A: three docs of 200/200/200 tokens -> total 600:
+            # one of them MUST straddle the 256 and/or 512 cut
+            "doc_id": [1, 2, 3, 10, 11],
+            "text": [
+                " ".join(f"a{i}" for i in range(200)),
+                " ".join(f"b{i}" for i in range(200)),
+                " ".join(f"c{i}" for i in range(200)),
+                # source B: a 300-token doc (spans seqs 0 and 1) + empty doc
+                " ".join(f"d{i}" for i in range(300)),
+                "",
+            ],
+            "source": ["A", "A", "A", "B", "B"],
+        }
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in _with_docs(spark, pdf, "pack_sequences")}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    # per-source gapless tiling: sorted stream positions == running sums
+    for src, ids in (("A", [1, 2, 3]), ("B", [10, 11])):
+        got = sorted((rows[i]["stream_pos"], rows[i]["n_tokens"])
+                     for i in ids)
+        pos = 0
+        for p, n in got:
+            assert p == pos, (src, got)
+            pos += n
+    # every span obeys the div-256 arithmetic
+    for r in rows.values():
+        assert r["seq_first"] == r["stream_pos"] // 256
+        if r["n_tokens"] > 0:
+            assert r["seq_last"] == (r["stream_pos"] + r["n_tokens"] - 1) // 256
+        else:
+            assert r["seq_last"] == r["seq_first"]
+    # source A totals 600 tokens: at least one doc crosses a cut
+    assert any(rows[i]["seq_last"] > rows[i]["seq_first"] for i in (1, 2, 3))
+    # the 300-token doc spans exactly two sequences from its position
+    b = rows[10]
+    assert b["seq_last"] - b["seq_first"] in (1, 2) and b["n_tokens"] == 300
+    # the empty doc consumed no stream space: source B's stream ends at
+    # exactly doc 10's 300 tokens, wherever the md5 order placed the pair
+    e = rows[11]
+    assert e["n_tokens"] == 0 and e["seq_first"] == e["seq_last"]
+    assert rows[10]["stream_pos"] == 0 == e["stream_pos"] or (
+        rows[10]["stream_pos"] == 0 and e["stream_pos"] == 300
+    )
