@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "leakage_safe_split",
     "pack_sequences",
+    "dsir_select",
+    "lm_perplexity_buckets",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
@@ -108,6 +110,8 @@ DATA_SCALE_QUERIES = [
     "text_decontaminate",
     "text_boilerplate",
     "dedup_duplicate_spans",
+    "dsir_select",
+    "lm_perplexity_buckets",
 ]
 
 # a data-scale query without an sf0.1 HEADLINE timing has no denominator

@@ -4596,13 +4596,32 @@ _CLS_M = 1000000007  # acc*257+255 < 2.6e11 — safe in int64 in BOTH engines
 _CLS_WEIGHTS = [((b * 2654435761) % 2001) - 1000 for b in range(_CLS_B)]
 
 
+def _tok_hash_sql(var: str) -> str:
+    """DuckDB rolling polynomial token hash (base 257 mod 1e9+7) — the
+    exact twin of :func:`_tok_hash_spark`; ONE definition for every
+    hashed-feature consumer (classifier, DSIR)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({var}, ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 257 + x) % {_CLS_M})"
+    )
+
+
+def _tok_hash_spark(tk):
+    """Spark twin of :func:`_tok_hash_sql` — JVM-side higher-order aggregate
+    over the token's characters (codepoint == UTF-8 byte on this corpus)."""
+    return F.aggregate(
+        F.split(tk, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 257 + F.ascii(c)) % F.lit(_CLS_M),
+    )
+
+
 def _hashed_classifier_sql() -> str:
     warr = "[" + ", ".join(str(w) for w in _CLS_WEIGHTS) + "]"
     tok_w = (
-        f"CAST({warr}[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(tk, ''), "
-        "c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 257 + x) % {_CLS_M}) % {_CLS_B} AS INT) + 1] "
+        f"CAST({warr}[CAST({_tok_hash_sql('tk')} % {_CLS_B} AS INT) + 1] "
         "AS BIGINT)"
     )
     return f"""
@@ -4640,12 +4659,7 @@ def text_hashed_classifier(spark, sf_dir):
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
 
     def tok_weight(tk):
-        h = F.aggregate(
-            F.split(tk, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 257 + F.ascii(c)) % F.lit(_CLS_M),
-        )
-        return F.element_at(warr, (h % _CLS_B).cast("int") + 1)
+        return F.element_at(warr, (_tok_hash_spark(tk) % _CLS_B).cast("int") + 1)
 
     ws = F.transform(toks, tok_weight)
     score = F.aggregate(ws, F.lit(0).cast("long"), lambda a, x: a + x)
@@ -4701,6 +4715,261 @@ def classifier_calibration(spark, sf_dir):
     )
 
 
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed token features, per-feature
+# importance weight = how much more target-typical than corpus-average the
+# feature is. The paper's weight is the LOG likelihood ratio; logs are not
+# correctly-rounded across engines, so the weight here is the exact-integer
+# LINEAR-ratio surrogate ((t_f+1)*2^20 div (r_f+1), Laplace-smoothed, minus
+# the corpus-wide expected ratio) — same monotone ordering per feature, and
+# every arithmetic op is int64-exact in both engines.
+_DSIR_B = _CLS_B  # share the classifier's 256-bucket hashed feature space
+_DSIR_SCALE = 1 << 20
+
+
+def _dsir_sql() -> str:
+    hb = f"CAST({_tok_hash_sql('tk')} % {_DSIR_B} AS BIGINT)"
+    return f"""
+    WITH occ AS MATERIALIZED (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               tk -> {hb})) AS bucket
+      FROM documents
+    ),
+    w0 AS MATERIALIZED (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_cnt
+      FROM occ GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_cnt) AS BIGINT) AS rr,
+             CAST(sum(t_cnt) AS BIGINT) AS tt
+      FROM w0
+    ),
+    w AS (
+      SELECT bucket,
+             (t_cnt + 1) * {_DSIR_SCALE} // (r_cnt + 1)
+               - (SELECT (tt + {_DSIR_B}) * {_DSIR_SCALE} // (rr + {_DSIR_B})
+                  FROM tot) AS wt
+      FROM w0
+    ),
+    s AS (
+      SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS dsir_feats,
+             CAST(sum(wt) AS BIGINT) AS dsir_score
+      FROM occ JOIN w USING (bucket) GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.dsir_feats, 0) AS BIGINT) AS dsir_feats,
+           CAST(coalesce(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+           (coalesce(s.dsir_feats, 0) > 0
+              AND coalesce(s.dsir_score, 0) >= 0) AS dsir_selected
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+@_q("dsir_select", _dsir_sql())
+def dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (Xie et al. 2023): score every
+    document by how target-like its hashed token features are (target =
+    the ``lang = 'en'`` slice, the stand-in for the paper's trusted corpus)
+    and select docs whose summed feature weight clears the threshold (0 =
+    "more en-typical than the corpus average per token").
+
+    Exactness: weights are the linear-ratio surrogate of the paper's
+    log-likelihood ratio (header comment) — all int64, driver-hash exact.
+
+    Scale shape: TWO passes over the token stream (count features, score
+    docs), like any count-then-score LM build. Pass 1 collapses to the
+    256-row bucket table (map-side combine), which is materialize-cut and
+    BROADCAST into pass 2 — so the scoring join never shuffles the token
+    stream; the only wide exchange is the per-doc score groupBy. ALL-DOCS
+    grain (empty docs: score 0, not selected) per the combo discipline."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    occ = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(toks, lambda tk: _tok_hash_spark(tk) % _DSIR_B)
+        ).alias("bucket"),
+    )
+    w0 = _cut(
+        occ.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("r_cnt"),
+            F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("t_cnt"),
+        )
+    )
+    expect = w0.agg(
+        F.sum("r_cnt").cast("long").alias("rr"),
+        F.sum("t_cnt").cast("long").alias("tt"),
+    ).select(
+        F.expr(
+            f"(tt + {_DSIR_B}) * {_DSIR_SCALE} div (rr + {_DSIR_B})"
+        ).alias("expect")
+    )
+    w = w0.crossJoin(F.broadcast(expect)).select(
+        "bucket",
+        (
+            F.expr(f"(t_cnt + 1) * {_DSIR_SCALE} div (r_cnt + 1)")
+            - F.col("expect")
+        ).alias("wt"),
+    )
+    s = occ.join(F.broadcast(w), "bucket").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dsir_feats"),
+        F.sum("wt").cast("long").alias("dsir_score"),
+    )
+    return d.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("dsir_feats", F.lit(0)).cast("long").alias("dsir_feats"),
+        F.coalesce("dsir_score", F.lit(0)).cast("long").alias("dsir_score"),
+        (
+            (F.coalesce("dsir_feats", F.lit(0)) > 0)
+            & (F.coalesce("dsir_score", F.lit(0)) >= 0)
+        ).alias("dsir_selected"),
+    )
+
+
+def _lm_ppl_sql() -> str:
+    return """
+    WITH occ AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+    v2 AS MATERIALIZED (
+      SELECT tok, CAST(length(bin(tot.n_total // cnt)) - 1 AS BIGINT) AS bits
+      FROM vocab, tot
+    ),
+    s AS MATERIALIZED (
+      SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS ppl_tokens,
+             CAST(sum(bits) AS BIGINT) AS ppl_bits
+      FROM occ JOIN v2 USING (tok) GROUP BY occ.doc_id
+    ),
+    ranked AS MATERIALIZED (
+      SELECT (ppl_bits * 100) // ppl_tokens AS avg_x100 FROM s
+    ),
+    hist AS (
+      SELECT avg_x100, count(*) AS n FROM ranked GROUP BY avg_x100
+    ),
+    cum AS (
+      SELECT avg_x100, sum(n) OVER (ORDER BY avg_x100) AS c FROM hist
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ranked),
+    th AS (
+      SELECT min(CASE WHEN c >= (33 * (SELECT n_docs FROM nn) + 99) // 100
+                      THEN avg_x100 END) AS t1,
+             min(CASE WHEN c >= (67 * (SELECT n_docs FROM nn) + 99) // 100
+                      THEN avg_x100 END) AS t2
+      FROM cum
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.ppl_tokens, 0) AS BIGINT) AS ppl_tokens,
+           CAST(coalesce(s.ppl_bits, 0) AS BIGINT) AS ppl_bits,
+           CAST(coalesce((s.ppl_bits * 100) // s.ppl_tokens, -1) AS BIGINT)
+             AS ppl_avg_x100,
+           CASE WHEN s.doc_id IS NULL THEN 'tail'
+                WHEN (s.ppl_bits * 100) // s.ppl_tokens <= (SELECT t1 FROM th)
+                  THEN 'head'
+                WHEN (s.ppl_bits * 100) // s.ppl_tokens <= (SELECT t2 FROM th)
+                  THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+@_q("lm_perplexity_buckets", _lm_ppl_sql())
+def lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style LM perplexity bucketing (Wenzek et al. 2020): train a
+    unigram LM on the corpus itself, score each doc by per-token surrogate
+    cross-entropy, and bucket the corpus into head / middle / tail at the
+    exact discrete p33/p67 score terciles (head = most fluent, the slice
+    CCNet keeps first).
+
+    Exactness: per-token cost is the WHOLE-BIT surrogate
+    floor(log2(N_total div cnt(tok))) — computed as the length of the
+    binary string (Spark ``conv(x,10,2)`` == DuckDB ``bin(x)``, both
+    unpadded), so no transcendental ever enters the hash. Terciles use the
+    established discrete-quantile rule rk = (p*n+99) div 100 over the
+    SCORE HISTOGRAM (corpus_stats pattern): the window sorts distinct
+    avg_x100 values — bounded by 100*64 whole-bit averages, never by doc
+    count — so the single-partition window is over a few-thousand-row
+    histogram at any corpus size. Zero-token docs take bucket 'tail' with
+    avg -1 (deterministic, all-docs grain).
+
+    Scale shape: vocab count (hash groupBy, map-side combine) ->
+    materialize-cut -> equi-join back to the token stream (AQE sizes it;
+    vocab << occurrences) -> per-doc agg. Linear; the real CCNet swaps in
+    a KenLM 5-gram — the pipeline shape (train counts, join-score, bucket
+    by corpus quantile) is exactly this."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != F.lit(""))).alias(
+            "tok"
+        ),
+    )
+    vocab = _cut(
+        occ.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    v2 = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.conv(F.expr("n_total div cnt"), 10, 2)) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    s = occ.join(v2, "tok").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("ppl_tokens"),
+        F.sum("bits").cast("long").alias("ppl_bits"),
+    )
+    avg = F.expr("(ppl_bits * 100) div ppl_tokens")
+    ranked = s.select(avg.alias("avg_x100"))
+    hist = ranked.groupBy("avg_x100").agg(F.count("*").cast("long").alias("n"))
+    cum = hist.select(
+        "avg_x100",
+        F.sum("n")
+        .over(
+            Window.orderBy("avg_x100").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("c"),
+    )
+    ndocs = ranked.agg(F.count("*").cast("long").alias("n_docs"))
+    th = cum.crossJoin(F.broadcast(ndocs)).agg(
+        F.min(
+            F.when(
+                F.col("c") >= F.expr("(33 * n_docs + 99) div 100"),
+                F.col("avg_x100"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("c") >= F.expr("(67 * n_docs + 99) div 100"),
+                F.col("avg_x100"),
+            )
+        ).alias("t2"),
+    )
+    out = d.select("doc_id").join(s, "doc_id", "left").crossJoin(F.broadcast(th))
+    return out.select(
+        "doc_id",
+        F.coalesce("ppl_tokens", F.lit(0)).cast("long").alias("ppl_tokens"),
+        F.coalesce("ppl_bits", F.lit(0)).cast("long").alias("ppl_bits"),
+        F.coalesce(avg, F.lit(-1)).cast("long").alias("ppl_avg_x100"),
+        F.when(F.col("ppl_tokens").isNull(), F.lit("tail"))
+        .when(avg <= F.col("t1"), F.lit("head"))
+        .when(avg <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
@@ -4715,7 +4984,9 @@ def _combo_text_analysis_sql() -> str:
            m.sample_rank, m.is_selected,
            hc.n_feats, hc.cls_score, hc.cls_label,
            ls.group_key, ls.split,
-           pk.stream_pos, pk.seq_first, pk.seq_last
+           pk.stream_pos, pk.seq_first, pk.seq_last,
+           ds.dsir_score, ds.dsir_selected,
+           pp.ppl_bits, pp.ppl_avg_x100, pp.ppl_bucket
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -4730,6 +5001,8 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("text_hashed_classifier")} hc USING (doc_id)
     JOIN {_sub("leakage_safe_split")} ls USING (doc_id)
     JOIN {_sub("pack_sequences")} pk USING (doc_id)
+    JOIN {_sub("dsir_select")} ds USING (doc_id)
+    JOIN {_sub("lm_perplexity_buckets")} pp USING (doc_id)
     """
 
 
@@ -4743,7 +5016,9 @@ def text_analysis(spark, sf_dir):
     benchmark decontamination, cross-doc boilerplate and the
     sqrt-temperature mixture-sampling decision, the hashed-feature
     linear classifier score, and (since r7) the leakage-safe
-    component-keyed train/heldout split — joined on doc_id."""
+    component-keyed train/heldout split, the DSIR importance-resampling
+    selection and the CCNet-style LM perplexity buckets — joined on
+    doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -4777,11 +5052,17 @@ def text_analysis(spark, sf_dir):
     pk = QUERIES["pack_sequences"][0](spark, sf_dir).select(
         "doc_id", "stream_pos", "seq_first", "seq_last"
     )
+    ds = QUERIES["dsir_select"][0](spark, sf_dir).select(
+        "doc_id", "dsir_score", "dsir_selected"
+    )
+    pp = QUERIES["lm_perplexity_buckets"][0](spark, sf_dir).select(
+        "doc_id", "ppl_bits", "ppl_avg_x100", "ppl_bucket"
+    )
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
         .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id").join(hc, "doc_id")
-        .join(ls, "doc_id").join(pk, "doc_id")
+        .join(ls, "doc_id").join(pk, "doc_id").join(ds, "doc_id").join(pp, "doc_id")
     )
 
 

@@ -1,0 +1,110 @@
+"""DSIR importance-resampling selection + CCNet-style LM perplexity
+buckets, pinned on constructed corpora (the test_hygiene.py discipline:
+hand-computed expectations where deterministic, full-row cross-check
+against the REGISTERED oracle SQL running live in DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import scrapy_spark.entry_queries as eq
+from scrapy_spark.entry_queries import _CLS_M, _DSIR_B, QUERIES
+
+
+def _with_docs(spark, pdf, name, sf="unused"):
+    df = spark.createDataFrame(pdf)
+    orig = eq.load
+    try:
+        eq.load = lambda sp, d, t: df if t == "documents" else orig(sp, d, t)
+        return QUERIES[name][0](spark, sf).collect()
+    finally:
+        eq.load = orig
+
+
+def _bucket(tok: str) -> int:
+    """Python twin of the rolling polynomial token hash -> feature bucket."""
+    h = 0
+    for ch in tok:
+        h = (h * 257 + ord(ch)) % _CLS_M
+    return h % _DSIR_B
+
+
+def _oracle(pdf: pd.DataFrame, name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return con.execute(QUERIES[name][1]).fetchdf()
+
+
+def _frames_equal(rows, want: pd.DataFrame):
+    got = pd.DataFrame([r.asDict() for r in rows])
+    got = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values("doc_id").reset_index(drop=True)
+    assert got.astype(str).equals(want.astype(str)), (
+        f"\ngot:\n{got}\nwant:\n{want}"
+    )
+
+
+def test_dsir_selection_direction(spark):
+    # en docs speak one vocabulary, de docs another; the en-vocab features
+    # are then strictly more target-typical than corpus average, the
+    # de-vocab ones strictly less -> selection splits by vocabulary.
+    en_toks, de_toks = ["alpha", "beta", "gamma"], ["delta", "epsilon", "zeta"]
+    buckets = {_bucket(t) for t in en_toks + de_toks}
+    assert len(buckets) == 6  # hash sends the 6 tokens to distinct buckets
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [" ".join(en_toks)] * 4 + [" ".join(de_toks)] * 2 + [""],
+            "lang": ["en"] * 4 + ["de"] * 2 + ["en"],
+        }
+    )
+    out = {r["doc_id"]: r for r in _with_docs(spark, pdf, "dsir_select")}
+    assert len(out) == 7  # all-docs grain, empty doc included
+    for did in (1, 2, 3, 4):
+        assert out[did]["dsir_selected"] is True
+        assert out[did]["dsir_score"] > 0
+        assert out[did]["dsir_feats"] == 3
+    for did in (5, 6):
+        assert out[did]["dsir_selected"] is False
+        assert out[did]["dsir_score"] < 0
+    # zero-token doc: no evidence -> never selected, zero score
+    assert out[7]["dsir_feats"] == 0 and out[7]["dsir_score"] == 0
+    assert out[7]["dsir_selected"] is False
+    _frames_equal(out.values(), _oracle(pdf, "dsir_select"))
+
+
+def test_lm_perplexity_buckets_constructed(spark):
+    # Unigram counts: x=10, y=2, u/v/w/z=1 -> N=16. Whole-bit costs:
+    # bits(x)=floor(log2(16 div 10))=0, bits(y)=log2(8)=3, bits(u..z)=4.
+    # Doc averages x100: d1=d2=0, d3=(0+0+3+3)*100 div 4=150,
+    # d4=16*100 div 4=400; n=4 docs -> discrete p33 rank 2 (t1=0),
+    # p67 rank 3 (t2=150): d1,d2 head; d3 middle; d4 tail; empty doc tail.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["x x x x", "x x x x", "x x y y", "u v w z", ""],
+        }
+    )
+    out = {
+        r["doc_id"]: r for r in _with_docs(spark, pdf, "lm_perplexity_buckets")
+    }
+    assert len(out) == 5
+    assert (out[1]["ppl_bits"], out[1]["ppl_avg_x100"]) == (0, 0)
+    assert out[1]["ppl_bucket"] == "head" and out[2]["ppl_bucket"] == "head"
+    assert (out[3]["ppl_bits"], out[3]["ppl_avg_x100"]) == (6, 150)
+    assert out[3]["ppl_bucket"] == "middle"
+    assert (out[4]["ppl_bits"], out[4]["ppl_avg_x100"]) == (16, 400)
+    assert out[4]["ppl_bucket"] == "tail"
+    assert (out[5]["ppl_tokens"], out[5]["ppl_avg_x100"]) == (0, -1)
+    assert out[5]["ppl_bucket"] == "tail"
+    _frames_equal(out.values(), _oracle(pdf, "lm_perplexity_buckets"))
+
+
+def test_lm_perplexity_uniform_corpus_single_value(spark):
+    # Degenerate but legal: every doc identical -> one histogram row, both
+    # terciles land on the same value, everything is 'head' (<= t1 first).
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a", "a a", "a a"]})
+    out = _with_docs(spark, pdf, "lm_perplexity_buckets")
+    assert {r["ppl_bucket"] for r in out} == {"head"}
+    _frames_equal(out, _oracle(pdf, "lm_perplexity_buckets"))
