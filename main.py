@@ -332,6 +332,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="crawl workdir (decode fetched image bytes)")
     ib.add_argument("--out", default=None,
                     help="also write the per-image assignment table")
+    ib.add_argument("--resize", default=None, metavar="DIR",
+                    help="also decode + cover-resize + center-crop every "
+                    "image to its bucket resolution and write the resized "
+                    "parquet (PNG bytes + crop geometry) to DIR")
     ib.add_argument("--master", default=None)
 
     pg = sub.add_parser(
@@ -800,10 +804,10 @@ def main(argv: list[str] | None = None) -> int:
             if (args.workdir is None) == (args.images is None):
                 print("pass exactly one of --workdir / --images", file=sys.stderr)
                 return 2
+            full = None  # bytes-bearing frame for --resize
             if args.images:
-                inp = spark.read.parquet(args.images).select(
-                    "image_id", "w", "h"
-                )
+                full = spark.read.parquet(args.images)
+                inp = full.select("image_id", "w", "h")
             else:
                 from scrapy_spark.operators.imageops import extract_image_meta
 
@@ -828,10 +832,27 @@ def main(argv: list[str] | None = None) -> int:
                 (r.asDict() for r in aspect_bucket_stats(assigned).collect()),
                 key=lambda r: (-r["n_images"], r["bucket_w"]),
             )
-            print(json.dumps({
+            summary = {
                 "images": sum(r["n_images"] for r in stats),
                 "buckets": stats,
-            }))
+            }
+            if args.resize:
+                from scrapy_spark.operators.imageops import resize_to_bucket
+
+                if full is not None:  # parquet carries trusted w/h columns
+                    resized = resize_to_bucket(full)
+                else:  # crawl rows: bucket from decoded dims, no meta join
+                    resized = resize_to_bucket(imgs, dims_from_decode=True)
+                resized.write.mode("overwrite").parquet(args.resize)
+                back = spark.read.parquet(args.resize)
+                summary["resized"] = back.filter(
+                    F.col("resized").isNotNull()
+                ).count()
+                summary["resize_failed"] = back.filter(
+                    F.col("decode_error").isNotNull()
+                ).count()
+                summary["resize_out"] = args.resize
+            print(json.dumps(summary))
         elif args.cmd == "purge":
             from scrapy_spark.plans.purge import purge_host
 

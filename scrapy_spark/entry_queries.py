@@ -4924,9 +4924,13 @@ def lm_perplexity_buckets(spark, sf_dir):
         .cast("long")
         .alias("bits"),
     )
-    s = occ.join(v2, "tok").groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("ppl_tokens"),
-        F.sum("bits").cast("long").alias("ppl_bits"),
+    # per-doc scores feed BOTH the output join and the tercile derivation —
+    # cut the lineage or the token-stream scoring join runs twice
+    s = _cut(
+        occ.join(v2, "tok").groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("ppl_tokens"),
+            F.sum("bits").cast("long").alias("ppl_bits"),
+        )
     )
     avg = F.expr("(ppl_bits * 100) div ppl_tokens")
     ranked = s.select(avg.alias("avg_x100"))

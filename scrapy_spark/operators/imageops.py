@@ -526,6 +526,18 @@ def aspect_bucket_assign(
     (:func:`aspect_bucket_stats`) is one hash groupBy on the bucket key.
 
     Output: (image_id, w, h, bucket_w, bucket_h)."""
+    best = _bucket_argmin_expr(ladder)
+    return images.select(
+        "image_id", "w", "h",
+        best["bucket_w"].alias("bucket_w"),
+        best["bucket_h"].alias("bucket_h"),
+    )
+
+
+def _bucket_argmin_expr(ladder: tuple[tuple[int, int], ...]):
+    """The exact-bigint ladder argmin as a struct column over input columns
+    ``w``/``h`` — ONE definition for assignment and the resize prep (so the
+    two can never disagree on which bucket an image belongs to)."""
     import math
 
     lads = list(ladder)
@@ -547,12 +559,7 @@ def aspect_bucket_assign(
             for i, (bw, bh) in enumerate(lads)
         ]
     )
-    best = F.array_min(entries)
-    return images.select(
-        "image_id", "w", "h",
-        best["bucket_w"].alias("bucket_w"),
-        best["bucket_h"].alias("bucket_h"),
-    )
+    return F.array_min(entries)
 
 
 def aspect_bucket_stats(assigned: DataFrame) -> DataFrame:
@@ -593,4 +600,134 @@ def py_aspect_bucket_assign(rows, ladder=ASPECT_LADDER) -> list[dict]:
                 "bucket_w": ladder[best][0], "bucket_h": ladder[best][1],
             }
         )
+    return out
+
+
+BUCKET_RESIZE_SCHEMA = (
+    "image_id string, bucket_w int, bucket_h int, src_w int, src_h int, "
+    "scaled_w int, scaled_h int, crop_x int, crop_y int, "
+    "resized binary, decode_error string"
+)
+
+
+def cover_geometry(
+    w: int, h: int, bw: int, bh: int
+) -> tuple[int, int, int, int]:
+    """Scale-to-cover + center-crop geometry: the smallest aspect-preserving
+    size whose BOTH axes reach the bucket target, then the centered crop
+    window. ONE definition shared by the Spark UDF and the sequential twin,
+    so the rounding convention (Python round, banker's) is pinned in one
+    place. Returns (scaled_w, scaled_h, crop_x, crop_y)."""
+    scale = max(bw / w, bh / h)
+    sw = max(bw, round(w * scale))
+    sh = max(bh, round(h * scale))
+    return sw, sh, (sw - bw) // 2, (sh - bh) // 2
+
+
+def resize_to_bucket(
+    images: DataFrame,
+    ladder: tuple[tuple[int, int], ...] = ASPECT_LADDER,
+    dims_from_decode: bool = False,
+) -> DataFrame:
+    """Bucket-resolution training prep (the step after
+    :func:`aspect_bucket_assign` in the NovelAI/SDXL recipe): per image,
+    decode, bilinear resize-to-COVER the assigned bucket (no letterbox
+    padding — both axes meet or exceed the target), center-crop to exactly
+    (bucket_w, bucket_h), re-encode PNG. The geometry columns (scaled_w/h,
+    crop_x/y) are emitted so a downstream caption-region check can map
+    source coordinates into the crop.
+
+    Scale shape: bucket choice is the shared exact-integer argmin
+    (:func:`_bucket_argmin_expr`) computed as a column — zero joins — and
+    decode/resize/encode run Arrow-batched at SCAN parallelism; resized
+    bytes are written once by the caller and never shuffled (bytes
+    discipline). Undecodable rows yield null bytes + a labeled
+    decode_error (data, not task failure).
+
+    ``dims_from_decode=True`` serves inputs without w/h columns (crawl
+    fetch rows): the bucket is chosen per row from the DECODED dims via
+    the Fraction-exact twin (py_aspect_bucket_assign — tests pin it equal
+    to the plan-side argmin), still zero joins / zero bytes shuffle."""
+    from ..functions.imagefn import encode_png, resize_bilinear
+
+    if dims_from_decode:
+        # -1 sentinel, not NULL: a None in a pandas int column silently
+        # becomes float64 (CLAUDE.md gotcha)
+        src = images.select(
+            "image_id", "bytes", "fmt",
+            F.lit(-1).alias("bucket_w"), F.lit(-1).alias("bucket_h"),
+        )
+    else:
+        best = _bucket_argmin_expr(ladder)
+        src = images.select(
+            "image_id", "bytes", "fmt",
+            best["bucket_w"].alias("bucket_w"),
+            best["bucket_h"].alias("bucket_h"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                bw, bh = int(row.bucket_w), int(row.bucket_h)
+                rec = {
+                    "image_id": row.image_id, "bucket_w": bw, "bucket_h": bh,
+                    "src_w": None, "src_h": None,
+                    "scaled_w": None, "scaled_h": None,
+                    "crop_x": None, "crop_y": None,
+                    "resized": None, "decode_error": None,
+                }
+                try:
+                    px = decode_image(bytes(row.bytes), row.fmt)
+                    h, w = px.shape[:2]
+                    if bw < 0:  # dims_from_decode: bucket from actual pixels
+                        a = py_aspect_bucket_assign(
+                            [{"image_id": "", "w": w, "h": h}], ladder
+                        )[0]
+                        bw, bh = a["bucket_w"], a["bucket_h"]
+                        rec.update(bucket_w=bw, bucket_h=bh)
+                    sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
+                    crop = resize_bilinear(px, sw, sh)[cy:cy + bh, cx:cx + bw]
+                    rec.update(
+                        src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
+                        crop_x=cx, crop_y=cy, resized=encode_png(crop),
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=BUCKET_RESIZE_SCHEMA)
+
+
+def py_resize_to_bucket(rows, ladder=ASPECT_LADDER) -> list[dict]:
+    """Sequential twin of :func:`resize_to_bucket`: Fraction-exact bucket
+    argmin (py_aspect_bucket_assign) + the SAME shared geometry / codec
+    functions — the bytes-parity discipline (oracle and operator share the
+    deterministic from-scratch encoders; what the twin independently pins
+    is the assignment and the plumbing around them)."""
+    from ..functions.imagefn import encode_png, resize_bilinear
+
+    meta = [{"image_id": r["image_id"], "w": r["w"], "h": r["h"]} for r in rows]
+    out = []
+    for a, r in zip(py_aspect_bucket_assign(meta, ladder), rows):
+        bw, bh = a["bucket_w"], a["bucket_h"]
+        rec = {
+            "image_id": r["image_id"], "bucket_w": bw, "bucket_h": bh,
+            "src_w": None, "src_h": None, "scaled_w": None, "scaled_h": None,
+            "crop_x": None, "crop_y": None, "resized": None,
+            "decode_error": None,
+        }
+        try:
+            px = decode_image(bytes(r["bytes"]), r["fmt"])
+            h, w = px.shape[:2]
+            sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
+            crop = resize_bilinear(px, sw, sh)[cy:cy + bh, cx:cx + bw]
+            rec.update(
+                src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
+                crop_x=cx, crop_y=cy, resized=encode_png(crop),
+            )
+        except (NotImplementedError, ValueError) as exc:
+            rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+        out.append(rec)
     return out

@@ -379,3 +379,147 @@ def test_imagebuckets_cli(spark, tmp_path, capsys):
     got = {(b["bucket_w"], b["bucket_h"]): b["n_images"]
            for b in summary["buckets"]}
     assert got == dict(twin)
+
+
+def test_cover_geometry_hand_computed():
+    from scrapy_spark.operators.imageops import cover_geometry
+
+    # 100x100 into 576x448: cover scale 5.76 -> 576x576, crop centered in y
+    assert cover_geometry(100, 100, 576, 448) == (576, 576, 0, 64)
+    # exact-fit: no crop
+    assert cover_geometry(512, 512, 512, 512) == (512, 512, 0, 0)
+    # downscale-to-cover with a wide source: height binds
+    assert cover_geometry(1280, 640, 512, 512) == (1024, 512, 256, 0)
+    # both axes always reach the bucket even when rounding would undershoot
+    sw, sh, cx, cy = cover_geometry(333, 100, 704, 320)
+    assert sw >= 704 and sh >= 320 and cx >= 0 and cy >= 0
+
+
+def test_resize_bilinear_matches_naive_loop():
+    """Pin the vectorized numpy bilinear kernel against a per-pixel pure
+    Python loop of the same convention (align_corners=False, edge clamp,
+    rint): the twin the numpy layering must never drift from."""
+    import numpy as np
+
+    from scrapy_spark.functions.imagefn import resize_bilinear
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out_w, out_h = 4, 3
+    got = resize_bilinear(px, out_w, out_h)
+    h, w = px.shape[:2]
+    want = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+    for oy in range(out_h):
+        for ox in range(out_w):
+            ys = (oy + 0.5) * (h / out_h) - 0.5
+            xs = (ox + 0.5) * (w / out_w) - 0.5
+            y0 = min(max(int(np.floor(ys)), 0), h - 1)
+            x0 = min(max(int(np.floor(xs)), 0), w - 1)
+            y1 = min(y0 + 1, h - 1)
+            x1 = min(x0 + 1, w - 1)
+            wy = min(max(ys - y0, 0.0), 1.0)
+            wx = min(max(xs - x0, 0.0), 1.0)
+            for c in range(3):
+                top = px[y0, x0, c] * (1 - wx) + px[y0, x1, c] * wx
+                bot = px[y1, x0, c] * (1 - wx) + px[y1, x1, c] * wx
+                want[oy, ox, c] = np.uint8(
+                    np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255)
+                )
+    assert np.array_equal(got, want)
+
+
+def test_resize_to_bucket_parity_and_dims(spark):
+    """Every decodable synth image resizes to EXACTLY its bucket resolution;
+    full-row (bytes included) parity with the sequential twin; an
+    unavailable codec surfaces as a decode_error row, never a task
+    failure."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.imagefn import decode_png
+    from scrapy_spark.operators.imageops import (
+        py_resize_to_bucket,
+        resize_to_bucket,
+    )
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=9, n_hosts=4, n_pages=40,
+                                         n_images=18))
+    df = spark.createDataFrame(pdf)
+    got = {r["image_id"]: r.asDict() for r in resize_to_bucket(df).collect()}
+    want = {r["image_id"]: r
+            for r in py_resize_to_bucket(pdf.to_dict("records"))}
+    assert set(got) == set(want) and len(got) == len(pdf)
+    for iid, g in got.items():
+        w = want[iid]
+        assert g["decode_error"] is None, (iid, g["decode_error"])
+        assert (g["bucket_w"], g["bucket_h"]) == (w["bucket_w"], w["bucket_h"])
+        assert (g["scaled_w"], g["scaled_h"], g["crop_x"], g["crop_y"]) == (
+            w["scaled_w"], w["scaled_h"], w["crop_x"], w["crop_y"]
+        )
+        assert bytes(g["resized"]) == bytes(w["resized"])  # byte-exact PNG
+        px = decode_png(bytes(g["resized"]))
+        assert px.shape[:2] == (g["bucket_h"], g["bucket_w"])
+        # cover invariant: scaled covers the bucket; crop is centered
+        assert g["scaled_w"] >= g["bucket_w"] and g["scaled_h"] >= g["bucket_h"]
+        assert g["crop_x"] == (g["scaled_w"] - g["bucket_w"]) // 2
+        assert g["crop_y"] == (g["scaled_h"] - g["bucket_h"]) // 2
+
+    # unavailable codec -> data row with the labeled error
+    bad = resize_to_bucket(df.limit(2).withColumn("fmt", F.lit("tiff"))).collect()
+    assert len(bad) == 2
+    for r in bad:
+        assert r["resized"] is None and "NotImplementedError" in r["decode_error"]
+
+
+def test_resize_to_bucket_dims_from_decode_equivalent(spark):
+    """Crawl-row mode (no w/h columns): bucket from decoded dims must equal
+    the stored-dims path byte-for-byte (the synth table's stored w/h match
+    the bytes by contract)."""
+    from scrapy_spark.operators.imageops import resize_to_bucket
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=11, n_hosts=4, n_pages=40,
+                                         n_images=10))
+    df = spark.createDataFrame(pdf)
+    a = {r["image_id"]: r.asDict() for r in resize_to_bucket(df).collect()}
+    b = {
+        r["image_id"]: r.asDict()
+        for r in resize_to_bucket(
+            df.drop("w", "h"), dims_from_decode=True
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for iid in a:
+        ra, rb = a[iid], b[iid]
+        assert (ra["bucket_w"], ra["bucket_h"]) == (rb["bucket_w"], rb["bucket_h"])
+        assert bytes(ra["resized"]) == bytes(rb["resized"])
+
+
+def test_imagebuckets_cli_resize(spark, tmp_path, capsys):
+    """CLI lock for the --resize arm: summary gains resized counts and the
+    output parquet holds bucket-resolution PNGs."""
+    import json
+
+    from main import main as cli_main
+    from scrapy_spark.functions.imagefn import decode_png
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=23, n_hosts=4, n_pages=40,
+                                         n_images=8))
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    out_dir = str(tmp_path / "resized")
+    rc = cli_main(["imagebuckets", "--images", path, "--resize", out_dir])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    summary = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert summary["resized"] == len(pdf)
+    assert summary["resize_failed"] == 0
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len(pdf)
+    for r in rows:
+        px = decode_png(bytes(r["resized"]))
+        assert px.shape[:2] == (r["bucket_h"], r["bucket_w"])

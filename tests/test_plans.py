@@ -68,6 +68,8 @@ BNLJ_ALLOWLIST = {
     "ann_ivfpq_topk",  # centroid broadcast cross (8-row build, ivf_assign)
     "ann_ivfpq_recall",
     "corpus_stats",  # 1-row summary x 1-row quantile-pick crosses (bounded)
+    "dsir_select",  # 1-row expected-ratio cross (bounded build)
+    "lm_perplexity_buckets",  # 1-row LM total + 1-row tercile crosses (bounded)
     "embed_diversity_sample",  # centroid broadcast cross (8-row build, ivf_assign)
     "pagerank_copurchase",
     "hits_copurchase",
@@ -76,6 +78,7 @@ BNLJ_ALLOWLIST = {
     "ann_topk_methods",
     "ann_recall_methods",
     "page_importance",
+    "text_analysis",  # carries dsir_select + lm_perplexity_buckets
 }
 
 
