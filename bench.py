@@ -83,6 +83,7 @@ HEADLINE = [
     "pack_sequences",
     "dsir_select",
     "lm_perplexity_buckets",
+    "bpe_train_merges",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1

@@ -4974,6 +4974,239 @@ def lm_perplexity_buckets(spark, sf_dir):
     )
 
 
+# BPE tokenizer training (Sennrich et al. 2016, the GPT-2/Llama vocab
+# recipe): K greedy merges over the word-frequency table. The classic
+# trainer shape — ONE corpus-wide shuffle collapses tokens to (word, freq),
+# then every iteration runs on that small vocab table: adjacent-pair count
+# (explode + hash groupBy weighted by freq), argmax with the deterministic
+# (count desc, pair asc) tie-break as TWO scalar aggregates, and the merge
+# applied as a single string replace over separator-framed symbol strings
+# ('\\x1f' framing; leftmost non-overlapping replace == BPE's greedy
+# left-to-right merge in Spark, DuckDB AND Python — pinned by tests).
+# Fixed K follows the pagerank_exact discipline: per-iteration 1-row
+# broadcast subqueries + a materialize cut per iteration, exact bigint
+# counts end to end.
+_BPE_K = 8
+_BPE_SEP = "\x1f"
+
+
+def _bpe_vocab_cte() -> str:
+    """DuckDB CTE chain training _BPE_K merges; defines v0..v{K}, m1..m{K}.
+    Words containing the separator are excluded identically in both
+    engines (none exist in this corpus; the guard keeps the framing
+    sound on arbitrary input)."""
+    sep = _BPE_SEP
+    parts = [
+        f"""
+    bpe_toks AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                    w -> w <> '' AND strpos(w, '{sep}') = 0)) AS word
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             '{sep}' || array_to_string(string_split(word, ''), '{sep}')
+               || '{sep}' AS s
+      FROM bpe_toks GROUP BY word
+    )"""
+    ]
+    for i in range(1, _BPE_K + 1):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 generate_series(2, len(syms) - 2),
+                 j -> syms[j] || '{sep}' || syms[j + 1])) AS pr
+        FROM (SELECT freq, string_split(s, '{sep}') AS syms FROM v{i - 1})
+        WHERE len(syms) >= 4
+      ) GROUP BY pr
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT CAST({i} AS BIGINT) AS rank, min(pair) AS pair,
+             CAST(max(cnt) AS BIGINT) AS cnt
+      FROM p{i} WHERE cnt = (SELECT max(cnt) FROM p{i})
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(s,
+               '{sep}' || (SELECT coalesce(pair, '{sep}{sep}') FROM m{i})
+                 || '{sep}',
+               '{sep}' || replace(
+                   (SELECT coalesce(pair, '{sep}{sep}') FROM m{i}),
+                   '{sep}', '') || '{sep}') AS s
+      FROM v{i - 1}
+    )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    sep = _BPE_SEP
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, _BPE_K + 1)
+    )
+    return f"""
+    WITH {_bpe_vocab_cte()}
+    SELECT rank,
+           string_split(pair, '{sep}')[1] AS left_sym,
+           string_split(pair, '{sep}')[2] AS right_sym,
+           cnt
+    FROM ({union}) WHERE pair IS NOT NULL
+    """
+
+
+def _bpe_spark_chain(spark, sf_dir):
+    """Spark twin of :func:`_bpe_vocab_cte`: returns (vocab_df, merges_df)
+    after _BPE_K greedy merges. vocab_df = (word, freq, s framed symbols);
+    merges_df = one row per merge (rank, pair, cnt), NULL pair when the
+    corpus ran out of pairs before K."""
+    import functools
+
+    sep = _BPE_SEP
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split("text", " "),
+                lambda w: (w != F.lit("")) & (F.instr(w, sep) == 0),
+            )
+        ).alias("word")
+    )
+    v = words.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    v = v.select(
+        "word", "freq",
+        F.concat(
+            F.lit(sep), F.concat_ws(sep, F.split("word", "")), F.lit(sep)
+        ).alias("s"),
+    )
+    merges = []
+    find = F.concat(
+        F.lit(sep), F.coalesce("pair", F.lit(sep + sep)), F.lit(sep)
+    )
+    repl = F.concat(
+        F.lit(sep),
+        F.replace(F.coalesce("pair", F.lit(sep + sep)), F.lit(sep), F.lit("")),
+        F.lit(sep),
+    )
+    for i in range(1, _BPE_K + 1):
+        v = _cut(v)
+        syms = F.split("s", sep)
+        pairs_arr = F.transform(
+            F.sequence(F.lit(2), F.size(syms) - 2),
+            lambda j: F.concat_ws(
+                sep, F.element_at(syms, j), F.element_at(syms, j + 1)
+            ),
+        )
+        p = (
+            v.filter(F.size(syms) >= 4)
+            .select("freq", F.explode(pairs_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        p = _cut(p)
+        mx = p.agg(F.max("cnt").alias("mx"))
+        m = (
+            p.crossJoin(F.broadcast(mx))
+            .filter(F.col("cnt") == F.col("mx"))
+            .agg(
+                F.min("pair").alias("pair"),
+                F.max("cnt").cast("long").alias("cnt"),
+            )
+            .select(F.lit(i).cast("long").alias("rank"), "pair", "cnt")
+        )
+        m = _cut(m)
+        merges.append(m)
+        v = v.crossJoin(F.broadcast(m)).select(
+            "word", "freq", F.replace("s", find, repl).alias("s")
+        )
+    from pyspark.sql import DataFrame as _DF
+
+    return v, functools.reduce(_DF.unionByName, merges)
+
+
+@_q("bpe_train_merges", _bpe_merges_sql())
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016): the first _BPE_K
+    greedy merges learned from the corpus, with the deterministic
+    (count desc, pair asc) tie-break. Output = the merge table (rank,
+    left_sym, right_sym, pair_count) — the trained artifact a tokenizer
+    ships.
+
+    Scale shape (header comment): one corpus-wide word-count shuffle, then
+    all K iterations run on the (word, freq) vocab table — pair counting
+    is explode + hash groupBy with map-side combine, argmax is two scalar
+    aggregates broadcast back (the fixed-iteration pagerank_exact
+    pattern), merge application is one string replace. Everything bigint /
+    string — driver-hash exact."""
+    sep = _BPE_SEP
+    _, merges = _bpe_spark_chain(spark, sf_dir)
+    return merges.filter(F.col("pair").isNotNull()).select(
+        "rank",
+        F.substring_index("pair", sep, 1).alias("left_sym"),
+        F.substring_index("pair", sep, -1).alias("right_sym"),
+        "cnt",
+    )
+
+
+def _bpe_token_count_sql() -> str:
+    sep = _BPE_SEP
+    return f"""
+    WITH {_bpe_vocab_cte()},
+    vocab AS MATERIALIZED (
+      SELECT word, CAST(len(string_split(s, '{sep}')) - 2 AS BIGINT) AS n_sym
+      FROM v{_BPE_K}
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                    w -> w <> '' AND strpos(w, '{sep}') = 0)) AS word
+      FROM documents
+    ),
+    s AS (
+      SELECT occ.doc_id, CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_merged
+      FROM occ JOIN vocab v ON occ.word = v.word
+      GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bpe_merged, 0) AS BIGINT) AS n_bpe_merged
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+@_q("bpe_token_count", _bpe_token_count_sql())
+def bpe_token_count(spark, sf_dir):
+    """Apply the trained BPE vocab: per document, the token count AFTER the
+    _BPE_K learned merges (the number a packing/costing pipeline actually
+    bills — text_token_count's n_bpe_ish is the regex PRE-tokenizer,
+    this is the post-merge count). Join tokens to the trained vocab's
+    symbol count and sum per doc; all-docs grain (combo member)."""
+    sep = _BPE_SEP
+    d = load(spark, sf_dir, "documents")
+    vfinal, _ = _bpe_spark_chain(spark, sf_dir)
+    vocab = vfinal.select(
+        "word", (F.size(F.split("s", sep)) - 2).cast("long").alias("n_sym")
+    )
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split("text", " "),
+                lambda w: (w != F.lit("")) & (F.instr(w, sep) == 0),
+            )
+        ).alias("word"),
+    )
+    s = occ.join(vocab, "word").groupBy("doc_id").agg(
+        F.sum("n_sym").cast("long").alias("n_bpe_merged")
+    )
+    return d.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bpe_merged", F.lit(0)).cast("long").alias("n_bpe_merged"),
+    )
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,
@@ -4990,7 +5223,8 @@ def _combo_text_analysis_sql() -> str:
            ls.group_key, ls.split,
            pk.stream_pos, pk.seq_first, pk.seq_last,
            ds.dsir_score, ds.dsir_selected,
-           pp.ppl_bits, pp.ppl_avg_x100, pp.ppl_bucket
+           pp.ppl_bits, pp.ppl_avg_x100, pp.ppl_bucket,
+           bp.n_bpe_merged
     FROM {_sub("text_quality_score")} q
     JOIN {_sub("text_token_count")} t USING (doc_id)
     JOIN {_sub("text_langid")} l USING (doc_id)
@@ -5007,6 +5241,7 @@ def _combo_text_analysis_sql() -> str:
     JOIN {_sub("pack_sequences")} pk USING (doc_id)
     JOIN {_sub("dsir_select")} ds USING (doc_id)
     JOIN {_sub("lm_perplexity_buckets")} pp USING (doc_id)
+    JOIN {_sub("bpe_token_count")} bp USING (doc_id)
     """
 
 
@@ -5021,8 +5256,8 @@ def text_analysis(spark, sf_dir):
     sqrt-temperature mixture-sampling decision, the hashed-feature
     linear classifier score, and (since r7) the leakage-safe
     component-keyed train/heldout split, the DSIR importance-resampling
-    selection and the CCNet-style LM perplexity buckets — joined on
-    doc_id."""
+    selection, the CCNet-style LM perplexity buckets and the trained-BPE
+    post-merge token count — joined on doc_id."""
     q = QUERIES["text_quality_score"][0](spark, sf_dir)
     t = QUERIES["text_token_count"][0](spark, sf_dir)
     lid = QUERIES["text_langid"][0](spark, sf_dir)
@@ -5062,11 +5297,13 @@ def text_analysis(spark, sf_dir):
     pp = QUERIES["lm_perplexity_buckets"][0](spark, sf_dir).select(
         "doc_id", "ppl_bits", "ppl_avg_x100", "ppl_bucket"
     )
+    bp = QUERIES["bpe_token_count"][0](spark, sf_dir)
     return (
         q.join(t, "doc_id").join(lid, "doc_id").join(f, "doc_id").join(g, "doc_id")
         .join(s, "doc_id").join(r, "doc_id").join(p, "doc_id")
         .join(c, "doc_id").join(b, "doc_id").join(m, "doc_id").join(hc, "doc_id")
         .join(ls, "doc_id").join(pk, "doc_id").join(ds, "doc_id").join(pp, "doc_id")
+        .join(bp, "doc_id")
     )
 
 

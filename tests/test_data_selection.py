@@ -45,6 +45,14 @@ def _frames_equal(rows, want: pd.DataFrame):
     )
 
 
+def _frames_equal_on(got: pd.DataFrame, want: pd.DataFrame, key: str):
+    got = got[sorted(got.columns)].sort_values(key).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(key).reset_index(drop=True)
+    assert got.astype(str).equals(want.astype(str)), (
+        f"\ngot:\n{got}\nwant:\n{want}"
+    )
+
+
 def test_dsir_selection_direction(spark):
     # en docs speak one vocabulary, de docs another; the en-vocab features
     # are then strictly more target-typical than corpus average, the
@@ -108,3 +116,52 @@ def test_lm_perplexity_uniform_corpus_single_value(spark):
     out = _with_docs(spark, pdf, "lm_perplexity_buckets")
     assert {r["ppl_bucket"] for r in out} == {"head"}
     _frames_equal(out, _oracle(pdf, "lm_perplexity_buckets"))
+
+
+def test_bpe_classic_low_lower_lowest(spark):
+    # Sennrich et al.'s canonical example. Hand-derived greedy merges with
+    # the (count desc, pair asc) tie-break; the corpus runs out of pairs
+    # after 6 merges -> ranks 7..8 produce no rows.
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["low low low lower lowest", ""]}
+    )
+    rows = sorted(
+        (r.asDict() for r in _with_docs(spark, pdf, "bpe_train_merges")),
+        key=lambda r: r["rank"],
+    )
+    want = [
+        (1, "l", "o", 5), (2, "lo", "w", 5), (3, "low", "e", 2),
+        (4, "lowe", "r", 1), (5, "lowe", "s", 1), (6, "lowes", "t", 1),
+    ]
+    assert [
+        (r["rank"], r["left_sym"], r["right_sym"], r["cnt"]) for r in rows
+    ] == want
+    got = pd.DataFrame(rows)
+    _frames_equal_on(got, _oracle(pdf, "bpe_train_merges"), key="rank")
+
+    # post-merge token counts: every word collapsed to ONE symbol except
+    # none (all three words end fully merged): 3 + 1 + 1 = 5
+    tc = {r["doc_id"]: r["n_bpe_merged"]
+          for r in _with_docs(spark, pdf, "bpe_token_count")}
+    assert tc == {1: 5, 2: 0}
+    want_tc = _oracle(pdf, "bpe_token_count")
+    assert {int(r["doc_id"]): int(r["n_bpe_merged"])
+            for _, r in want_tc.iterrows()} == tc
+
+
+def test_bpe_greedy_nonoverlap_replace_semantics(spark):
+    # 'aaa': pair (a,a) appears twice per word but merges LEFTMOST
+    # NON-OVERLAPPING (aa + a), the BPE greedy rule — pins that Spark's
+    # replace, DuckDB's replace and the hand computation all agree.
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["aaa aaa"]})
+    rows = sorted(
+        (r.asDict() for r in _with_docs(spark, pdf, "bpe_train_merges")),
+        key=lambda r: r["rank"],
+    )
+    assert [
+        (r["rank"], r["left_sym"], r["right_sym"], r["cnt"]) for r in rows
+    ] == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+    got = pd.DataFrame(rows)
+    _frames_equal_on(got, _oracle(pdf, "bpe_train_merges"), key="rank")
+    tc = _with_docs(spark, pdf, "bpe_token_count")
+    assert tc[0]["n_bpe_merged"] == 2  # two words x one 'aaa' symbol each

@@ -70,6 +70,8 @@ BNLJ_ALLOWLIST = {
     "corpus_stats",  # 1-row summary x 1-row quantile-pick crosses (bounded)
     "dsir_select",  # 1-row expected-ratio cross (bounded build)
     "lm_perplexity_buckets",  # 1-row LM total + 1-row tercile crosses (bounded)
+    "bpe_train_merges",  # K fixed 1-row argmax crosses (pagerank discipline)
+    "bpe_token_count",  # same trained chain under the per-doc apply
     "embed_diversity_sample",  # centroid broadcast cross (8-row build, ivf_assign)
     "pagerank_copurchase",
     "hits_copurchase",
