@@ -804,18 +804,54 @@ def main(argv: list[str] | None = None) -> int:
             if (args.workdir is None) == (args.images is None):
                 print("pass exactly one of --workdir / --images", file=sys.stderr)
                 return 2
-            full = None  # bytes-bearing frame for --resize
+            full = None  # parquet input with trusted w/h columns
+            imgs = None  # crawl rows (bytes, no dims)
             if args.images:
                 full = spark.read.parquet(args.images)
-                inp = full.select("image_id", "w", "h")
             else:
-                from scrapy_spark.operators.imageops import extract_image_meta
-
                 imgs = _final_crawl_images(spark, SnapshotCatalog(args.workdir))
                 if imgs is None:
                     print("no fetch_results in " + args.workdir, file=sys.stderr)
                     return 2
-                inp = (
+            summary = {}
+            back = None
+            if args.resize:
+                from scrapy_spark.operators.imageops import resize_to_bucket
+
+                if full is not None:  # stored w/h drive the bucket argmin
+                    resized = resize_to_bucket(full)
+                else:  # crawl rows: bucket from decoded dims, no meta join
+                    resized = resize_to_bucket(imgs, dims_from_decode=True)
+                resized.write.mode("overwrite").parquet(args.resize)
+                back = spark.read.parquet(args.resize)
+                # one narrow single-pass aggregate: never touch the PNG
+                # bytes column for a null test (bytes discipline); every
+                # row has exactly one of resized / decode_error non-null
+                counts = back.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count("decode_error").alias("failed"),
+                ).collect()[0]
+                summary["resized"] = counts["total"] - counts["failed"]
+                summary["resize_failed"] = counts["failed"]
+                summary["resize_out"] = args.resize
+            if full is not None:
+                assigned = aspect_bucket_assign(
+                    full.select("image_id", "w", "h")
+                )
+            elif back is not None:
+                # the resize output already holds decoded dims + bucket —
+                # reuse it so workdir --resize decodes bytes exactly ONCE
+                assigned = back.filter(F.col("decode_error").isNull()).select(
+                    "image_id",
+                    F.col("src_w").alias("w"),
+                    F.col("src_h").alias("h"),
+                    "bucket_w",
+                    "bucket_h",
+                )
+            else:
+                from scrapy_spark.operators.imageops import extract_image_meta
+
+                assigned = aspect_bucket_assign(
                     extract_image_meta(imgs)
                     .filter(F.col("decode_ok"))
                     .select(
@@ -824,7 +860,6 @@ def main(argv: list[str] | None = None) -> int:
                         F.col("decoded_h").alias("h"),
                     )
                 )
-            assigned = aspect_bucket_assign(inp)
             if args.out:
                 assigned.write.mode("overwrite").parquet(args.out)
                 assigned = spark.read.parquet(args.out)
@@ -835,23 +870,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = {
                 "images": sum(r["n_images"] for r in stats),
                 "buckets": stats,
+                **summary,
             }
-            if args.resize:
-                from scrapy_spark.operators.imageops import resize_to_bucket
-
-                if full is not None:  # parquet carries trusted w/h columns
-                    resized = resize_to_bucket(full)
-                else:  # crawl rows: bucket from decoded dims, no meta join
-                    resized = resize_to_bucket(imgs, dims_from_decode=True)
-                resized.write.mode("overwrite").parquet(args.resize)
-                back = spark.read.parquet(args.resize)
-                summary["resized"] = back.filter(
-                    F.col("resized").isNotNull()
-                ).count()
-                summary["resize_failed"] = back.filter(
-                    F.col("decode_error").isNotNull()
-                ).count()
-                summary["resize_out"] = args.resize
             print(json.dumps(summary))
         elif args.cmd == "purge":
             from scrapy_spark.plans.purge import purge_host

@@ -4724,6 +4724,11 @@ def classifier_calibration(spark, sf_dir):
 # the corpus-wide expected ratio) — same monotone ordering per feature, and
 # every arithmetic op is int64-exact in both engines.
 _DSIR_B = _CLS_B  # share the classifier's 256-bucket hashed feature space
+# int64 margin: (t_f+1)*2^20 and (tt+B)*2^20 stay under 2^63 while total
+# token occurrences < 2^43 ≈ 8.8e12 (~35 TB of text) — beyond that Spark's
+# non-ANSI mul wraps silently while DuckDB raises, desynchronizing the
+# twins. At that scale drop SCALE to 2^10 (or shard the count pass); the
+# _CLS_M comment style above is the precedent for stating the margin.
 _DSIR_SCALE = 1 << 20
 
 
@@ -4980,9 +4985,14 @@ def lm_perplexity_buckets(spark, sf_dir):
 # then every iteration runs on that small vocab table: adjacent-pair count
 # (explode + hash groupBy weighted by freq), argmax with the deterministic
 # (count desc, pair asc) tie-break as TWO scalar aggregates, and the merge
-# applied as a single string replace over separator-framed symbol strings
-# ('\\x1f' framing; leftmost non-overlapping replace == BPE's greedy
-# left-to-right merge in Spark, DuckDB AND Python — pinned by tests).
+# applied as a single string replace over separator-framed symbol strings.
+# Framing is DOUBLED between symbols (every symbol carries its OWN leading
+# and trailing '\x1f': 'ab' + 'c' == ';ab;;c;') so adjacent pair
+# occurrences share no characters and leftmost non-overlapping replace ==
+# BPE's greedy left-to-right merge — with single framing, ';a;a;a;a;'
+# would consume the shared middle separator and merge only the FIRST of
+# two adjacent (a,a) occurrences ('aaaa' -> [aa,a,a] instead of the
+# canonical [aa,aa]); pinned by tests in Spark, DuckDB AND Python.
 # Fixed K follows the pagerank_exact discipline: per-iteration 1-row
 # broadcast subqueries + a materialize cut per iteration, exact bigint
 # counts end to end.
@@ -5005,7 +5015,7 @@ def _bpe_vocab_cte() -> str:
     ),
     v0 AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
-             '{sep}' || array_to_string(string_split(word, ''), '{sep}')
+             '{sep}' || array_to_string(string_split(word, ''), '{sep}{sep}')
                || '{sep}' AS s
       FROM bpe_toks GROUP BY word
     )"""
@@ -5018,10 +5028,13 @@ def _bpe_vocab_cte() -> str:
       FROM (
         SELECT freq,
                unnest(list_transform(
-                 generate_series(2, len(syms) - 2),
+                 generate_series(1, len(syms) - 1),
                  j -> syms[j] || '{sep}' || syms[j + 1])) AS pr
-        FROM (SELECT freq, string_split(s, '{sep}') AS syms FROM v{i - 1})
-        WHERE len(syms) >= 4
+        FROM (SELECT freq,
+                     list_filter(string_split(s, '{sep}'), x -> x <> '')
+                       AS syms
+              FROM v{i - 1})
+        WHERE len(syms) >= 2
       ) GROUP BY pr
     ),
     m{i} AS MATERIALIZED (
@@ -5032,8 +5045,9 @@ def _bpe_vocab_cte() -> str:
     v{i} AS MATERIALIZED (
       SELECT word, freq,
              replace(s,
-               '{sep}' || (SELECT coalesce(pair, '{sep}{sep}') FROM m{i})
-                 || '{sep}',
+               '{sep}' || replace(
+                   (SELECT coalesce(pair, '{sep}{sep}') FROM m{i}),
+                   '{sep}', '{sep}{sep}') || '{sep}',
                '{sep}' || replace(
                    (SELECT coalesce(pair, '{sep}{sep}') FROM m{i}),
                    '{sep}', '') || '{sep}') AS s
@@ -5079,12 +5093,16 @@ def _bpe_spark_chain(spark, sf_dir):
     v = v.select(
         "word", "freq",
         F.concat(
-            F.lit(sep), F.concat_ws(sep, F.split("word", "")), F.lit(sep)
+            F.lit(sep), F.concat_ws(sep + sep, F.split("word", "")), F.lit(sep)
         ).alias("s"),
     )
     merges = []
     find = F.concat(
-        F.lit(sep), F.coalesce("pair", F.lit(sep + sep)), F.lit(sep)
+        F.lit(sep),
+        F.replace(
+            F.coalesce("pair", F.lit(sep + sep)), F.lit(sep), F.lit(sep + sep)
+        ),
+        F.lit(sep),
     )
     repl = F.concat(
         F.lit(sep),
@@ -5093,15 +5111,15 @@ def _bpe_spark_chain(spark, sf_dir):
     )
     for i in range(1, _BPE_K + 1):
         v = _cut(v)
-        syms = F.split("s", sep)
+        syms = F.filter(F.split("s", sep), lambda x: x != F.lit(""))
         pairs_arr = F.transform(
-            F.sequence(F.lit(2), F.size(syms) - 2),
+            F.sequence(F.lit(1), F.size(syms) - 1),
             lambda j: F.concat_ws(
                 sep, F.element_at(syms, j), F.element_at(syms, j + 1)
             ),
         )
         p = (
-            v.filter(F.size(syms) >= 4)
+            v.filter(F.size(syms) >= 2)
             .select("freq", F.explode(pairs_arr).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
@@ -5156,7 +5174,9 @@ def _bpe_token_count_sql() -> str:
     return f"""
     WITH {_bpe_vocab_cte()},
     vocab AS MATERIALIZED (
-      SELECT word, CAST(len(string_split(s, '{sep}')) - 2 AS BIGINT) AS n_sym
+      SELECT word,
+             CAST(len(list_filter(string_split(s, '{sep}'), x -> x <> ''))
+               AS BIGINT) AS n_sym
       FROM v{_BPE_K}
     ),
     occ AS (
@@ -5187,7 +5207,10 @@ def bpe_token_count(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     vfinal, _ = _bpe_spark_chain(spark, sf_dir)
     vocab = vfinal.select(
-        "word", (F.size(F.split("s", sep)) - 2).cast("long").alias("n_sym")
+        "word",
+        F.size(F.filter(F.split("s", sep), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_sym"),
     )
     occ = d.select(
         "doc_id",

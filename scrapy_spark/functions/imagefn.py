@@ -202,9 +202,24 @@ def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     a real implementation, not a stub — content_handlers.py:329-340
     thumbnails). px: (h, w, c) uint8 -> (out_h, out_w, c) uint8, edge-clamped
     sampling at pixel centers (align_corners=False convention)."""
+    return resize_bilinear_window(px, out_w, out_h, 0, 0, out_w, out_h)
+
+
+def resize_bilinear_window(
+    px: np.ndarray, out_w: int, out_h: int,
+    x0: int, y0: int, win_w: int, win_h: int,
+) -> np.ndarray:
+    """Exactly ``resize_bilinear(px, out_w, out_h)[y0:y0+win_h,
+    x0:x0+win_w]`` WITHOUT materializing the full scaled image — the same
+    pixel-center sample coordinates restricted to the window, so results
+    are bit-identical to full-resize-then-crop (test-pinned). Needed for
+    cover-resize of extreme-aspect sources: a 1x500 spacer covered onto a
+    704-wide bucket implies a 704 x 352000 intermediate; the crop keeps
+    only bucket_h rows, so sampling the window directly bounds memory by
+    the bucket size regardless of source aspect."""
     h, w = px.shape[:2]
-    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
-    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(y0, y0 + win_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(x0, x0 + win_w) + 0.5) * (w / out_w) - 0.5
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
     x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)

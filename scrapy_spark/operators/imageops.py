@@ -648,7 +648,7 @@ def resize_to_bucket(
     fetch rows): the bucket is chosen per row from the DECODED dims via
     the Fraction-exact twin (py_aspect_bucket_assign — tests pin it equal
     to the plan-side argmin), still zero joins / zero bytes shuffle."""
-    from ..functions.imagefn import encode_png, resize_bilinear
+    from ..functions.imagefn import encode_png, resize_bilinear_window
 
     if dims_from_decode:
         # -1 sentinel, not NULL: a None in a pandas int column silently
@@ -687,13 +687,20 @@ def resize_to_bucket(
                         bw, bh = a["bucket_w"], a["bucket_h"]
                         rec.update(bucket_w=bw, bucket_h=bh)
                     sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
-                    crop = resize_bilinear(px, sw, sh)[cy:cy + bh, cx:cx + bw]
+                    # window sampler: memory bounded by the BUCKET, not by
+                    # the cover-scaled dims (extreme-aspect spacers)
+                    crop = resize_bilinear_window(px, sw, sh, cx, cy, bw, bh)
                     rec.update(
                         src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
                         crop_x=cx, crop_y=cy, resized=encode_png(crop),
                     )
                 except (NotImplementedError, ValueError) as exc:
                     rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+                    if int(row.bucket_w) < 0:
+                        # decode-mode failure: no pixels -> no bucket; emit
+                        # NULL, never the internal -1 sentinel (stored-dims
+                        # mode keeps the real bucket on its error rows)
+                        rec["bucket_w"] = rec["bucket_h"] = None
                 out.append(rec)
             yield pd.DataFrame(out)
 
@@ -706,7 +713,7 @@ def py_resize_to_bucket(rows, ladder=ASPECT_LADDER) -> list[dict]:
     functions — the bytes-parity discipline (oracle and operator share the
     deterministic from-scratch encoders; what the twin independently pins
     is the assignment and the plumbing around them)."""
-    from ..functions.imagefn import encode_png, resize_bilinear
+    from ..functions.imagefn import encode_png, resize_bilinear_window
 
     meta = [{"image_id": r["image_id"], "w": r["w"], "h": r["h"]} for r in rows]
     out = []
@@ -722,7 +729,7 @@ def py_resize_to_bucket(rows, ladder=ASPECT_LADDER) -> list[dict]:
             px = decode_image(bytes(r["bytes"]), r["fmt"])
             h, w = px.shape[:2]
             sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
-            crop = resize_bilinear(px, sw, sh)[cy:cy + bh, cx:cx + bw]
+            crop = resize_bilinear_window(px, sw, sh, cx, cy, bw, bh)
             rec.update(
                 src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
                 crop_x=cx, crop_y=cy, resized=encode_png(crop),

@@ -149,6 +149,28 @@ def test_bpe_classic_low_lower_lowest(spark):
             for _, r in want_tc.iterrows()} == tc
 
 
+def test_bpe_adjacent_occurrences_both_merge(spark):
+    # THE double-framing regression case: 'aaaa' holds two adjacent (a,a)
+    # occurrences — canonical BPE merges BOTH in one pass -> [aa, aa], then
+    # learns (aa, aa). With single separator framing the replace consumed
+    # the shared middle separator and produced [aa, a, a], re-learning
+    # (a, a) at rank 2 — a malformed merge table with duplicate pairs.
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["aaaa"]})
+    rows = sorted(
+        (r.asDict() for r in _with_docs(spark, pdf, "bpe_train_merges")),
+        key=lambda r: r["rank"],
+    )
+    assert [
+        (r["rank"], r["left_sym"], r["right_sym"], r["cnt"]) for r in rows
+    ] == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+    pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no pair ever re-learned
+    got = pd.DataFrame(rows)
+    _frames_equal_on(got, _oracle(pdf, "bpe_train_merges"), key="rank")
+    tc = _with_docs(spark, pdf, "bpe_token_count")
+    assert tc[0]["n_bpe_merged"] == 1  # fully merged to one symbol
+
+
 def test_bpe_greedy_nonoverlap_replace_semantics(spark):
     # 'aaa': pair (a,a) appears twice per word but merges LEFTMOST
     # NON-OVERLAPPING (aa + a), the BPE greedy rule — pins that Spark's

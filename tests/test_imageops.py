@@ -523,3 +523,52 @@ def test_imagebuckets_cli_resize(spark, tmp_path, capsys):
     for r in rows:
         px = decode_png(bytes(r["resized"]))
         assert px.shape[:2] == (r["bucket_h"], r["bucket_w"])
+
+
+def test_resize_bilinear_window_equals_full_then_crop():
+    """The crop-window sampler is bit-identical to full-resize-then-crop
+    (same pixel-center coordinates restricted to the window) — the
+    equivalence that lets resize_to_bucket bound memory by the bucket."""
+    import numpy as np
+
+    from scrapy_spark.functions.imagefn import (
+        resize_bilinear,
+        resize_bilinear_window,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(9, 4, 3), dtype=np.uint8)
+    full = resize_bilinear(px, 11, 23)
+    for (x0, y0, ww, wh) in [(0, 0, 11, 23), (3, 5, 5, 7), (10, 22, 1, 1)]:
+        win = resize_bilinear_window(px, 11, 23, x0, y0, ww, wh)
+        assert np.array_equal(win, full[y0:y0 + wh, x0:x0 + ww])
+    # extreme-aspect cover case stays tiny: 1x500 source covered onto
+    # 704x320 implies a 704x352000 scaled grid; the window only ever
+    # materializes 704x320
+    spacer = rng.integers(0, 256, size=(500, 1, 3), dtype=np.uint8)
+    from scrapy_spark.operators.imageops import cover_geometry
+
+    sw, sh, cx, cy = cover_geometry(1, 500, 704, 320)
+    out = resize_bilinear_window(spacer, sw, sh, cx, cy, 704, 320)
+    assert out.shape == (320, 704, 3)
+
+
+def test_resize_dims_from_decode_failed_rows_null_bucket(spark):
+    """Decode-mode failure rows emit NULL bucket columns (no pixels -> no
+    bucket), never the internal -1 sentinel; stored-dims mode keeps the
+    real bucket on its error rows."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.operators.imageops import resize_to_bucket
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=13, n_hosts=4, n_pages=40,
+                                         n_images=4))
+    df = spark.createDataFrame(pdf).withColumn("fmt", F.lit("tiff"))
+    dm = resize_to_bucket(df.drop("w", "h"), dims_from_decode=True).collect()
+    assert all(r["bucket_w"] is None and r["bucket_h"] is None for r in dm)
+    sd = resize_to_bucket(df).collect()
+    assert all(
+        r["bucket_w"] is not None and r["decode_error"] is not None for r in sd
+    )
