@@ -336,6 +336,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="also decode + cover-resize + center-crop every "
                     "image to its bucket resolution and write the resized "
                     "parquet (PNG bytes + crop geometry) to DIR")
+    ib.add_argument("--resize-mode", choices=("cover", "fit"),
+                    default="cover",
+                    help="cover = crop to fill the bucket (default); "
+                    "fit = letterbox onto a black canvas, no content loss")
     ib.add_argument("--master", default=None)
 
     pg = sub.add_parser(
@@ -819,9 +823,11 @@ def main(argv: list[str] | None = None) -> int:
                 from scrapy_spark.operators.imageops import resize_to_bucket
 
                 if full is not None:  # stored w/h drive the bucket argmin
-                    resized = resize_to_bucket(full)
+                    resized = resize_to_bucket(full, mode=args.resize_mode)
                 else:  # crawl rows: bucket from decoded dims, no meta join
-                    resized = resize_to_bucket(imgs, dims_from_decode=True)
+                    resized = resize_to_bucket(
+                        imgs, dims_from_decode=True, mode=args.resize_mode
+                    )
                 resized.write.mode("overwrite").parquet(args.resize)
                 back = spark.read.parquet(args.resize)
                 # one narrow single-pass aggregate: never touch the PNG

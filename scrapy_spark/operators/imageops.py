@@ -624,10 +624,46 @@ def cover_geometry(
     return sw, sh, (sw - bw) // 2, (sh - bh) // 2
 
 
+def fit_geometry(
+    w: int, h: int, bw: int, bh: int
+) -> tuple[int, int, int, int]:
+    """Scale-to-FIT + center-pad (letterbox) geometry: the largest
+    aspect-preserving size that fits INSIDE the bucket, then the centered
+    paste offset. Same single-definition discipline as
+    :func:`cover_geometry`. Returns (scaled_w, scaled_h, pad_x, pad_y)."""
+    scale = min(bw / w, bh / h)
+    sw = min(bw, max(1, round(w * scale)))
+    sh = min(bh, max(1, round(h * scale)))
+    return sw, sh, (bw - sw) // 2, (bh - sh) // 2
+
+
+def _prep_pixels(px, bw: int, bh: int, mode: str):
+    """Per-row prep kernel shared by the Spark UDF and the sequential twin:
+    cover = window-sampled resize + center crop (memory bounded by the
+    bucket); fit = letterbox onto a black canvas (scaled dims are <= the
+    bucket by construction, so the plain resize is already bounded).
+    Returns (scaled_w, scaled_h, off_x, off_y, out_pixels)."""
+    import numpy as np
+
+    from ..functions.imagefn import resize_bilinear, resize_bilinear_window
+
+    h, w = px.shape[:2]
+    if mode == "cover":
+        sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
+        return sw, sh, cx, cy, resize_bilinear_window(
+            px, sw, sh, cx, cy, bw, bh
+        )
+    sw, sh, ox, oy = fit_geometry(w, h, bw, bh)
+    canvas = np.zeros((bh, bw, px.shape[2]), dtype=np.uint8)
+    canvas[oy:oy + sh, ox:ox + sw] = resize_bilinear(px, sw, sh)
+    return sw, sh, ox, oy, canvas
+
+
 def resize_to_bucket(
     images: DataFrame,
     ladder: tuple[tuple[int, int], ...] = ASPECT_LADDER,
     dims_from_decode: bool = False,
+    mode: str = "cover",
 ) -> DataFrame:
     """Bucket-resolution training prep (the step after
     :func:`aspect_bucket_assign` in the NovelAI/SDXL recipe): per image,
@@ -647,9 +683,14 @@ def resize_to_bucket(
     ``dims_from_decode=True`` serves inputs without w/h columns (crawl
     fetch rows): the bucket is chosen per row from the DECODED dims via
     the Fraction-exact twin (py_aspect_bucket_assign — tests pin it equal
-    to the plan-side argmin), still zero joins / zero bytes shuffle."""
-    from ..functions.imagefn import encode_png, resize_bilinear_window
+    to the plan-side argmin), still zero joins / zero bytes shuffle.
 
+    ``mode="fit"`` letterboxes instead (resize to fit, centered on a black
+    canvas — the no-content-loss variant some captioning pipelines want);
+    crop_x/crop_y then report the PAD offset of the pasted image."""
+    from ..functions.imagefn import encode_png
+
+    assert mode in ("cover", "fit"), mode
     if dims_from_decode:
         # -1 sentinel, not NULL: a None in a pandas int column silently
         # becomes float64 (CLAUDE.md gotcha)
@@ -686,13 +727,10 @@ def resize_to_bucket(
                         )[0]
                         bw, bh = a["bucket_w"], a["bucket_h"]
                         rec.update(bucket_w=bw, bucket_h=bh)
-                    sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
-                    # window sampler: memory bounded by the BUCKET, not by
-                    # the cover-scaled dims (extreme-aspect spacers)
-                    crop = resize_bilinear_window(px, sw, sh, cx, cy, bw, bh)
+                    sw, sh, cx, cy, outpx = _prep_pixels(px, bw, bh, mode)
                     rec.update(
                         src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
-                        crop_x=cx, crop_y=cy, resized=encode_png(crop),
+                        crop_x=cx, crop_y=cy, resized=encode_png(outpx),
                     )
                 except (NotImplementedError, ValueError) as exc:
                     rec["decode_error"] = f"{type(exc).__name__}: {exc}"
@@ -707,13 +745,13 @@ def resize_to_bucket(
     return src.mapInPandas(run, schema=BUCKET_RESIZE_SCHEMA)
 
 
-def py_resize_to_bucket(rows, ladder=ASPECT_LADDER) -> list[dict]:
+def py_resize_to_bucket(rows, ladder=ASPECT_LADDER, mode="cover") -> list[dict]:
     """Sequential twin of :func:`resize_to_bucket`: Fraction-exact bucket
     argmin (py_aspect_bucket_assign) + the SAME shared geometry / codec
     functions — the bytes-parity discipline (oracle and operator share the
     deterministic from-scratch encoders; what the twin independently pins
     is the assignment and the plumbing around them)."""
-    from ..functions.imagefn import encode_png, resize_bilinear_window
+    from ..functions.imagefn import encode_png
 
     meta = [{"image_id": r["image_id"], "w": r["w"], "h": r["h"]} for r in rows]
     out = []
@@ -728,11 +766,10 @@ def py_resize_to_bucket(rows, ladder=ASPECT_LADDER) -> list[dict]:
         try:
             px = decode_image(bytes(r["bytes"]), r["fmt"])
             h, w = px.shape[:2]
-            sw, sh, cx, cy = cover_geometry(w, h, bw, bh)
-            crop = resize_bilinear_window(px, sw, sh, cx, cy, bw, bh)
+            sw, sh, cx, cy, outpx = _prep_pixels(px, bw, bh, mode)
             rec.update(
                 src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,
-                crop_x=cx, crop_y=cy, resized=encode_png(crop),
+                crop_x=cx, crop_y=cy, resized=encode_png(outpx),
             )
         except (NotImplementedError, ValueError) as exc:
             rec["decode_error"] = f"{type(exc).__name__}: {exc}"

@@ -572,3 +572,57 @@ def test_resize_dims_from_decode_failed_rows_null_bucket(spark):
     assert all(
         r["bucket_w"] is not None and r["decode_error"] is not None for r in sd
     )
+
+
+def test_resize_to_bucket_fit_letterbox(spark):
+    """Fit mode: content scaled to fit INSIDE the bucket, centered on a
+    black canvas; geometry hand-checked; interior equals the plain resize;
+    twin parity byte-exact."""
+    import numpy as np
+
+    from scrapy_spark.functions.imagefn import decode_png, resize_bilinear
+    from scrapy_spark.operators.imageops import (
+        fit_geometry,
+        py_resize_to_bucket,
+        resize_to_bucket,
+    )
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    # geometry: 100x100 into 576x448 fits at 448x448, padded 64 left/right
+    assert fit_geometry(100, 100, 576, 448) == (448, 448, 64, 0)
+    assert fit_geometry(512, 512, 512, 512) == (512, 512, 0, 0)
+    # degenerate sliver never rounds to zero width
+    sw, sh, ox, oy = fit_geometry(1, 500, 704, 320)
+    assert sw >= 1 and sh <= 320
+
+    pdf = synth.build_images(SynthConfig(seed=17, n_hosts=4, n_pages=40,
+                                         n_images=6))
+    df = spark.createDataFrame(pdf)
+    got = {r["image_id"]: r.asDict()
+           for r in resize_to_bucket(df, mode="fit").collect()}
+    want = {r["image_id"]: r
+            for r in py_resize_to_bucket(pdf.to_dict("records"), mode="fit")}
+    assert set(got) == set(want)
+    src = {r["image_id"]: r for r in pdf.to_dict("records")}
+    for iid, g in got.items():
+        assert bytes(g["resized"]) == bytes(want[iid]["resized"])
+        out = decode_png(bytes(g["resized"]))
+        assert out.shape[:2] == (g["bucket_h"], g["bucket_w"])
+        # scaled content fits inside; offsets centered
+        assert g["scaled_w"] <= g["bucket_w"] and g["scaled_h"] <= g["bucket_h"]
+        assert g["crop_x"] == (g["bucket_w"] - g["scaled_w"]) // 2
+        assert g["crop_y"] == (g["bucket_h"] - g["scaled_h"]) // 2
+        # interior equals the plain bilinear resize; borders are black
+        from scrapy_spark.functions.imagefn import decode_image
+
+        px = decode_image(bytes(src[iid]["bytes"]), src[iid]["fmt"])
+        inner = out[g["crop_y"]:g["crop_y"] + g["scaled_h"],
+                    g["crop_x"]:g["crop_x"] + g["scaled_w"]]
+        assert np.array_equal(
+            inner, resize_bilinear(px, g["scaled_w"], g["scaled_h"])
+        )
+        if g["crop_x"] > 0:
+            assert not out[:, : g["crop_x"]].any()
+        if g["crop_y"] > 0:
+            assert not out[: g["crop_y"], :].any()
