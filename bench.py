@@ -84,6 +84,7 @@ HEADLINE = [
     "dsir_select",
     "lm_perplexity_buckets",
     "bpe_train_merges",
+    "nb_langid_confusion",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1

@@ -5230,6 +5230,160 @@ def bpe_token_count(spark, sf_dir):
     )
 
 
+def _nb_sql() -> str:
+    return """
+    WITH occ AS MATERIALIZED (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      FROM documents
+    ),
+    cls AS MATERIALIZED (
+      SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs_l
+      FROM documents GROUP BY lang
+    ),
+    nd AS (SELECT CAST(sum(n_docs_l) AS BIGINT) AS n_all FROM cls),
+    tl AS MATERIALIZED (
+      SELECT lang AS cls, CAST(count(*) AS BIGINT) AS t_lang
+      FROM occ GROUP BY lang
+    ),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM occ),
+    pri AS MATERIALIZED (
+      SELECT c.cls,
+             CAST(length(bin(nd.n_all // c.n_docs_l)) - 1 AS BIGINT)
+               AS prior_cost,
+             coalesce(t.t_lang, 0) + vv.v AS denom
+      FROM cls c LEFT JOIN tl t ON c.cls = t.cls, nd, vv
+    ),
+    ct AS MATERIALIZED (
+      SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY lang, tok
+    ),
+    sc AS MATERIALIZED (
+      SELECT o.doc_id, o.lang, p.cls,
+             p.prior_cost
+               + CAST(sum(
+                   length(bin(p.denom // (coalesce(ct.cnt, 0) + 1))) - 1
+                 ) AS BIGINT) AS total
+      FROM occ o
+      CROSS JOIN pri p
+      LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = o.tok
+      GROUP BY o.doc_id, o.lang, p.cls, p.prior_cost
+    ),
+    tmin AS MATERIALIZED (
+      SELECT doc_id, min(total) AS mt FROM sc GROUP BY doc_id
+    ),
+    pred AS MATERIALIZED (
+      SELECT s.doc_id, min(s.cls) AS pred_cls
+      FROM sc s JOIN tmin t ON s.doc_id = t.doc_id AND s.total = t.mt
+      GROUP BY s.doc_id
+    ),
+    dflt AS (
+      SELECT min(cls) AS d_cls FROM pri
+      WHERE prior_cost = (SELECT min(prior_cost) FROM pri)
+    )
+    SELECT d.lang AS true_lang,
+           coalesce(p.pred_cls, (SELECT d_cls FROM dflt)) AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@_q("nb_langid_confusion", _nb_sql())
+def nb_langid_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes language-ID — a TRAINED count-based model
+    (the model family under fastText-style lang-id), fit and evaluated
+    in-corpus: per-class token counts with Laplace smoothing, per-doc class
+    scores, argmin election, and the resubstitution confusion matrix
+    (true_lang x pred_lang x n_docs) as the output.
+
+    Exactness: every cost is the whole-bit surrogate
+    floor(log2(denom div (cnt+1))) via binary-string length (the
+    lm_perplexity_buckets device — no transcendental enters the hash);
+    ties break (cost asc, class asc) via the two-scalar argmin used by the
+    BPE trainer. The floor bias is shared across classes for a given
+    token count, so the argmin is a faithful quantized NB decision.
+
+    Scale shape: training is two hash aggregates over the token stream
+    ((class, token) counts + class totals, map-side combine); scoring
+    crosses occurrences with the CLASS-CARDINALITY-bounded broadcast prior
+    table (|classes| ~ 5, a bounded fan-out, not a pair join) and
+    equi-joins the count table on (class, token) — AQE-sized; election and
+    the confusion rollup are doc-keyed hash aggregates. Linear in tokens x
+    classes. Zero-token docs predict the prior argmin (kept by the final
+    LEFT JOIN).
+
+    Corpus caveat: the synthetic documents table draws every lang's text
+    from ONE shared vocabulary (the lang label is independent of content),
+    so the fitted model here collapses to the prior — the confusion matrix
+    is still the exact NB decision, and actual class learning is pinned on
+    vocabulary-split constructed corpora in tests/test_data_selection.py."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("tok"),
+    )
+
+    def ilog2(expr_str):
+        return (F.length(F.conv(F.expr(expr_str), 10, 2)) - 1).cast("long")
+
+    cls = _cut(
+        d.groupBy(F.col("lang").alias("cls")).agg(
+            F.count("*").cast("long").alias("n_docs_l")
+        )
+    )
+    nd = cls.agg(F.sum("n_docs_l").cast("long").alias("n_all"))
+    tl = occ.groupBy(F.col("lang").alias("cls")).agg(
+        F.count("*").cast("long").alias("t_lang")
+    )
+    vv = occ.agg(F.countDistinct("tok").cast("long").alias("v"))
+    pri = _cut(
+        cls.join(tl, "cls", "left")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "cls",
+            ilog2("n_all div n_docs_l").alias("prior_cost"),
+            (F.coalesce("t_lang", F.lit(0)) + F.col("v")).alias("denom"),
+        )
+    )
+    ct = occ.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    sc = (
+        occ.crossJoin(F.broadcast(pri))
+        .join(ct, ["cls", "tok"], "left")
+        .groupBy("doc_id", "cls", "prior_cost")
+        .agg(
+            F.sum(
+                ilog2("denom div (coalesce(cnt, 0) + 1)")
+            ).cast("long").alias("tok_cost")
+        )
+        .select(
+            "doc_id", "cls",
+            (F.col("prior_cost") + F.col("tok_cost")).alias("total"),
+        )
+    )
+    pred = sc.groupBy("doc_id").agg(
+        F.min(F.struct("total", "cls"))["cls"].alias("pred_cls")
+    )
+    dflt = pri.agg(
+        F.min(F.struct("prior_cost", "cls"))["cls"].alias("d_cls")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .crossJoin(F.broadcast(dflt))
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce("pred_cls", "d_cls").alias("pred_lang"),
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def _combo_text_analysis_sql() -> str:
     return f"""
     SELECT q.doc_id, q.n_tokens, q.n_stop, q.stop_ratio, q.quality,

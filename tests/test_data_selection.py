@@ -187,3 +187,27 @@ def test_bpe_greedy_nonoverlap_replace_semantics(spark):
     _frames_equal_on(got, _oracle(pdf, "bpe_train_merges"), key="rank")
     tc = _with_docs(spark, pdf, "bpe_token_count")
     assert tc[0]["n_bpe_merged"] == 2  # two words x one 'aaa' symbol each
+
+
+def test_nb_langid_learns_vocabulary_split(spark):
+    # Vocabulary-split corpus: en docs speak {alpha,beta}, de docs speak
+    # {delta,zeta}. One doc is LABELED de but written in en vocabulary —
+    # the trained model must predict from CONTENT (off-diagonal cell), and
+    # the zero-token doc falls back to the prior argmin (de: 4/7 docs).
+    # Hand-derived whole-bit costs: mislabeled doc scores en=2 vs de=4.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": ["alpha beta alpha"] * 3 + ["delta zeta"] * 2
+            + ["alpha beta", ""],
+            "lang": ["en"] * 3 + ["de"] * 4,
+        }
+    )
+    rows = _with_docs(spark, pdf, "nb_langid_confusion")
+    got = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in rows}
+    assert got == {("en", "en"): 3, ("de", "de"): 3, ("de", "en"): 1}
+    want = _oracle(pdf, "nb_langid_confusion")
+    assert {
+        (r["true_lang"], r["pred_lang"]): int(r["n_docs"])
+        for _, r in want.iterrows()
+    } == got

@@ -72,6 +72,7 @@ BNLJ_ALLOWLIST = {
     "lm_perplexity_buckets",  # 1-row LM total + 1-row tercile crosses (bounded)
     "bpe_train_merges",  # K fixed 1-row argmax crosses (pagerank discipline)
     "bpe_token_count",  # same trained chain under the per-doc apply
+    "nb_langid_confusion",  # class-table cross (|classes| rows, bounded)
     "embed_diversity_sample",  # centroid broadcast cross (8-row build, ivf_assign)
     "pagerank_copurchase",
     "hits_copurchase",
