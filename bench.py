@@ -85,6 +85,7 @@ HEADLINE = [
     "lm_perplexity_buckets",
     "bpe_train_merges",
     "nb_langid_confusion",
+    "bm25_topk",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1
@@ -114,6 +115,7 @@ DATA_SCALE_QUERIES = [
     "dedup_duplicate_spans",
     "dsir_select",
     "lm_perplexity_buckets",
+    "bm25_topk",
 ]
 
 # a data-scale query without an sf0.1 HEADLINE timing has no denominator

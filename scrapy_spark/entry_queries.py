@@ -4979,6 +4979,155 @@ def lm_perplexity_buckets(spark, sf_dir):
     )
 
 
+# BM25 keyword retrieval over the crawled corpus (Robertson & Zaragoza
+# 2009, k1=1.2 b=0.75 — the Lucene/Elasticsearch defaults). The crawl
+# engine's search surface: score docs against fixed keyword queries and
+# return the exact top-10 per query.
+#
+# Exactness devices (header-comment discipline, see _DSIR_SCALE): the tf
+# saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is cleared to integers
+# by multiplying through by 20*avgdl (k1=6/5, b=3/4 exactly):
+#   tf_part = (44*avgdl*tf*2^10) div (20*avgdl*tf + 6*avgdl + 18*dl)
+# and the log-idf is the linear-ratio surrogate (the dsir_select device):
+#   idf = ((N - df + 1) * 2^10) div (df + 1)
+# — strictly decreasing in df like the true idf, every op int64-exact in
+# both engines. avgdl is the integer surrogate sum(dl) div N (documented:
+# ranking-equivalent per-term, not float-BM25-equal). int64 margin: the
+# per-term product idf*tf_part < N * 2^10 * 2.2 * 2^10 ≈ N * 2.3e6 — safe
+# to N ≈ 10^12 docs with ≤ 5-term queries.
+_BM25_QUERIES: list[tuple[str, str]] = [
+    ("q_engine", "spark"), ("q_engine", "window"), ("q_engine", "join"),
+    ("q_storage", "hash"), ("q_storage", "table"), ("q_storage", "scan"),
+    ("q_stream", "stream"), ("q_stream", "batch"), ("q_stream", "dup"),
+]
+_BM25_TERMS = sorted({t for _, t in _BM25_QUERIES})
+_BM25_S = 1 << 10
+_BM25_K = 10
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+      FROM dl
+    ),
+    q AS (SELECT * FROM (VALUES {vals}) v(query_id, term)),
+    occ AS MATERIALIZED (
+      SELECT d.doc_id, t.tok
+      FROM docs d, UNNEST(d.toks) AS t(tok)
+      WHERE t.tok IN ({terms})
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM occ GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_hit,
+             CAST(sum(
+               ((tot.n_docs - dfreq.dfq + 1) * {_BM25_S} // (dfreq.dfq + 1))
+               * ((44 * tot.avgdl * tf.tf * {_BM25_S})
+                  // (20 * tot.avgdl * tf.tf + 6 * tot.avgdl + 18 * dl.dl))
+             ) AS BIGINT) AS bm25_scaled
+      FROM tf
+      JOIN q ON q.term = tf.tok
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id), tot
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, n_terms_hit, bm25_scaled,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25_scaled DESC, doc_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS bm25_rank, doc_id,
+           n_terms_hit, bm25_scaled
+    FROM ranked WHERE rnk <= {_BM25_K}
+    """
+
+
+@_q("bm25_topk", _bm25_sql())
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval per fixed keyword query — the search surface a
+    crawl corpus exists to serve (the reference's keyword analytics stop at
+    extraction; this is the ranked lookup over the same tokens).
+
+    Exactness: integer-cleared tf saturation + linear-ratio idf surrogate
+    (header comment above) — zero floats, driver-hash exact; ties broken
+    (score desc, doc_id asc).
+
+    Scale shape: tokens are filtered INSIDE the per-doc array against the
+    broadcast term set BEFORE exploding, so the exploded stream carries
+    only query-term occurrences (at 100 TB the scan dominates and the
+    explode is ~0 for selective vocabularies). df and the term table are
+    tiny broadcasts; the only wide exchange is the per-(query, doc) score
+    groupBy; the final election is operators/topk.grouped_total_rank — a
+    hot query never funnels its whole posting list through one task."""
+    from scrapy_spark.operators.topk import grouped_total_rank
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    docs = d.select("doc_id", toks.alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(dl) div count(*)").cast("long").alias("avgdl"),
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("toks"), lambda tk: tk.isin(*_BM25_TERMS))
+        ).alias("tok"),
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("dfq"))
+    term_score = F.expr(
+        f"((n_docs - dfq + 1) * {_BM25_S} div (dfq + 1))"
+        f" * ((44 * avgdl * tf * {_BM25_S})"
+        f"    div (20 * avgdl * tf + 6 * avgdl + 18 * dl))"
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), tf["tok"] == qdf["term"])
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum(term_score).cast("long").alias("bm25_scaled"),
+        )
+    )
+    ranked = grouped_total_rank(
+        scored,
+        ["query_id"],
+        [F.col("bm25_scaled").desc(), F.col("doc_id").asc()],
+        "bm25_rank",
+    )
+    return ranked.filter(F.col("bm25_rank") <= _BM25_K).select(
+        "query_id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        "doc_id",
+        "n_terms_hit",
+        "bm25_scaled",
+    )
+
+
 # BPE tokenizer training (Sennrich et al. 2016, the GPT-2/Llama vocab
 # recipe): K greedy merges over the word-frequency table. The classic
 # trainer shape — ONE corpus-wide shuffle collapses tokens to (word, freq),
