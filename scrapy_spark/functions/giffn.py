@@ -71,50 +71,63 @@ def quantize_for_gif(px: np.ndarray) -> np.ndarray:
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Identical bitstream to the classic string-table formulation, two
+    constant-factor rewrites (the jpegfn/webpfn vectorization discipline):
+    the table is keyed by the integer pair (prefix_code << 8 | symbol) —
+    isomorphic to keying by the expanded string, without building an
+    O(match-length) bytes object per pixel — and the LSB-first bit packing
+    is deferred to one numpy scatter over the emitted (code, width) list
+    (bit positions are disjoint across codes, so three masked byte-adds
+    can never carry)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out = bytearray()
-    acc = 0
-    nbits = 0
-
-    def emit(code: int, width: int):
-        nonlocal acc, nbits
-        # GIF packs codes LSB-first
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    codes: list[int] = []
+    widths: list[int] = []
+    table: dict[int, int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
-    emit(clear, width)
-    prefix = b""
+    codes.append(clear)
+    widths.append(width)
+    prefix = -1
     for v in indices.reshape(-1).tolist():
-        cur = prefix + bytes([v])
-        if cur in table:
-            prefix = cur
+        if prefix < 0:
+            prefix = v
             continue
-        emit(table[prefix], width)
+        key = (prefix << 8) | v
+        got = table.get(key)
+        if got is not None:
+            prefix = got
+            continue
+        codes.append(prefix)
+        widths.append(width)
         if next_code < 4096:
-            table[cur] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code - 1 == (1 << width) and width < 12:
                 width += 1
         else:
-            emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            codes.append(clear)
+            widths.append(width)
+            table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
-        prefix = bytes([v])
-    if prefix:
-        emit(table[prefix], width)
-    emit(eoi, width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+        prefix = v
+    if prefix >= 0:
+        codes.append(prefix)
+        widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    ws = np.asarray(widths, dtype=np.int64)
+    ends = np.cumsum(ws)
+    offs = ends - ws
+    total = int(ends[-1])
+    out = np.zeros((total + 7) // 8 + 2, dtype=np.uint8)  # +2: 3-byte scatter slack
+    big = np.asarray(codes, dtype=np.uint32) << (offs & 7).astype(np.uint32)
+    byte0 = offs >> 3
+    np.add.at(out, byte0, (big & 0xFF).astype(np.uint8))
+    np.add.at(out, byte0 + 1, ((big >> 8) & 0xFF).astype(np.uint8))
+    np.add.at(out, byte0 + 2, ((big >> 16) & 0xFF).astype(np.uint8))
+    return out[: (total + 7) // 8].tobytes()
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
@@ -137,37 +150,54 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         nbits -= width
         return v
 
+    # Table entries are (start, length) back-references into the output
+    # array itself: every non-root code's string was fully written to the
+    # output at the moment the code was created (its prefix was the
+    # just-emitted string and its final char is the next byte written), so
+    # expansion is one numpy slice copy instead of a per-byte Python loop.
     out = np.empty(n_pixels, dtype=np.int32)
     n_out = 0
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    starts = np.zeros(4096, dtype=np.int64)
+    lens = np.zeros(4096, dtype=np.int64)
+    next_code = eoi + 1
     width = min_code_size + 1
-    prev: bytes | None = None
+    prev_start = -1
+    prev_len = 0
     while n_out < n_pixels:
         code = read(width)
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
             width = min_code_size + 1
-            prev = None
+            prev_start = -1
             continue
         if code == eoi:
             break
-        if code < len(table) and (code < clear or table[code]):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]
+        if code < clear:
+            ln = 1
+            out[n_out] = code
+        elif eoi < code < next_code:
+            s, ln = int(starts[code]), int(lens[code])
+            eff = min(ln, n_pixels - n_out)
+            out[n_out : n_out + eff] = out[s : s + eff]
+        elif code == next_code and prev_start >= 0:
+            # KwKwK: entry = prev + prev[0]
+            ln = prev_len + 1
+            eff = min(prev_len, n_pixels - n_out)
+            out[n_out : n_out + eff] = out[prev_start : prev_start + eff]
+            if n_out + prev_len < n_pixels:
+                out[n_out + prev_len] = out[prev_start]
         else:
             raise ValueError("corrupt LZW stream")
-        for b in entry:
-            if n_out >= n_pixels:
-                break
-            out[n_out] = b
-            n_out += 1
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
+        if prev_start >= 0 and next_code < 4096:
+            starts[next_code] = prev_start
+            lens[next_code] = prev_len + 1
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
                 width += 1
-        prev = entry
-    if n_out != n_pixels:
+        prev_start = n_out
+        prev_len = ln
+        n_out += ln
+    if n_out < n_pixels:
         raise ValueError("truncated GIF pixel data")
     return out
 
