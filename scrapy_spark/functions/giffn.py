@@ -1,9 +1,9 @@
 """GIF87a codec from scratch — numpy + stdlib only.
 
-Closes the gif-decode stub with a real implementation: single-image,
-non-interlaced GIF87a with a global color table and full LZW
-compression/decompression (variable code width, clear/EOI codes, code
-table growth to 12 bits).
+Closes the gif-decode stub with a real implementation: single-image
+GIF87a/89a with a global or local color table, 4-pass interlacing
+(encode + decode) and full LZW compression/decompression (variable code
+width, clear/EOI codes, code table growth to 12 bits).
 
 GIF is inherently palettized: images with <= 256 distinct colors
 round-trip PIXEL-EXACT (the common case for real-web GIFs — logos, line
@@ -205,8 +205,24 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 # --- container -------------------------------------------------------------
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
-    """uint8 RGB (h, w, 3) or grayscale (h, w) -> GIF87a bytes."""
+def _interlace_order(h: int) -> np.ndarray:
+    """Display-row index for each stored row, GIF 4-pass interlace:
+    pass 1 rows 0,8,16.., pass 2 rows 4,12.., pass 3 rows 2,6,10..,
+    pass 4 rows 1,3,5.. (GIF89a spec appendix E)."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 RGB (h, w, 3) or grayscale (h, w) -> GIF87a bytes.
+    interlace=True stores rows in the 4-pass order and sets the image
+    descriptor's interlace flag."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
@@ -223,7 +239,9 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
     out += gct.tobytes()
     # image descriptor
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        idx = idx[_interlace_order(h)]
     min_code_size = max(2, bits)
     out += bytes([min_code_size])
     lzw = _lzw_encode(idx, min_code_size)
@@ -236,8 +254,9 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF87a/89a bytes -> uint8 RGB (h, w, 3). Single-image, non-interlaced,
-    global color table; 89a extension blocks are skipped."""
+    """GIF87a/89a bytes -> uint8 RGB (h, w, 3). Single-image, interlaced or
+    sequential, global or local color table; 89a extension blocks are
+    skipped."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -257,8 +276,6 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b == 0x2C:  # image descriptor
             ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             lct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -276,7 +293,11 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # deinterlace: stored row k is display row order[k]
+                deinter = np.empty_like(idx)
+                deinter[_interlace_order(ih)] = idx
+                idx = deinter
             img = lct[np.clip(idx, 0, len(lct) - 1)].reshape(ih, iw, 3)
             if (iw, ih) != (w, h) or ix or iy:
                 canvas = np.zeros((h, w, 3), dtype=np.uint8)

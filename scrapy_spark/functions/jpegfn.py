@@ -1,12 +1,13 @@
 """Baseline JPEG (JFIF) codec from scratch — numpy + stdlib only.
 
 Closes the round-1 "jpeg codec unavailable" stub honestly: a real encoder
-and decoder for baseline sequential DCT, 8-bit, 4:4:4 (no subsampling),
-standard JPEG Annex-K quantization and Huffman tables, quality-scaled with
-the classic libjpeg percent formula. Self-contained: SOI/APP0/DQT/SOF0/
-DHT/SOS/EOI markers, canonical Huffman coding with byte stuffing, zigzag,
-level shift, exact 8x8 DCT/IDCT via the orthonormal DCT matrix
-(functions/imagefn._dct_matrix pattern).
+and decoder for baseline sequential DCT, 8-bit, with 4:4:4 / 4:2:2 / 4:2:0
+chroma subsampling (decode handles arbitrary sampling factors) and restart
+intervals, standard JPEG Annex-K quantization and Huffman tables,
+quality-scaled with the classic libjpeg percent formula. Self-contained:
+SOI/APP0/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI markers, canonical Huffman coding
+with byte stuffing, zigzag, level shift, exact 8x8 DCT/IDCT via the
+orthonormal DCT matrix (functions/imagefn._dct_matrix pattern).
 
 Fidelity contract (BASELINE.json input_hint: "PSNR>=40dB for lossy"):
 round-trips at the default quality measure >= 40 dB across arbitrary
@@ -20,6 +21,7 @@ the decode capability the sandbox lacks, same surface as the PNG codec.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -309,8 +311,12 @@ _BITLEN_LUT = np.concatenate(
 )
 
 
-def _entropy_encode_scan(zz_all: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
+def _entropy_encode_scan(zz: np.ndarray, comp: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
     """Baseline-JPEG entropy coding of the zigzagged blocks, vectorized.
+
+    ``zz`` is (units, 64) in SCAN ORDER (MCU-interleaved when subsampled);
+    ``comp`` gives each unit's component index (0 = luma tables, >0 =
+    chroma tables; DC prediction chains per distinct component id).
 
     The sequential form (per-coefficient Python ``bw.write`` calls) was 90%
     of encode time (~60ms per 96x80 image). Here every token of the scan —
@@ -321,10 +327,7 @@ def _entropy_encode_scan(zz_all: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
     byte stuffing and the 1-padded final byte applied as numpy
     post-passes). Magnitude bits ride the same packer because JPEG writes
     them MSB-first like the codes."""
-    B = zz_all.shape[0]
-    units = B * 3  # unit order: block-major, components Y,Cb,Cr within
-    zz = zz_all.reshape(units, 64)
-    comp = np.tile(np.arange(3), B)
+    units = zz.shape[0]
     is_chroma = comp > 0
 
     dcC_l, dcL_l = _code_luts(luma_tabs[0])
@@ -345,12 +348,13 @@ def _entropy_encode_scan(zz_all: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
 
     t = is_chroma.astype(np.int64)
 
-    # DC: differences chain per component; previous same-component unit is
-    # u-3 in block-major order
+    # DC: differences chain per component in scan order
     dc = zz[:, 0]
-    prev = np.zeros(units, np.int64)
-    prev[3:] = dc[:-3]
-    diff = dc - prev
+    diff = np.empty(units, np.int64)
+    for c in np.unique(comp):
+        sel = np.flatnonzero(comp == c)
+        d = dc[sel]
+        diff[sel] = d - np.concatenate(([0], d[:-1]))
     ssss_dc = _BITLEN_LUT[np.abs(diff)]
     mag_dc = np.where(diff >= 0, diff, diff + (1 << ssss_dc) - 1)
 
@@ -462,25 +466,55 @@ def _entropy_encode_scan(zz_all: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
     return buf.tobytes()
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 99) -> bytes:
+_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _plane_blocks_zz(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane (H, W multiples of 8) -> (by, bx, 64)
+    quantized zigzagged blocks, fully vectorized."""
+    H, W = plane.shape
+    by, bx = H // 8, W // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = _D8 @ blocks @ _D8.T
+    qcoef = np.round(coef / qtab).astype(np.int64)
+    return qcoef.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 99,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 RGB (h, w, 3) or grayscale (h, w) -> baseline JFIF bytes.
 
     Default quality 99: property-tested >= 40 dB round-trip PSNR across
     arbitrary shapes AND uniform random noise (the worst case for DCT
     coding — quality 97 measured ~34 dB on some small noisy shapes, below
     the input_hint's lossy bar). quality=100 approaches the transform's
-    numeric floor (~53 dB on noise)."""
+    numeric floor (~53 dB on noise).
+
+    subsampling: "444" (1x1, default — luma-exact contract above), "422"
+    (2x1) or "420" (2x2) with box-averaged chroma — the dominant real-web
+    baseline shapes; luma is never subsampled, so gray content keeps the
+    444 fidelity. restart_interval > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (DC predictors reset; decoded pixels are
+    bit-identical to the unrestarted stream — framing, not data)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     if gray:
         px = np.stack([px] * 3, axis=-1)
     if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg expects uint8 RGB (h, w, 3) or (h, w)")
+    if subsampling not in _SAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SAMPLING)}")
+    hs, vs = _SAMPLING[subsampling]
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     ycc = _rgb_to_ycbcr(px)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to full MCUs (8*vs rows, 8*hs cols) with edge replication
+    ph, pw = -(-h // (8 * vs)) * 8 * vs, -(-w // (8 * hs)) * 8 * hs
     padded = np.empty((ph, pw, 3))
     padded[:h, :w] = ycc
     padded[h:, :w] = ycc[h - 1 : h, :]  # edge replicate
@@ -497,19 +531,45 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 99) -> bytes:
     # quantized, and zigzagged in a handful of numpy ops; only the entropy
     # coding stays a per-coefficient python loop (bounded by the NONZERO
     # count thanks to np.nonzero, not 64 per block)
-    nby, nbx = ph // 8, pw // 8
-    blocks = (
-        padded.reshape(nby, 8, nbx, 8, 3)
-        .transpose(0, 2, 4, 1, 3)
-        .reshape(nby * nbx, 3, 8, 8)
-        - 128.0
+    yzz = _plane_blocks_zz(padded[:, :, 0], lq2)  # (nby, nbx, 64)
+    cb = padded[:, :, 1].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+    cr = padded[:, :, 2].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+    cbzz = _plane_blocks_zz(cb, cq2)  # (mcuy, mcux, 64)
+    crzz = _plane_blocks_zz(cr, cq2)
+    mcuy, mcux = cbzz.shape[:2]
+    # scan order: per MCU, vs x hs luma blocks raster-wise, then Cb, Cr
+    y_units = (
+        yzz.reshape(mcuy, vs, mcux, hs, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(mcuy * mcux, vs * hs, 64)
     )
-    coef = _D8 @ blocks @ _D8.T  # broadcasted (B, 3, 8, 8) 2-D DCT
-    qt = np.stack([lq2, cq2, cq2])  # per-component tables
-    qcoef = np.round(coef / qt[None, :, :, :]).astype(np.int64)
-    zz_all = qcoef.reshape(nby * nbx, 3, 64)[:, :, ZIGZAG]
+    zz_units = np.concatenate(
+        [y_units, cbzz.reshape(-1, 1, 64), crzz.reshape(-1, 1, 64)], axis=1
+    ).reshape(-1, 64)
+    per_mcu = vs * hs + 2
+    comp = np.tile(
+        np.concatenate([np.zeros(vs * hs, np.int64), np.array([1, 2])]),
+        mcuy * mcux,
+    )
 
-    scan = _entropy_encode_scan(zz_all, (dc_l, ac_l), (dc_c, ac_c))
+    if restart_interval:
+        # independent entropy chunks (DC predictors reset per chunk),
+        # joined by RST0..RST7 markers cycling per spec
+        chunks = []
+        step = restart_interval * per_mcu
+        for i in range(0, len(zz_units), step):
+            chunks.append(
+                _entropy_encode_scan(
+                    zz_units[i : i + step], comp[i : i + step],
+                    (dc_l, ac_l), (dc_c, ac_c),
+                )
+            )
+        scan = b"".join(
+            c + (b"\xff" + bytes([0xD0 + (i & 7)]) if i < len(chunks) - 1 else b"")
+            for i, c in enumerate(chunks)
+        )
+    else:
+        scan = _entropy_encode_scan(zz_units, comp, (dc_l, ac_l), (dc_c, ac_c))
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -527,10 +587,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 99) -> bytes:
     for tid, tbl in ((0, lq), (1, cq)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(int(tbl.reshape(8, 8).reshape(64)[ZIGZAG][i]) for i in range(64))
-    # SOF0: 8-bit, 3 components, 1x1 sampling (4:4:4)
+    # SOF0: 8-bit, 3 components; luma carries the sampling factors
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    for cid, hv, tq in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # DHT x4
     for tc_th, bits, vals in (
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -558,9 +620,11 @@ def is_jpeg(data: bytes) -> bool:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 RGB (h, w, 3). Supports what this
-    module (and common baseline encoders) emit: 8-bit, 1 or 3 components,
-    1x1 sampling, no progressive, no restart intervals."""
+    """Baseline JFIF bytes -> uint8 RGB (h, w, 3). Supports the common
+    baseline-sequential surface: 8-bit, 1 or 3 components, arbitrary
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals.
+    Progressive (SOF2) and multi-scan baseline stay labeled
+    NotImplementedError."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG")
     pos = 2
@@ -569,6 +633,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []  # (cid, h, v, tq)
     scan_comps = []  # (cid, td, ta)
     h = w = 0
+    restart_interval = 0
     scan_data = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -602,10 +667,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-                if (hv >> 4, hv & 0xF) != (1, 1):
-                    raise NotImplementedError("only 1x1 sampling (4:4:4) supported")
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential SOF0 supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -627,43 +692,90 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if scan_data is None or not comps:
         raise ValueError("truncated JPEG (no scan)")
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     nc = len(comps)
-    planes = np.zeros((nc, ph, pw))
-    br = _BitReader(scan_data)
+    if len(scan_comps) != nc:
+        raise NotImplementedError("multi-scan baseline not supported")
+    if nc == 1:
+        # non-interleaved scan: MCU is ONE block and the declared sampling
+        # factors don't shape the scan (JPEG A.2.2)
+        factors = [(1, 1)]
+        hmax = vmax = 1
+    else:
+        factors = [(ch, cv) for _cid, ch, cv, _tq in comps]
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_by_id = {cid: idx for idx, (cid, _h, _v, _tq) in enumerate(comps)}
+    # per-component block grids (padded to full MCUs)
+    grid_w = [mcux * factors[i][0] for i in range(nc)]
+    grid_h = [mcuy * factors[i][1] for i in range(nc)]
+    zz_store = [np.zeros((grid_h[i] * grid_w[i], 64), np.int64) for i in range(nc)]
+
+    # restart markers are byte-aligned and unambiguous (every in-scan 0xFF
+    # is stuffed), so the entropy stream splits exactly on them; each
+    # segment restarts the bit phase and the DC predictors
+    if restart_interval:
+        segments = re.split(b"\xff[\xd0-\xd7]", scan_data)
+    else:
+        segments = [scan_data]
+    seg_i = 0
+    br = _BitReader(segments[0])
     prev_dc = [0] * nc
-    comp_by_id = {cid: (idx, tq) for idx, (cid, _h, _v, tq) in enumerate(comps)}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing JPEG restart marker")
+                br = _BitReader(segments[seg_i])
+                prev_dc = [0] * nc
             for cid, td, ta in scan_comps:
-                idx, tq = comp_by_id[cid]
+                idx = comp_by_id[cid]
+                ch, cv = factors[idx]
                 dc_tab = huff[td]  # tc=0 -> high nibble 0
                 ac_tab = huff[0x10 | ta]
-                zz = np.zeros(64, dtype=np.int64)
-                ssss = br.read_symbol(dc_tab)
-                diff = _decode_magnitude(br.read(ssss), ssss)
-                prev_dc[idx] += diff
-                zz[0] = prev_dc[idx]
-                k = 1
-                while k < 64:
-                    sym = br.read_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _decode_magnitude(br.read(size), size)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = zz
-                coef = blk.reshape(8, 8) * qtables[tq]
-                pix = _D8.T @ coef @ _D8 + 128.0
-                planes[idx, by : by + 8, bx : bx + 8] = pix
-    planes = planes[:, :h, :w]
+                for v in range(cv):
+                    for u in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        ssss = br.read_symbol(dc_tab)
+                        diff = _decode_magnitude(br.read(ssss), ssss)
+                        prev_dc[idx] += diff
+                        zz[0] = prev_dc[idx]
+                        k = 1
+                        while k < 64:
+                            sym = br.read_symbol(ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _decode_magnitude(br.read(size), size)
+                            k += 1
+                        row = my * cv + v
+                        col = mx * ch + u
+                        zz_store[idx][row * grid_w[idx] + col] = zz
+            mcu += 1
+
+    # batched dequantize + IDCT per component, then nearest-neighbor
+    # upsample to full resolution via index maps
+    planes = []
+    ys = np.arange(h)
+    xs = np.arange(w)
+    for idx, (_cid, _h, _v, tq) in enumerate(comps):
+        ch, cv = factors[idx]
+        blk = np.zeros((zz_store[idx].shape[0], 64), np.float64)
+        blk[:, ZIGZAG] = zz_store[idx]
+        coef = blk.reshape(-1, 8, 8) * qtables[tq]
+        pix = _D8.T @ coef @ _D8 + 128.0
+        gh, gw = grid_h[idx], grid_w[idx]
+        plane = pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        planes.append(plane[(ys * cv) // vmax][:, (xs * ch) // hmax])
     if nc == 1:
         y = np.clip(planes[0], 0, 255)
         return np.round(np.stack([y] * 3, axis=-1)).astype(np.uint8)

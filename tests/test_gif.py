@@ -55,12 +55,33 @@ def test_structure_and_rejects():
     assert giffn.is_gif(d)
     with pytest.raises(ValueError):
         giffn.decode_gif(b"\x89PNG\r\n\x1a\n")
-    # interlaced flag must be rejected, not mis-decoded
-    broken = bytearray(d)
-    idx = bytes(d).index(b"\x2c")
-    broken[idx + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        giffn.decode_gif(bytes(broken))
+
+
+def test_interlaced_roundtrip_exact():
+    """4-pass interlaced storage decodes to the same pixels as sequential;
+    rows are genuinely permuted on disk (a naive sequential read of the
+    interlaced stream would NOT match)."""
+    rng = np.random.default_rng(11)
+    vals = (rng.integers(0, 32, (23, 17), dtype=np.uint8) * 8).astype(np.uint8)
+    px = np.stack([vals, 255 - vals, vals // 3], axis=-1)
+    seq = giffn.encode_gif(px)
+    inter = giffn.encode_gif(px, interlace=True)
+    assert seq != inter  # storage order differs
+    i = inter.index(b"\x2c")
+    assert inter[i + 9] & 0x40  # interlace flag set in the image descriptor
+    assert np.array_equal(giffn.decode_gif(inter), px)
+    assert np.array_equal(giffn.decode_gif(seq), px)
+    # flag-stripped interlaced stream mis-decodes (proves rows were permuted
+    # on disk and the deinterlace pass is what restores them)
+    stripped = bytearray(inter)
+    stripped[i + 9] &= ~0x40
+    assert not np.array_equal(giffn.decode_gif(bytes(stripped)), px)
+
+
+def test_interlace_order_is_a_permutation():
+    for h in (1, 2, 3, 4, 5, 7, 8, 9, 16, 23, 64):
+        order = giffn._interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h))
 
 
 def test_decode_image_wiring():

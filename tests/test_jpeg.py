@@ -97,6 +97,66 @@ def test_byte_stuffing_roundtrip():
         pytest.fail("no stuffed byte produced across trials")
 
 
+def test_subsampled_roundtrip_shapes_and_fidelity():
+    """4:2:2 and 4:2:0 streams decode at full resolution; luma is never
+    subsampled so smooth content stays high-fidelity, and the stream is
+    smaller than 4:4:4 on chroma-rich content."""
+    px = _cases()["gradient"]
+    d444 = jpegfn.encode_jpeg(px, quality=90)
+    for mode in ("422", "420"):
+        d = jpegfn.encode_jpeg(px, quality=90, subsampling=mode)
+        assert len(d) < len(d444), mode
+        out = jpegfn.decode_jpeg(d)
+        assert out.shape == px.shape, mode
+        assert psnr(px, out) >= 32.0, mode  # chroma box-avg is lossy by design
+    # gray content through 4:2:0 keeps the 40 dB luma contract (chroma flat)
+    g = np.arange(0, 256, 4, dtype=np.uint8).reshape(8, 8).repeat(3, 0).repeat(3, 1)
+    gpx = np.stack([g] * 3, -1)
+    out = jpegfn.decode_jpeg(jpegfn.encode_jpeg(gpx, subsampling="420"))
+    assert psnr(gpx, out) >= 40.0
+    with pytest.raises(ValueError):
+        jpegfn.encode_jpeg(px, subsampling="411")
+
+
+def test_sof_sampling_factors_match_mode():
+    """The SOF0 luma component advertises the declared sampling factors."""
+    px = _cases()["synth"]
+    for mode, hv in (("444", 0x11), ("422", 0x21), ("420", 0x22)):
+        d = jpegfn.encode_jpeg(px, subsampling=mode)
+        i = d.index(b"\xff\xc0")
+        assert d[i + 11] == hv, mode  # first component's H/V nibbles
+
+
+def test_restart_intervals_bit_identical_pixels():
+    """DRI/RSTn framing never changes decoded pixels, and the markers are
+    genuinely present (DC predictors reset per segment)."""
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = jpegfn.decode_jpeg(jpegfn.encode_jpeg(px, quality=85))
+    for mode in ("444", "420"):
+        d = jpegfn.encode_jpeg(px, quality=85, subsampling=mode, restart_interval=2)
+        assert b"\xff\xdd" in d  # DRI segment
+        scan = d[d.index(b"\xff\xda") :]
+        assert any(bytes([0xFF, 0xD0 + k]) in scan for k in range(8))
+        out = jpegfn.decode_jpeg(d)
+        nodri = jpegfn.decode_jpeg(jpegfn.encode_jpeg(px, quality=85, subsampling=mode))
+        assert np.array_equal(out, nodri), mode
+    assert np.array_equal(
+        jpegfn.decode_jpeg(jpegfn.encode_jpeg(px, quality=85, restart_interval=2)), base
+    )
+
+
+@pytest.mark.parametrize("mode", ["422", "420"])
+def test_subsampled_odd_edges(mode):
+    """Shapes that don't divide the MCU (16x8 / 16x16) still round-trip at
+    the declared size."""
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (9, 17), (15, 16), (16, 15), (23, 31)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = jpegfn.decode_jpeg(jpegfn.encode_jpeg(px, subsampling=mode))
+        assert out.shape == (h, w, 3), (mode, h, w)
+
+
 # --- property tests (hypothesis) ------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
