@@ -1,12 +1,15 @@
-"""Baseline JPEG (JFIF) codec from scratch — numpy + stdlib only.
+"""Baseline + progressive JPEG (JFIF) codec from scratch — numpy + stdlib.
 
 Closes the round-1 "jpeg codec unavailable" stub honestly: a real encoder
-and decoder for baseline sequential DCT, 8-bit, with 4:4:4 / 4:2:2 / 4:2:0
-chroma subsampling (decode handles arbitrary sampling factors) and restart
-intervals, standard JPEG Annex-K quantization and Huffman tables,
+and decoder for baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 Annex G — DC/AC
+first and refinement scans, EOB runs, per-scan optimal Huffman tables),
+8-bit, with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling (decode handles
+arbitrary sampling factors, interleaved and non-interleaved scans) and
+restart intervals, standard JPEG Annex-K quantization and Huffman tables,
 quality-scaled with the classic libjpeg percent formula. Self-contained:
-SOI/APP0/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI markers, canonical Huffman coding
-with byte stuffing, zigzag, level shift, exact 8x8 DCT/IDCT via the
+SOI/APP0/DQT/SOF0/SOF2/DHT/DRI/SOS/RSTn/EOI markers, canonical Huffman
+coding with byte stuffing, zigzag, level shift, exact 8x8 DCT/IDCT via the
 orthonormal DCT matrix (functions/imagefn._dct_matrix pattern).
 
 Fidelity contract (BASELINE.json input_hint: "PSNR>=40dB for lossy"):
@@ -485,6 +488,7 @@ def encode_jpeg(
     quality: int = 99,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 RGB (h, w, 3) or grayscale (h, w) -> baseline JFIF bytes.
 
@@ -499,7 +503,13 @@ def encode_jpeg(
     baseline shapes; luma is never subsampled, so gray content keeps the
     444 fidelity. restart_interval > 0 emits a DRI segment and RSTn
     markers every that-many MCUs (DC predictors reset; decoded pixels are
-    bit-identical to the unrestarted stream — framing, not data)."""
+    bit-identical to the unrestarted stream — framing, not data).
+    progressive=True emits a 10-scan SOF2 stream (libjpeg's standard scan
+    script; per-scan optimal Huffman tables); the quantized coefficients
+    are IDENTICAL to the baseline stream's, so decoded pixels match the
+    baseline encode bit-for-bit."""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval not supported together")
     px = np.asarray(pixels)
     gray = px.ndim == 2
     if gray:
@@ -536,6 +546,8 @@ def encode_jpeg(
     cr = padded[:, :, 2].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
     cbzz = _plane_blocks_zz(cb, cq2)  # (mcuy, mcux, 64)
     crzz = _plane_blocks_zz(cr, cq2)
+    if progressive:
+        return _encode_progressive(h, w, hs, vs, (yzz, cbzz, crzz), lq, cq)
     mcuy, mcux = cbzz.shape[:2]
     # scan order: per MCU, vs x hs luma blocks raster-wise, then Cb, Cr
     y_units = (
@@ -612,6 +624,278 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder -----------------------------------------------------
+
+# libjpeg's standard 10-scan script for YCbCr (jcparam.c): DC first at Al=1,
+# spectral bands for each component, then one refinement pass per band.
+# Exercises all four scan kinds (DC/AC x first/refine) in the decoder.
+_PROG_SCRIPT = (
+    # (comp indexes, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+class _ProgEmitter:
+    """Two-pass progressive entropy emitter: pass 1 (codes=None) counts
+    symbol frequencies per table key; pass 2 writes Huffman codes and raw
+    bits through a _BitWriter (stuffing applied by the writer)."""
+
+    def __init__(self):
+        self.freq: dict = {}
+        self.codes = None  # pass 2: {tabkey: {sym: (code, len)}}
+        self.bw = None
+
+    def sym(self, key, s):
+        if self.codes is None:
+            tab = self.freq.setdefault(key, {})
+            tab[s] = tab.get(s, 0) + 1
+        else:
+            code, length = self.codes[key][s]
+            self.bw.write(code, length)
+
+    def bits(self, v, n):
+        if self.codes is not None and n:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+
+class _ProgEncState:
+    __slots__ = ("eobrun", "bebits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bebits: list[int] = []
+
+
+def _flush_eobrun(emit: _ProgEmitter, key, st: _ProgEncState):
+    """Emit the pending EOBn symbol (+ its extension bits) and the buffered
+    correction bits that ride behind it (T.81 G.1.2.2 / libjpeg
+    emit_eobrun)."""
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        emit.sym(key, nbits << 4)
+        if nbits:
+            emit.bits(st.eobrun, nbits)
+        st.eobrun = 0
+        for b in st.bebits:
+            emit.bits(b, 1)
+        st.bebits = []
+
+
+def _enc_dc_scan(blocks, al, ah, emit, key_of):
+    """DC scan: first pass codes diffs of the point-transformed values
+    (arithmetic shift keeps the refinement bits exact for negatives);
+    refinement emits one raw bit per block."""
+    prev: dict[int, int] = {}
+    for ci, zz in blocks:
+        if ah == 0:
+            t = int(zz[0]) >> al
+            diff = t - prev.get(ci, 0)
+            prev[ci] = t
+            ssss = abs(diff).bit_length()
+            emit.sym(key_of[ci], ssss)
+            if ssss:
+                emit.bits(_encode_magnitude(diff, ssss), ssss)
+        else:
+            emit.bits((int(zz[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(blocks, key, ss, se, al, emit, st: _ProgEncState):
+    for _ci, zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            if t < 0:
+                t = (-t) >> al
+                t2 = ~t  # low bits = the JPEG negative-magnitude encoding
+            else:
+                t >>= al
+                t2 = t
+            if t == 0:
+                r += 1
+                continue
+            _flush_eobrun(emit, key, st)
+            while r > 15:
+                emit.sym(key, 0xF0)
+                r -= 16
+            nbits = t.bit_length()
+            emit.sym(key, (r << 4) | nbits)
+            emit.bits(t2, nbits)
+            r = 0
+        if r:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                _flush_eobrun(emit, key, st)
+
+
+def _enc_ac_refine(blocks, key, ss, se, al, emit, st: _ProgEncState):
+    """AC refinement per T.81 G.1.2.3 (the libjpeg encode_mcu_AC_refine
+    structure): newly-nonzero coefficients carry a sign bit; every
+    already-nonzero coefficient crossed contributes a buffered correction
+    bit emitted after the next symbol (or after the EOBn that closes the
+    run)."""
+    for _ci, zz in blocks:
+        absv = [0] * (se + 1)
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            t = abs(int(zz[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k  # last NEWLY-nonzero coefficient
+        r = 0
+        corr: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                _flush_eobrun(emit, key, st)
+                emit.sym(key, 0xF0)
+                r -= 16
+                for b in corr:
+                    emit.bits(b, 1)
+                corr = []
+            if t > 1:
+                # history-nonzero coefficient: one buffered correction bit
+                corr.append(t & 1)
+                continue
+            _flush_eobrun(emit, key, st)
+            emit.sym(key, (r << 4) | 1)
+            emit.bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in corr:
+                emit.bits(b, 1)
+            corr = []
+            r = 0
+        if r > 0 or corr:
+            st.eobrun += 1
+            st.bebits.extend(corr)
+            if st.eobrun == 0x7FFF or len(st.bebits) > 900:
+                _flush_eobrun(emit, key, st)
+
+
+def _optimal_jpeg_table(freq: dict) -> tuple[list[int], list[int], dict]:
+    """Per-scan optimal Huffman table: (BITS counts, HUFFVAL, {sym: (code,
+    len)}). Real frequencies are doubled and a dummy symbol 256 with weight
+    1 is added — strictly minimum, so it merges first and lands on a
+    maximum-length code; ordered last among its length class it takes the
+    all-ones code the spec reserves, then gets dropped (libjpeg's
+    jpeg_gen_optimal_table device)."""
+    from .webpfn import _limited_huffman
+
+    items = [(2 * c, s) for s, c in freq.items()] + [(1, 256)]
+    lengths = _limited_huffman(items, 16)
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        by_len.setdefault(ln, []).append(sym)
+    bits_all = [0] * 16
+    vals_all: list[int] = []
+    for ln in sorted(by_len):
+        for sym in sorted(by_len[ln]):  # dummy 256 sorts last in its class
+            bits_all[ln - 1] += 1
+            vals_all.append(sym)
+    codes = _build_codes(bits_all, vals_all)
+    max_len = max(lengths.values())
+    assert lengths[256] == max_len and codes[256][0] == (1 << max_len) - 1
+    del codes[256]
+    bits = list(bits_all)
+    bits[max_len - 1] -= 1
+    vals = [v for v in vals_all if v != 256]
+    return bits, vals, codes
+
+
+def _encode_progressive(h, w, hs, vs, comp_zz, lq, cq) -> bytes:
+    """Emit a 10-scan SOF2 progressive stream over the already-quantized
+    per-component zigzag grids (luma (mcuy*vs, mcux*hs, 64), chroma
+    (mcuy, mcux, 64) each)."""
+    yzz, cbzz, crzz = comp_zz
+    mcuy, mcux = cbzz.shape[:2]
+    grids = [yzz, cbzz, crzz]
+    # non-interleaved per-component block extents (T.81 A.2.2)
+    bw_y, bh_y = -(-w // 8), -(-h // 8)
+    extents = [(bh_y, bw_y), (mcuy, mcux), (mcuy, mcux)]
+
+    def scan_blocks(comps_in_scan):
+        if len(comps_in_scan) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comps_in_scan:
+                        if ci == 0:
+                            for v in range(vs):
+                                for u in range(hs):
+                                    yield ci, yzz[my * vs + v, mx * hs + u]
+                        else:
+                            yield ci, grids[ci][my, mx]
+        else:
+            ci = comps_in_scan[0]
+            bh, bw = extents[ci]
+            g = grids[ci]
+            for row in range(bh):
+                for col in range(bw):
+                    yield ci, g[row, col]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+        + b"\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    for tid, tbl in ((0, lq), (1, cq)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(tbl.reshape(64)[ZIGZAG][i]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    for cid, hv, tq in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
+
+    for comps_in_scan, ss, se, ah, al in _PROG_SCRIPT:
+        # key per (class, luma-vs-chroma): DC scans may interleave both
+        key_of = {ci: ("dc", 0 if ci == 0 else 1) for ci in comps_in_scan}
+        ac_key = ("ac", 0 if comps_in_scan[0] == 0 else 1)
+
+        def run_scan(emit):
+            if ss == 0:
+                _enc_dc_scan(scan_blocks(comps_in_scan), al, ah, emit, key_of)
+            else:
+                st = _ProgEncState()
+                if ah == 0:
+                    _enc_ac_first(scan_blocks(comps_in_scan), ac_key, ss, se, al, emit, st)
+                else:
+                    _enc_ac_refine(scan_blocks(comps_in_scan), ac_key, ss, se, al, emit, st)
+                _flush_eobrun(emit, ac_key, st)
+
+        emit = _ProgEmitter()
+        run_scan(emit)  # pass 1: frequencies
+        emit.codes = {}
+        for key, freq in emit.freq.items():
+            if not freq:
+                continue
+            bits, vals, codes = _optimal_jpeg_table(freq)
+            emit.codes[key] = codes
+            tc = 0x00 if key[0] == "dc" else 0x10
+            out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            out += bytes([tc | key[1]]) + bytes(bits) + bytes(vals)
+        ns = len(comps_in_scan)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps_in_scan:
+            tid = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (tid << 4) | tid])
+        out += bytes([ss, se, (ah << 4) | al])
+        emit.bw = _BitWriter()
+        run_scan(emit)  # pass 2: emission
+        emit.bw.flush()
+        out += bytes(emit.bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------------
 
 
@@ -619,11 +903,121 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8"
 
 
+def _find_scan_end(data: bytes, pos: int) -> int:
+    """First marker byte pair after ``pos`` that is neither a stuffed 0xFF00
+    nor an RSTn — i.e. the end of the current scan's entropy data."""
+    i = pos
+    n = len(data)
+    while i < n:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        m = data[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7 or m == 0xFF:
+            i += 2 if m != 0xFF else 1
+            continue
+        return i
+    return n
+
+
+class _ScanState:
+    """Entropy state shared across blocks of one scan segment: per-component
+    DC predictors and the progressive end-of-band run counter."""
+
+    __slots__ = ("prev_dc", "eobrun")
+
+    def __init__(self, nc: int):
+        self.prev_dc = [0] * nc
+        self.eobrun = 0
+
+
+def _decode_block(br, zz, idx, ss, se, ah, al, dc_tab, ac_tab, st: _ScanState):
+    """Decode one block's contribution for the current scan (T.81 F.2 for
+    sequential, Annex G.1.2 / the libjpeg successive-approximation decode
+    semantics for progressive). ``zz`` is the persistent zigzag-order
+    coefficient row (a view into the component store); progressive scans
+    accumulate into it."""
+    if ss == 0:
+        if ah == 0:  # DC first (or the sequential DC half)
+            ssss = br.read_symbol(dc_tab)
+            diff = _decode_magnitude(br.read(ssss), ssss)
+            st.prev_dc[idx] += diff
+            zz[0] = st.prev_dc[idx] << al
+        else:  # DC refinement: one raw bit, OR'd into the two's complement
+            if br.read(1):
+                zz[0] |= 1 << al
+    if se == 0:
+        return
+    k = max(ss, 1)
+    if ah == 0:  # AC first scans (al=0 + EOB0-only == sequential AC)
+        if st.eobrun > 0:
+            st.eobrun -= 1
+            return
+        while k <= se:
+            sym = br.read_symbol(ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                st.eobrun = (1 << r) - 1  # run counts SUBSEQUENT blocks
+                if r:
+                    st.eobrun += br.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _decode_magnitude(br.read(s), s) << al
+            k += 1
+        return
+    # AC refinement scan
+    p1 = 1 << al
+    m1 = -p1
+    if st.eobrun == 0:
+        while k <= se:
+            sym = br.read_symbol(ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if br.read(1) else m1
+            elif r != 15:
+                st.eobrun = 1 << r
+                if r:
+                    st.eobrun += br.read(r)
+                break  # the tail correction loop below finishes the block
+            # advance past r zero-history coefficients, emitting correction
+            # bits for every nonzero-history coefficient crossed
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                zz[k] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        st.eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 RGB (h, w, 3). Supports the common
-    baseline-sequential surface: 8-bit, 1 or 3 components, arbitrary
-    sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals.
-    Progressive (SOF2) and multi-scan baseline stay labeled
+    """JFIF bytes -> uint8 RGB (h, w, 3). Supports the real-web decode
+    surface: baseline sequential (SOF0, single- or multi-scan) AND
+    progressive (SOF2: spectral selection + successive approximation, DC/AC
+    first + refinement scans, EOB runs), 8-bit, 1 or 3 components,
+    arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart
+    intervals. Lossless/arithmetic/12-bit variants stay labeled
     NotImplementedError."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG")
@@ -631,10 +1025,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[int, dict] = {}
     comps = []  # (cid, h, v, tq)
-    scan_comps = []  # (cid, td, ta)
+    scans = []  # (scan_comps, ss, se, ah, al, entropy bytes, ri, huff snapshot)
     h = w = 0
     restart_interval = 0
-    scan_data = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -661,14 +1054,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nat = np.zeros(64, dtype=np.int32)
                 nat[ZIGZAG] = tbl
                 qtables[tq] = nat.reshape(8, 8)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential SOF0 supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only SOF0 baseline / SOF2 progressive supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC4:  # DHT
@@ -686,24 +1079,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cid, tabs >> 4, tabs & 0xF))
-            scan_data = data[pos + seglen :]
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            end = _find_scan_end(data, pos + seglen)
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                 data[pos + seglen : end], restart_interval, dict(huff))
+            )
+            pos = end
+            continue
         pos += seglen
-    if scan_data is None or not comps:
+    if not scans or not comps:
         raise ValueError("truncated JPEG (no scan)")
 
     nc = len(comps)
-    if len(scan_comps) != nc:
-        raise NotImplementedError("multi-scan baseline not supported")
+    factors = [(ch, cv) for _cid, ch, cv, _tq in comps]
     if nc == 1:
-        # non-interleaved scan: MCU is ONE block and the declared sampling
-        # factors don't shape the scan (JPEG A.2.2)
+        # a single-component frame is always non-interleaved: its dims ARE
+        # the frame dims regardless of declared factors (T.81 A.2.2)
         factors = [(1, 1)]
-        hmax = vmax = 1
-    else:
-        factors = [(ch, cv) for _cid, ch, cv, _tq in comps]
-        hmax = max(f[0] for f in factors)
-        vmax = max(f[1] for f in factors)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     comp_by_id = {cid: idx for idx, (cid, _h, _v, _tq) in enumerate(comps)}
@@ -712,55 +1107,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     grid_h = [mcuy * factors[i][1] for i in range(nc)]
     zz_store = [np.zeros((grid_h[i] * grid_w[i], 64), np.int64) for i in range(nc)]
 
-    # restart markers are byte-aligned and unambiguous (every in-scan 0xFF
-    # is stuffed), so the entropy stream splits exactly on them; each
-    # segment restarts the bit phase and the DC predictors
-    if restart_interval:
-        segments = re.split(b"\xff[\xd0-\xd7]", scan_data)
-    else:
-        segments = [scan_data]
-    seg_i = 0
-    br = _BitReader(segments[0])
-    prev_dc = [0] * nc
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
+    for scan_comps, ss, se, ah, al, entropy, ri, tabs in scans:
+        # restart markers are byte-aligned and unambiguous (every in-scan
+        # 0xFF is stuffed), so the entropy stream splits exactly on them;
+        # each segment restarts the bit phase, DC predictors and EOB run
+        segments = re.split(b"\xff[\xd0-\xd7]", entropy) if ri else [entropy]
+        seg_i = 0
+        br = _BitReader(segments[0])
+        st = _ScanState(nc)
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            n_units = mcuy * mcux
+        else:
+            cid0 = scan_comps[0][0]
+            idx0 = comp_by_id[cid0]
+            ch0, cv0 = factors[idx0]
+            # non-interleaved scans cover only the component's own blocks
+            # (ceil of its true dims), not the MCU-padded grid (A.2.2)
+            cw0 = -(-(w * ch0) // hmax)
+            cv_h0 = -(-(h * cv0) // vmax)
+            bw0 = -(-cw0 // 8)
+            bh0 = -(-cv_h0 // 8)
+            n_units = bw0 * bh0
+        for unit in range(n_units):
+            if ri and unit and unit % ri == 0:
                 seg_i += 1
                 if seg_i >= len(segments):
                     raise ValueError("missing JPEG restart marker")
                 br = _BitReader(segments[seg_i])
-                prev_dc = [0] * nc
-            for cid, td, ta in scan_comps:
-                idx = comp_by_id[cid]
-                ch, cv = factors[idx]
-                dc_tab = huff[td]  # tc=0 -> high nibble 0
-                ac_tab = huff[0x10 | ta]
-                for v in range(cv):
-                    for u in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        ssss = br.read_symbol(dc_tab)
-                        diff = _decode_magnitude(br.read(ssss), ssss)
-                        prev_dc[idx] += diff
-                        zz[0] = prev_dc[idx]
-                        k = 1
-                        while k < 64:
-                            sym = br.read_symbol(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _decode_magnitude(br.read(size), size)
-                            k += 1
-                        row = my * cv + v
-                        col = mx * ch + u
-                        zz_store[idx][row * grid_w[idx] + col] = zz
-            mcu += 1
+                st = _ScanState(nc)
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for cid, td, ta in scan_comps:
+                    idx = comp_by_id[cid]
+                    ch, cv = factors[idx]
+                    dc_tab = tabs.get(td) if ss == 0 and ah == 0 else None
+                    ac_tab = tabs.get(0x10 | ta) if se > 0 else None
+                    for v in range(cv):
+                        for u in range(ch):
+                            row = my * cv + v
+                            col = mx * ch + u
+                            zz = zz_store[idx][row * grid_w[idx] + col]
+                            _decode_block(br, zz, idx, ss, se, ah, al,
+                                          dc_tab, ac_tab, st)
+            else:
+                cid, td, ta = scan_comps[0]
+                row, col = divmod(unit, bw0)
+                zz = zz_store[idx0][row * grid_w[idx0] + col]
+                _decode_block(
+                    br, zz, idx0, ss, se, ah, al,
+                    tabs.get(td) if ss == 0 and ah == 0 else None,
+                    tabs.get(0x10 | ta) if se > 0 else None, st,
+                )
 
     # batched dequantize + IDCT per component, then nearest-neighbor
     # upsample to full resolution via index maps

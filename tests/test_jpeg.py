@@ -52,14 +52,63 @@ def test_structure_and_magic():
         jpegfn.decode_jpeg(b"\x89PNG\r\n\x1a\n not a jpeg")
 
 
-def test_progressive_rejected_not_misdecoded():
-    """A SOF2 (progressive) stream must raise NotImplementedError, never
-    silently produce wrong pixels."""
-    data = bytearray(jpegfn.encode_jpeg(_cases()["flat"]))
-    i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
-        jpegfn.decode_jpeg(bytes(data))
+def test_unsupported_sof_rejected_not_misdecoded():
+    """Arithmetic-coded (SOF9) and lossless (SOF3) frames must raise
+    NotImplementedError, never silently produce wrong pixels."""
+    for sof in (0xC9, 0xC3):
+        data = bytearray(jpegfn.encode_jpeg(_cases()["flat"]))
+        i = bytes(data).index(b"\xff\xc0")
+        data[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            jpegfn.decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("mode", ["444", "422", "420"])
+def test_progressive_decode_bit_identical_to_baseline(mode):
+    """The 10-scan SOF2 stream carries the SAME quantized coefficients as
+    the baseline stream, so decode must match the baseline decode
+    bit-for-bit — across subsampling modes and odd edges."""
+    rng = np.random.default_rng(31)
+    for h, w in ((1, 1), (9, 17), (24, 24), (23, 31)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = jpegfn.encode_jpeg(px, quality=90, subsampling=mode)
+        prog = jpegfn.encode_jpeg(px, quality=90, subsampling=mode, progressive=True)
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog[:200]
+        assert prog.count(b"\xff\xda") >= 10  # the full scan script
+        assert np.array_equal(
+            jpegfn.decode_jpeg(prog), jpegfn.decode_jpeg(base)
+        ), (mode, h, w)
+
+
+def test_progressive_truncated_scans_refine_toward_full():
+    """Progressive's defining property: decoding only a prefix of the scans
+    yields a coarse image that the later scans refine. Cut the stream at
+    scan boundaries (entropy data is stuffed, so a raw FFDA only occurs at
+    a real SOS) and check PSNR vs the full decode never degrades as scans
+    are added, improving overall."""
+    px = _cases()["gradient"]
+    prog = jpegfn.encode_jpeg(px, quality=90, progressive=True)
+    full = jpegfn.decode_jpeg(prog).astype(np.float64)
+    starts = []
+    i = prog.find(b"\xff\xda")
+    while i != -1:
+        starts.append(i)
+        i = prog.find(b"\xff\xda", i + 2)
+    assert len(starts) == 10
+    errs = []
+    for cut in (1, 4, 7, 10):
+        end = starts[cut] if cut < len(starts) else len(prog) - 2
+        part = jpegfn.decode_jpeg(prog[:end] + b"\xff\xd9").astype(np.float64)
+        errs.append(float(((part - full) ** 2).mean()))
+    assert errs[-1] == 0.0  # all scans == full decode
+    assert errs == sorted(errs, reverse=True)  # monotone refinement
+    assert errs[0] > 0.0  # DC-only really is coarse
+
+
+def test_progressive_decode_image_wiring():
+    px = _cases()["synth"]
+    out = decode_image(jpegfn.encode_jpeg(px, progressive=True), "jpeg")
+    assert psnr(px, out) >= 40.0
 
 
 def test_quality_monotone_size_and_fidelity():
