@@ -342,6 +342,22 @@ def _build_parser() -> argparse.ArgumentParser:
                     "fit = letterbox onto a black canvas, no content loss")
     ib.add_argument("--master", default=None)
 
+    ex = sub.add_parser(
+        "exifscrub",
+        help="EXIF extract + metadata scrub (LAION privacy step): parse "
+        "APP1/TIFF for orientation/capture-time/GPS, then splice every "
+        "APPn>0/COM segment out of the JPEG container (byte splice only — "
+        "decoded pixels bit-identical); prints one JSON summary line",
+    )
+    ex.add_argument("--images", default=None,
+                    help="images.parquet with image_id/bytes/fmt columns")
+    ex.add_argument("--workdir", default=None,
+                    help="crawl workdir (scrub fetched image bytes)")
+    ex.add_argument("--out", default=None,
+                    help="write the scrubbed table (metadata columns + "
+                    "scrubbed bytes) to this directory")
+    ex.add_argument("--master", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="evict one host's URLs from the seen set (forced re-crawl "
@@ -879,6 +895,43 @@ def main(argv: list[str] | None = None) -> int:
                 **summary,
             }
             print(json.dumps(summary))
+        elif args.cmd == "exifscrub":
+            from pyspark.sql import functions as F
+
+            from scrapy_spark.operators.imageops import exif_scrub_images
+
+            if (args.workdir is None) == (args.images is None):
+                print("pass exactly one of --workdir / --images", file=sys.stderr)
+                return 2
+            if args.images:
+                imgs = spark.read.parquet(args.images)
+            else:
+                imgs = _final_crawl_images(spark, SnapshotCatalog(args.workdir))
+                if imgs is None:
+                    print("no fetch_results in " + args.workdir, file=sys.stderr)
+                    return 2
+            scrubbed = exif_scrub_images(imgs)
+            if args.out:
+                scrubbed.write.mode("overwrite").parquet(args.out)
+                scrubbed = spark.read.parquet(args.out)  # reuse, don't redecode
+            # one narrow aggregate over the metadata columns only — the
+            # scrubbed bytes column is never read here (bytes discipline)
+            row = scrubbed.agg(
+                F.count(F.lit(1)).alias("images"),
+                F.sum(F.col("had_metadata").cast("long")).alias("had_metadata"),
+                F.sum(F.col("has_gps").cast("long")).alias("with_gps"),
+                F.count("exif_orientation").alias("with_orientation"),
+                F.sum("n_bytes_before").alias("bytes_before"),
+                F.sum("n_bytes_after").alias("bytes_after"),
+            ).collect()[0]
+            print(json.dumps({
+                "images": row["images"],
+                "had_metadata": int(row["had_metadata"] or 0),
+                "with_gps": int(row["with_gps"] or 0),
+                "with_orientation": int(row["with_orientation"] or 0),
+                "bytes_removed": int((row["bytes_before"] or 0)
+                                     - (row["bytes_after"] or 0)),
+            }))
         elif args.cmd == "purge":
             from scrapy_spark.plans.purge import purge_host
 

@@ -303,6 +303,78 @@ def thumbnail_images(images: DataFrame, max_side: int = 16) -> DataFrame:
     )
 
 
+EXIF_SCRUB_SCHEMA = (
+    "image_id string, had_metadata boolean, exif_make string, "
+    "exif_model string, exif_orientation int, exif_datetime string, "
+    "has_gps boolean, gps_lat_milli long, gps_lon_milli long, "
+    "n_bytes_before long, n_bytes_after long, scrubbed binary"
+)
+
+
+def exif_scrub_images(images: DataFrame) -> DataFrame:
+    """EXIF extract + metadata scrub (the LAION privacy step; the reference
+    reads EXIF via PIL in content_handlers.py:206-263): per image, parse
+    the APP1/TIFF tree for the pipeline-relevant fields (orientation for
+    correct display, capture time for freshness, GPS = geo-PII), then
+    splice every APPn>0/COM segment out of the container. The scrub never
+    touches entropy-coded data, so decoded pixels are bit-identical —
+    re-encoding here would be silent generation loss at corpus scale.
+
+    Arrow-batched mapInPandas at scan parallelism; bytes enter once and
+    leave once (scrubbed) — downstream readers of the metadata columns
+    must select them WITHOUT the scrubbed column (bytes discipline).
+    Non-JPEG formats pass through unchanged with had_metadata=false (the
+    PNG/GIF/WebP synth corpus carries no metadata segments)."""
+    from ..functions.exiffn import extract_jpeg_exif, strip_jpeg_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.bytes)
+                rec = {
+                    "image_id": row.image_id,
+                    "had_metadata": False,
+                    "exif_make": None,
+                    "exif_model": None,
+                    "exif_orientation": None,
+                    "exif_datetime": None,
+                    "has_gps": False,
+                    "gps_lat_milli": None,
+                    "gps_lon_milli": None,
+                    "n_bytes_before": len(data),
+                    "n_bytes_after": len(data),
+                    "scrubbed": data,
+                }
+                if row.fmt in ("jpeg", "jpg"):
+                    meta = extract_jpeg_exif(data)
+                    scrubbed = strip_jpeg_metadata(data)
+                    if meta is not None:
+                        rec.update(
+                            exif_make=meta["make"],
+                            exif_model=meta["model"],
+                            exif_orientation=meta["orientation"],
+                            exif_datetime=meta["datetime"],
+                            has_gps=bool(meta["has_gps"]),
+                        )
+                        if meta["gps_lat"] is not None:
+                            rec["gps_lat_milli"] = round(meta["gps_lat"] * 1000)
+                        if meta["gps_lon"] is not None:
+                            rec["gps_lon_milli"] = round(meta["gps_lon"] * 1000)
+                    if scrubbed != data:
+                        rec.update(
+                            had_metadata=True,
+                            n_bytes_after=len(scrubbed),
+                            scrubbed=scrubbed,
+                        )
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=EXIF_SCRUB_SCHEMA
+    )
+
+
 def image_caption_filter(
     images: DataFrame,
     *,

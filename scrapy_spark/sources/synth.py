@@ -139,12 +139,40 @@ def image_pixels(cfg: SynthConfig, image_id: str, w: int, h: int) -> np.ndarray:
     return px
 
 
+def image_exif_fields(cfg: SynthConfig, image_id: str) -> dict | None:
+    """Deterministic EXIF payload fields for ~1/2 of the JPEG images (a
+    further half of those carry GPS — the privacy-relevant case the scrub
+    operator exists for). None for the EXIF-less half and non-JPEG formats
+    (PNG/GIF/WebP don't carry EXIF here, like most of the real web)."""
+    if image_fmt(cfg, image_id) != "jpeg":
+        return None
+    k = _h(cfg.seed, "exif", image_id)
+    if k % 2 == 0:
+        return None
+    fields = {
+        "make": f"CamCo{k % 5}",
+        "model": f"X{(k >> 4) % 100}",
+        "orientation": 1 + (k >> 8) % 8,
+        "datetime": f"20{10 + (k >> 12) % 15:02d}:0{1 + (k >> 16) % 9}:"
+        f"{1 + (k >> 20) % 28:02d} 12:00:00",
+    }
+    if k % 4 == 3:
+        fields["gps_lat"] = 41.0 + ((k >> 24) % 1000) / 1000.0
+        fields["gps_lon"] = -72.0 - ((k >> 34) % 1000) / 1000.0
+    return fields
+
+
 def encode_image(cfg: SynthConfig, image_id: str, px: np.ndarray) -> bytes:
     fmt = image_fmt(cfg, image_id)
     if fmt == "jpeg":
+        from ..functions.exiffn import build_exif, insert_exif
         from ..functions.jpegfn import encode_jpeg
 
-        return encode_jpeg(px)
+        data = encode_jpeg(px)
+        exif = image_exif_fields(cfg, image_id)
+        if exif is not None:
+            data = insert_exif(data, build_exif(**exif))
+        return data
     if fmt == "gif":
         from ..functions.giffn import encode_gif
 
