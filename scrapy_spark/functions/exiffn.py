@@ -265,6 +265,9 @@ def _jpeg_segments(data: bytes):
         if data[pos] != 0xFF:
             return
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes pad markers
+            pos += 1
+            continue
         if marker == 0xD9:
             return
         if marker == 0xDA:  # SOS: header segment then entropy follows
@@ -331,7 +334,8 @@ def apply_exif_orientation(pixels, orientation: int):
     if orientation == 6:
         return np.rot90(px, k=3)
     if orientation == 7:
-        return np.rot90(px, k=3)[:, ::-1]
+        # transverse: out[i, j] = px[H-1-j, W-1-i] (NOT the plain transpose)
+        return np.rot90(px, k=3)[::-1, :]
     if orientation == 8:
         return np.rot90(px, k=1)
     return px

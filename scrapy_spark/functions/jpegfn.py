@@ -314,7 +314,29 @@ _BITLEN_LUT = np.concatenate(
 )
 
 
-def _entropy_encode_scan(zz: np.ndarray, comp: np.ndarray, luma_tabs, chroma_tabs) -> bytes:
+def _scan_luts(luma_tabs, chroma_tabs):
+    """Padded (2, m) code/length LUTs for DC and AC, luma row 0 / chroma
+    row 1 — built once per scan table set (restart chunks reuse them)."""
+    dcC_l, dcL_l = _code_luts(luma_tabs[0])
+    acC_l, acL_l = _code_luts(luma_tabs[1])
+    dcC_c, dcL_c = _code_luts(chroma_tabs[0])
+    acC_c, acL_c = _code_luts(chroma_tabs[1])
+    m = max(len(dcC_l), len(dcC_c))
+    dcC = np.zeros((2, m), np.int64)
+    dcL = np.zeros((2, m), np.int64)
+    dcC[0, : len(dcC_l)], dcL[0, : len(dcL_l)] = dcC_l, dcL_l
+    dcC[1, : len(dcC_c)], dcL[1, : len(dcL_c)] = dcC_c, dcL_c
+    m = max(len(acC_l), len(acC_c))
+    acC = np.zeros((2, m), np.int64)
+    acL = np.zeros((2, m), np.int64)
+    acC[0, : len(acC_l)], acL[0, : len(acL_l)] = acC_l, acL_l
+    acC[1, : len(acC_c)], acL[1, : len(acL_c)] = acC_c, acL_c
+    return dcC, dcL, acC, acL
+
+
+def _entropy_encode_scan(
+    zz: np.ndarray, comp: np.ndarray, luma_tabs, chroma_tabs, luts=None
+) -> bytes:
     """Baseline-JPEG entropy coding of the zigzagged blocks, vectorized.
 
     ``zz`` is (units, 64) in SCAN ORDER (MCU-interleaved when subsampled);
@@ -333,21 +355,7 @@ def _entropy_encode_scan(zz: np.ndarray, comp: np.ndarray, luma_tabs, chroma_tab
     units = zz.shape[0]
     is_chroma = comp > 0
 
-    dcC_l, dcL_l = _code_luts(luma_tabs[0])
-    acC_l, acL_l = _code_luts(luma_tabs[1])
-    dcC_c, dcL_c = _code_luts(chroma_tabs[0])
-    acC_c, acL_c = _code_luts(chroma_tabs[1])
-    # pad to common size so one fancy-index serves both tables
-    m = max(len(dcC_l), len(dcC_c))
-    dcC = np.zeros((2, m), np.int64)
-    dcL = np.zeros((2, m), np.int64)
-    dcC[0, : len(dcC_l)], dcL[0, : len(dcL_l)] = dcC_l, dcL_l
-    dcC[1, : len(dcC_c)], dcL[1, : len(dcL_c)] = dcC_c, dcL_c
-    m = max(len(acC_l), len(acC_c))
-    acC = np.zeros((2, m), np.int64)
-    acL = np.zeros((2, m), np.int64)
-    acC[0, : len(acC_l)], acL[0, : len(acL_l)] = acC_l, acL_l
-    acC[1, : len(acC_c)], acL[1, : len(acL_c)] = acC_c, acL_c
+    dcC, dcL, acC, acL = luts if luts is not None else _scan_luts(luma_tabs, chroma_tabs)
 
     t = is_chroma.astype(np.int64)
 
@@ -569,11 +577,12 @@ def encode_jpeg(
         # joined by RST0..RST7 markers cycling per spec
         chunks = []
         step = restart_interval * per_mcu
+        luts = _scan_luts((dc_l, ac_l), (dc_c, ac_c))  # build once, not per chunk
         for i in range(0, len(zz_units), step):
             chunks.append(
                 _entropy_encode_scan(
                     zz_units[i : i + step], comp[i : i + step],
-                    (dc_l, ac_l), (dc_c, ac_c),
+                    (dc_l, ac_l), (dc_c, ac_c), luts=luts,
                 )
             )
         scan = b"".join(
@@ -1000,6 +1009,8 @@ def _decode_block(br, zz, idx, ss, se, ah, al, dc_tab, ac_tab, st: _ScanState):
                         break
                 k += 1
             if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past end of band")
                 zz[k] = newval
             k += 1
     if st.eobrun > 0:
@@ -1033,6 +1044,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes pad markers
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

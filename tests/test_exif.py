@@ -85,7 +85,7 @@ def test_insert_extract_strip_inverse():
     j = _sample_jpeg()
     exif = build_exif(make="A", orientation=1, datetime="2020:01:01 00:00:00")
     j2 = insert_exif(j, exif)
-    assert extract_jpeg_exif(j)["make"] is None if extract_jpeg_exif(j) else True
+    assert extract_jpeg_exif(j) is None  # metadata-free input has no EXIF
     got = extract_jpeg_exif(j2)
     assert got["make"] == "A" and got["datetime"] == "2020:01:01 00:00:00"
     # scrub is a pure splice: exact inverse of insert
@@ -132,6 +132,38 @@ def test_orientation_transforms():
     assert apply_exif_orientation(px, 8)[-1, 0, 0] == px[0, 0, 0]
     # unknown orientation passes through
     assert np.array_equal(apply_exif_orientation(px, 0), px)
+    # case 5 (transpose): out[i, j] = px[j, i]
+    t5 = apply_exif_orientation(px, 5)
+    for i in range(3):
+        for j in range(2):
+            assert t5[i, j, 0] == px[j, i, 0]
+    # case 7 (transverse, anti-diagonal flip): out[i, j] = px[H-1-j, W-1-i]
+    # — and it is NOT the plain transpose (regression: was identical to 5)
+    t7 = apply_exif_orientation(px, 7)
+    h, w = px.shape[:2]
+    for i in range(3):
+        for j in range(2):
+            assert t7[i, j, 0] == px[h - 1 - j, w - 1 - i, 0]
+    assert not np.array_equal(t5, t7)
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Regression: the segment walkers treated the fill byte as the marker id,
+    so a spec-legal stream silently shipped its EXIF through the scrub."""
+    j = _sample_jpeg()
+    exif = build_exif(make="FillCam", gps_lat=1.0, gps_lon=2.0)
+    j2 = insert_exif(j, exif)
+    # inject one fill byte right before the APP1 marker
+    at = j2.index(b"\xff\xe1")
+    filled = j2[:at] + b"\xff" + j2[at:]
+    got = extract_jpeg_exif(filled)
+    assert got is not None and got["make"] == "FillCam" and got["has_gps"]
+    stripped = strip_jpeg_metadata(filled)
+    assert extract_jpeg_exif(stripped) is None
+    assert b"FillCam" not in stripped
+    # decoder also walks past fill bytes (same T.81 rule)
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(j))
 
 
 # --- synth corpus + operator -------------------------------------------------
