@@ -86,6 +86,7 @@ HEADLINE = [
     "bpe_train_merges",
     "nb_langid_confusion",
     "bm25_topk",
+    "dedup_simhash_pairs",
 ]
 
 # data-scaling subset (every entry MUST also be in HEADLINE, or its sf0.1

@@ -1003,6 +1003,125 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_simhash_pairs",
+    """
+    WITH sh_toks AS (
+      SELECT DISTINCT doc_id, word FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+    ),
+    sh_bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN
+                   ((instr('0123456789abcdef',
+                           substring(md5(word), 1 + (i // 4), 1)) - 1)
+                    >> (3 - (i % 4))) & 1 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM sh_toks, UNNEST(generate_series(0, 63)) AS t(i)
+      GROUP BY doc_id, i
+    ),
+    sh_sig AS MATERIALIZED (
+      SELECT doc_id,
+             (hi - 4294967296 * ((hi >> 31) & 1)) * 4294967296 + lo AS sig64
+      FROM (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 AND i >= 32
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                    AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN s > 0 AND i < 32
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS lo
+        FROM sh_bits GROUP BY doc_id
+      )
+    ),
+    sh_bands AS MATERIALIZED (
+      SELECT doc_id, sig64, b AS band_idx, (sig64 >> (b * 16)) & 65535 AS band_val
+      FROM sh_sig, UNNEST(generate_series(0, 3)) AS t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig64, b.sig64)) AS INT) AS hamming
+    FROM sh_bands a JOIN sh_bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig64, b.sig64)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS (Manku/Jain/Sarma WWW'07, the Google
+    web-dedup shape): 64-bit signatures from per-token md5 bit majorities,
+    paired through the SHARED banded-hamming kernel
+    (operators/imageops.banded_hamming_pairs — the same implementation
+    that serves image phash / video frames / audio fingerprints) at
+    4 x 16-bit bands, exact bit_count verify, hamming <= 3 < n_bands so
+    recall is pigeonhole-complete.
+
+    Scale shape: signature build is explode + hash groupBy with map-side
+    combine (the dedup_simhash discipline, widened 32 -> 64 bits — 16-bit
+    bands keep expected bucket width n/65536 vs the 32-bit variant's
+    n/256); the candidate join is band-equi with the kernel's optional
+    max_band_freq hot-bucket cap available for skewed corpora. The signed
+    bit-63 edge is built as hi/lo halves ((hi - 2^32*b63) * 2^32 + lo) —
+    DuckDB raises on 1 << 63 and ANSI Spark on bigint overflow, the safe
+    form is exact in both."""
+    from .operators.imageops import banded_hamming_pairs
+
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    tb = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        F.md5("word").alias("hx"),
+    )
+    hexval = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("hx"), (F.col("i") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    pow2 = F.pow(F.lit(2.0), (3 - F.col("i") % 4).cast("double"))
+    bit = (hexval / pow2).cast("int").bitwiseAND(F.lit(1))
+    bits = tb.groupBy("doc_id", "i").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("s")
+    )
+    half = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("i") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), i - 32)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hi"),
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("i") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("lo"),
+    )
+    sigs = half.select(
+        "doc_id",
+        (
+            (F.col("hi") - F.lit(4294967296).cast("long")
+             * F.shiftright(F.col("hi"), 31).bitwiseAND(F.lit(1).cast("long")))
+            * F.lit(4294967296).cast("long")
+            + F.col("lo")
+        ).alias("sig64"),
+    )
+    pairs = banded_hamming_pairs(
+        sigs, max_hamming=3, n_bands=4, id_col="doc_id", phash_col="sig64"
+    )
+    return pairs.select(
+        F.col("image_a").alias("doc_a"),
+        F.col("image_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings` (array<float>, 64-dim)
 # ---------------------------------------------------------------------------
