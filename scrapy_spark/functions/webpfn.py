@@ -18,17 +18,16 @@ PIXEL-EXACT):
   codes (fast heap+overflow-repair path with a Kraft-completeness check,
   optimal package-merge as fallback/reference);
 - the subtract-green transform (the only transform the encoder emits);
-- LZ77 backward references with the *linear* distance codes
-  (dist_code > 120) and the full length/distance prefix+extra-bits
-  scheme — the encoder emits distance-1 runs, the decoder handles any
-  linear distance;
+- LZ77 backward references: the full length/distance prefix+extra-bits
+  scheme, linear distance codes (dist_code > 120) AND the 2D
+  distance-map codes 1..120 (the spec's 120-pixel neighborhood table,
+  decode side — this encoder emits distance-1 runs as linear codes);
 - the color cache (hash 0x1e35a7bd, 1-11 bits) on both sides
   (encoder opt-in via ``use_color_cache=True``).
 
 NOT implemented (clearly-labeled NotImplementedError, never wrong pixels):
 lossy VP8 / VP8X-extended files, the predictor / color / color-indexing
-transforms, meta-Huffman entropy images, and the 2D distance-map codes
-1..120 (the spec's neighborhood table; this encoder never emits them).
+transforms, and meta-Huffman entropy images.
 """
 
 from __future__ import annotations
@@ -314,6 +313,25 @@ def _prefix_decode(prefix: int, br: _BitReader) -> int:
     extra_bits = (prefix - 2) >> 1
     offset = (2 + (prefix & 1)) << extra_bits
     return offset + br.read(extra_bits) + 1
+
+
+def _gen_distance_map() -> list[tuple[int, int]]:
+    """The spec's 120-entry dist_code -> (xoffset, yoffset) neighborhood
+    table (RFC 9649 §5.2.2). The window is the 8 pixels left of the
+    current one (y = 0, x = 1..8) plus the full x = -7..8 span of the 7
+    rows above, ordered by squared euclidean distance with ties broken
+    larger-y-first then larger-x-first — regenerating from that rule
+    reproduces the published table exactly (pinned against a transcribed
+    prefix in tests/test_webp.py). dist = xoffset + yoffset * xsize,
+    clamped up to 1."""
+    cand = [(x, 0) for x in range(1, 9)] + [
+        (x, y) for y in range(1, 8) for x in range(-7, 9)
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cand
+
+
+_DISTANCE_MAP = _gen_distance_map()
 
 
 # --- Huffman code (de)serialization ----------------------------------------
@@ -879,11 +897,12 @@ def decode_webp(data: bytes) -> np.ndarray:
             length = _prefix_decode(s - 256, br)
             dist_code = _prefix_decode(br.read_sym(td), br)
             if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D distance-map codes (1..120) not in this subset "
-                    "(linear distances only)"
-                )
-            dist = dist_code - 120
+                dx, dy = _DISTANCE_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:  # spec: clamp to the left neighbor
+                    dist = 1
+            else:
+                dist = dist_code - 120
             if dist > pos or pos + length > n:
                 raise ValueError("invalid VP8L back-reference")
             for _ in range(length):

@@ -386,3 +386,140 @@ def test_external_stream_color_cache_and_subtract_green():
     px = decode_webp(w.vp8l())
     assert px.shape == (1, 4, 3)
     assert [tuple(p) for p in px.reshape(-1, 3)] == [(r0, g0, b0)] * 4
+
+
+# --- 2D distance-map codes (dist_code 1..120) -------------------------------
+
+# The spec table (RFC 9649 §5.2.2) transcribed: the 120-pixel window is the
+# 8 pixels to the left plus the full x=-7..8 span of the 7 rows above,
+# listed by squared euclidean distance, ties larger-y-first then
+# larger-x-first. The module regenerates it from that rule; this explicit
+# transcription pins the generated order entry by entry.
+_SPEC_DISTANCE_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def test_distance_map_matches_spec_table():
+    from scrapy_spark.functions.webpfn import _DISTANCE_MAP
+
+    assert len(_DISTANCE_MAP) == 120
+    assert _DISTANCE_MAP == _SPEC_DISTANCE_MAP
+    # window multiset: 8 left-of-current + 7 rows x 16 columns above
+    exp = {(x, 0) for x in range(1, 9)} | {
+        (x, y) for y in range(1, 8) for x in range(-7, 9)
+    }
+    assert set(_DISTANCE_MAP) == exp
+    d2 = [x * x + y * y for x, y in _DISTANCE_MAP]
+    assert d2 == sorted(d2)
+
+
+def test_external_stream_2d_distance_codes():
+    """4x2 stream: row 0 is four literals, row 1 comes entirely from 2D
+    distance codes — a length-3 backref at dist_code 4 = (-1, 1) (the
+    up-right neighbor, dist = w - 1 = 3) then a length-1 backref at
+    dist_code 1 = (0, 1) (the pixel above, dist = w = 4). Expected row 1:
+    B R B B. Hand-built by the independent bit-writer, so it pins the
+    decoder's neighborhood table and backref arithmetic against the spec,
+    not against our encoder (which only emits linear codes)."""
+    from scrapy_spark.functions.webpfn import decode_webp
+
+    w = _XW()
+    _x_header(w, 4, 2)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)  # transforms/cache/meta: none
+    # green tree over 280 symbols: {0: len 1, 256: len 2, 258: len 2}
+    # (256 = length prefix 0 -> length 1; 258 = prefix 2 -> length 3)
+    w.put(0, 1)       # not simple
+    w.put(1, 4)       # num_code_lengths = 5: order prefix [17, 18, 0, 1, 2]
+    for ln in (0, 1, 2, 3, 3):   # cl lengths: 18->1, 0->2, 1->3, 2->3
+        w.put(ln, 3)
+    clc = _x_canon({18: 1, 0: 2, 1: 3, 2: 3})
+    w.put(1, 1)       # max-symbol short-circuit present
+    w.put(1, 3)       # length_nbits = 2 + 2*1 = 4
+    w.put(4, 4)       # max_symbol = 2 + 4 = 6 cl reads
+    w.code(*clc[1])                         # sym 0: green code length 1
+    w.code(*clc[18]); w.put(138 - 11, 7)    # skip 138 zeros
+    w.code(*clc[18]); w.put(117 - 11, 7)    # skip 117 -> at sym 256
+    w.code(*clc[2])                         # sym 256: length 2
+    w.code(*clc[0])                         # sym 257: zero
+    w.code(*clc[2])                         # sym 258: length 2
+    gc = _x_canon({0: 1, 256: 2, 258: 2})
+    _x_simple(w, [0, 255])    # red
+    _x_simple(w, [0, 255])    # blue
+    _x_simple(w, [255])       # alpha
+    _x_simple(w, [0, 3])      # dist prefixes: 0 (-> code 1), 3 (-> code 4)
+    dc = _x_canon({0: 1, 3: 1})
+    for i in range(4):        # row 0 literals R,B,R,B
+        red = i % 2 == 0
+        w.code(*gc[0])
+        w.code(1 if red else 0, 1)
+        w.code(0 if red else 1, 1)
+    w.code(*gc[258])          # length 3 (prefix 2, no extras)
+    w.code(*dc[3])            # dist prefix 3 -> dist_code 4 = (-1, 1)
+    w.code(*gc[256])          # length 1 (prefix 0, no extras)
+    w.code(*dc[0])            # dist prefix 0 -> dist_code 1 = (0, 1)
+    px = decode_webp(w.vp8l())
+    assert px.shape == (2, 4, 3)
+    R, B = (255, 0, 0), (0, 0, 255)
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [R, B, R, B, B, R, B, B]
+
+
+def test_external_stream_2d_distance_clamp():
+    """2-wide stream using dist_code 80 = (-7, 1): dist = -7 + 1*2 = -5,
+    which the spec clamps up to 1 (the left neighbor). Pins the clamp
+    branch with a genuinely out-of-window offset."""
+    from scrapy_spark.functions.webpfn import (
+        _DISTANCE_MAP,
+        _prefix_encode,
+        decode_webp,
+    )
+
+    code = _DISTANCE_MAP.index((-7, 1)) + 1
+    assert code == 80
+    prefix, eb, ev = _prefix_encode(code)   # (12, 5, 15)
+    w = _XW()
+    _x_header(w, 2, 2)
+    w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    # green tree: {0: len 1, 256: len 2, 257: len 2} (256 -> length 1,
+    # 257 -> length 2: three backref copies after one literal)
+    w.put(0, 1)
+    w.put(1, 4)
+    for ln in (0, 1, 2, 3, 3):
+        w.put(ln, 3)
+    clc = _x_canon({18: 1, 0: 2, 1: 3, 2: 3})
+    w.put(1, 1)
+    w.put(0, 3)       # length_nbits = 2
+    w.put(3, 2)       # max_symbol = 2 + 3 = 5 cl reads
+    w.code(*clc[1])                         # sym 0: length 1
+    w.code(*clc[18]); w.put(138 - 11, 7)
+    w.code(*clc[18]); w.put(117 - 11, 7)
+    w.code(*clc[2])                         # sym 256: length 2
+    w.code(*clc[2])                         # sym 257: length 2
+    gc = _x_canon({0: 1, 256: 2, 257: 2})
+    _x_simple(w, [0, 255])    # red
+    _x_simple(w, [0, 255])    # blue
+    _x_simple(w, [255])       # alpha
+    _x_simple(w, [prefix])    # dist: single prefix 12 (trivial, 0 bits)
+    w.code(*gc[0]); w.code(1, 1); w.code(0, 1)   # literal R at pos 0
+    w.code(*gc[257])          # length prefix 1 -> length 2
+    w.put(ev, eb)             # dist extras -> dist_code 80
+    w.code(*gc[256])          # length 1, same clamped distance
+    w.put(ev, eb)
+    px = decode_webp(w.vp8l())
+    assert px.shape == (2, 2, 3)
+    # every copy resolves to "1 to the left": the whole image is red
+    assert [tuple(p) for p in px.reshape(-1, 3)] == [(255, 0, 0)] * 4
