@@ -316,6 +316,12 @@ def _build_parser() -> argparse.ArgumentParser:
         type=int, default=3,
         help="near-dup hamming radius (complete recall needs < 4 bands)",
     )
+    imf.add_argument(
+        "--min-jpeg-quality", dest="min_jpeg_quality", type=int,
+        default=None,
+        help="also drop JPEGs whose estimated IJG quality factor "
+        "(header-only DQT inversion) is below this",
+    )
     imf.add_argument("--out", default=None,
                      help="also write the per-image decision table")
     imf.add_argument("--master", default=None)
@@ -766,8 +772,9 @@ def main(argv: list[str] | None = None) -> int:
             if (args.workdir is None) == (args.images is None):
                 print("pass exactly one of --workdir / --images", file=sys.stderr)
                 return 2
+            raw = None  # bytes-bearing table feeding the quality sidecar
             if args.images:
-                inp = spark.read.parquet(args.images)
+                inp = raw = spark.read.parquet(args.images)
             else:
                 from scrapy_spark.operators.imageops import extract_image_meta
 
@@ -775,6 +782,7 @@ def main(argv: list[str] | None = None) -> int:
                 if imgs is None:
                     print("no fetch_results in " + args.workdir, file=sys.stderr)
                     return 2
+                raw = imgs
                 meta = extract_image_meta(imgs).filter(F.col("decode_ok"))
                 # bytes stay behind: the funnel consumes decoded metadata +
                 # the caption via a narrow column-pruned re-join only
@@ -788,6 +796,11 @@ def main(argv: list[str] | None = None) -> int:
                     "caption",
                     F.col("decoded_phash").alias("phash"),
                 )
+            quality = None
+            if args.min_jpeg_quality is not None:
+                from scrapy_spark.operators.imageops import jpeg_quality_meta
+
+                quality = jpeg_quality_meta(raw)
             dec = image_caption_filter(
                 inp,
                 min_side=args.min_side,
@@ -797,13 +810,15 @@ def main(argv: list[str] | None = None) -> int:
                 max_caption_freq=args.max_caption_freq,
                 drop_neardups=args.drop_neardups,
                 neardup_max_hamming=args.neardup_max_hamming,
+                min_jpeg_quality=args.min_jpeg_quality,
+                quality=quality,
             )
             if args.out:
                 dec.write.mode("overwrite").parquet(args.out)
                 dec = spark.read.parquet(args.out)  # reuse, don't recompute
             reasons = ["too_small", "bad_aspect", "caption_short",
                        "caption_long", "dup_caption", "dup_phash",
-                       "dup_neardup"]
+                       "dup_neardup", "low_quality"]
             row = dec.agg(
                 F.count("*").alias("images"),
                 F.sum(F.col("keep").cast("long")).alias("kept"),

@@ -912,6 +912,76 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8"
 
 
+def estimate_jpeg_quality(data: bytes) -> tuple[int | None, bool]:
+    """Invert the libjpeg/IJG quality scaling from the file's luma DQT —
+    the standard curation signal (drop re-encoded low-quality images;
+    LAION-style funnels threshold on it). Header-only: walks segments up
+    to SOS (0xFF fill bytes skipped per T.81 B.1.1.2), never touches
+    entropy data.
+
+    Returns (quality, exact): scanning q = 100 down to 1, the first q
+    whose Annex-K-scaled table equals the file's table exactly gives
+    (q, True) — exact for every IJG-formula encoder including ours. A
+    custom table falls back to the nearest q by L1 distance (highest q on
+    ties — deterministic) with exact=False. (None, False) when the stream
+    has no luma DQT (not a JPEG / truncated / 16-bit precision tables are
+    still read, natural for q<8 scalings that overflow 255)."""
+    if not is_jpeg(data):
+        return None, False
+    pos = 2
+    n = len(data)
+    tbl = None
+    while pos + 4 <= n and tbl is None:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                width = 128 if pq else 64
+                if p + width > len(seg):
+                    break
+                if tq == 0:
+                    if pq:
+                        tbl = np.frombuffer(
+                            seg[p : p + 128], dtype=">u2"
+                        ).astype(np.int64)
+                    else:
+                        tbl = np.frombuffer(
+                            seg[p : p + 64], dtype=np.uint8
+                        ).astype(np.int64)
+                    break
+                p += width
+        pos += seglen
+    if tbl is None:
+        return None, False
+    # DQT is zigzag order; compare in the natural domain
+    nat = np.zeros(64, dtype=np.int64)
+    nat[ZIGZAG] = tbl
+    best_q, best_d = None, None
+    for q in range(100, 0, -1):
+        cand = _quality_tables(q)[0].reshape(-1).astype(np.int64)
+        if np.array_equal(cand, nat):
+            return q, True
+        d = int(np.abs(cand - nat).sum())
+        if best_d is None or d < best_d:
+            best_q, best_d = q, d
+    return best_q, False
+
+
 def _find_scan_end(data: bytes, pos: int) -> int:
     """First marker byte pair after ``pos`` that is neither a stuffed 0xFF00
     nor an RSTn — i.e. the end of the current scan's entropy data."""

@@ -375,6 +375,41 @@ def exif_scrub_images(images: DataFrame) -> DataFrame:
     )
 
 
+JPEG_QUALITY_SCHEMA = (
+    "image_id string, jpeg_quality int, jpeg_quality_exact boolean"
+)
+
+
+def jpeg_quality_meta(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, fmt) -> estimated IJG quality factor for JPEG
+    rows (jpegfn.estimate_jpeg_quality: header-only DQT inversion — never
+    touches entropy data), NULL for other formats. Arrow-batched
+    mapInPandas at scan parallelism, bytes read once and never shuffled —
+    the metadata feeds the admission funnel's ``min_jpeg_quality`` arm so
+    the funnel itself stays bytes-free."""
+    from ..functions.jpegfn import estimate_jpeg_quality
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                q, exact = (None, None)
+                if row.fmt == "jpeg" and row.bytes is not None:
+                    q, exact = estimate_jpeg_quality(bytes(row.bytes))
+                out.append(
+                    {
+                        "image_id": row.image_id,
+                        "jpeg_quality": q,
+                        "jpeg_quality_exact": exact,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=JPEG_QUALITY_SCHEMA
+    )
+
+
 def image_caption_filter(
     images: DataFrame,
     *,
@@ -385,6 +420,8 @@ def image_caption_filter(
     max_caption_freq: int = 2,
     drop_neardups: bool = False,
     neardup_max_hamming: int = 3,
+    min_jpeg_quality: int | None = None,
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """LAION/DataComp-style image+caption admission funnel over the
     input_hint table (image_id, bytes, w, h, fmt, caption, phash): per
@@ -404,6 +441,12 @@ def image_caption_filter(
                            phash bits — re-encodes, light crops) and is not
                            the component's elected keeper. LAION practice
                            drops these alongside exact dups.
+      - ``low_quality``    opt-in (``min_jpeg_quality=N`` + a precomputed
+                           ``quality`` table from :func:`jpeg_quality_meta`):
+                           JPEG whose estimated IJG quality factor is below
+                           N (heavily re-compressed imagery). The quality
+                           table is REQUIRED when the threshold is set —
+                           the funnel itself never reads bytes.
 
     Near-dup arm shape: the kernel runs over DISTINCT phash values, not
     images (exact-dup groups collapse to one node first, so a hot re-upload
@@ -477,6 +520,22 @@ def image_caption_filter(
         )
     else:
         j = j.withColumn("dup_neardup", F.lit(False))
+    if min_jpeg_quality is not None:
+        if quality is None:
+            raise ValueError(
+                "min_jpeg_quality requires a precomputed quality table "
+                "(jpeg_quality_meta) — the funnel never reads bytes"
+            )
+        j = j.join(
+            quality.select("image_id", "jpeg_quality"), "image_id", "left"
+        ).withColumn(
+            "low_quality",
+            F.coalesce(
+                F.col("jpeg_quality") < F.lit(min_jpeg_quality), F.lit(False)
+            ),
+        )
+    else:
+        j = j.withColumn("low_quality", F.lit(False))
     too_small = F.least("w", "h") < min_side
     bad_aspect = F.greatest("w", "h") > max_aspect * F.least("w", "h")
     cap_short = F.col("caption_tokens") < min_caption_tokens
@@ -484,8 +543,9 @@ def image_caption_filter(
     dup_caption = F.col("n_same_caption") > max_caption_freq
     dup_phash = F.col("n_same_phash") > 1
     dup_neardup = F.col("dup_neardup")
+    low_quality = F.col("low_quality")
     keep = ~(too_small | bad_aspect | cap_short | cap_long | dup_caption
-             | dup_phash | dup_neardup)
+             | dup_phash | dup_neardup | low_quality)
     return j.select(
         "image_id", "w", "h", "fmt", "caption_tokens",
         "n_same_caption", "n_same_phash",
@@ -496,6 +556,7 @@ def image_caption_filter(
         dup_caption.alias("dup_caption"),
         dup_phash.alias("dup_phash"),
         "dup_neardup",
+        "low_quality",
         keep.alias("keep"),
     )
 
@@ -510,7 +571,8 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
     test fixtures; the split-chain regime keeps MORE on the Spark side)."""
     p = dict(min_side=32, max_aspect=4, min_caption_tokens=2,
              max_caption_tokens=64, max_caption_freq=2,
-             drop_neardups=False, neardup_max_hamming=3)
+             drop_neardups=False, neardup_max_hamming=3,
+             min_jpeg_quality=None)
     p.update(kw)
     from collections import Counter
 
@@ -552,6 +614,11 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
         dup_caption = cap_n[caption] > p["max_caption_freq"]
         dup_phash = (r["phash"] is not None) and ph_n[r["phash"]] > 1
         dup_neardup = r["image_id"] in nd_drop
+        low_quality = (
+            p["min_jpeg_quality"] is not None
+            and r.get("jpeg_quality") is not None
+            and r["jpeg_quality"] < p["min_jpeg_quality"]
+        )
         out.append(
             {
                 "image_id": r["image_id"],
@@ -563,8 +630,10 @@ def py_image_caption_filter(rows, **kw) -> list[dict]:
                 "dup_caption": dup_caption,
                 "dup_phash": dup_phash,
                 "dup_neardup": dup_neardup,
+                "low_quality": low_quality,
                 "keep": not (too_small or bad_aspect or cap_short or cap_long
-                             or dup_caption or dup_phash or dup_neardup),
+                             or dup_caption or dup_phash or dup_neardup
+                             or low_quality),
             }
         )
     return out

@@ -626,3 +626,57 @@ def test_resize_to_bucket_fit_letterbox(spark):
             assert not out[:, : g["crop_x"]].any()
         if g["crop_y"] > 0:
             assert not out[: g["crop_y"], :].any()
+
+
+def test_jpeg_quality_meta_and_funnel_arm(spark):
+    """jpeg_quality_meta recovers the exact encode quality per JPEG row
+    (NULL for other formats), and the funnel's min_jpeg_quality arm drops
+    only the below-threshold JPEG — twin-checked with jpeg_quality fed to
+    the sequential twin."""
+    import numpy as np
+    import pandas as pd
+
+    from scrapy_spark.functions.imagefn import encode_png
+    from scrapy_spark.functions.jpegfn import encode_jpeg
+    from scrapy_spark.operators.imageops import (
+        image_caption_filter,
+        jpeg_quality_meta,
+        py_image_caption_filter,
+    )
+
+    rng = np.random.RandomState(11)
+    px = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    rows = [
+        {"image_id": "lowq", "bytes": encode_jpeg(px, quality=30),
+         "w": 64, "h": 64, "fmt": "jpeg",
+         "caption": "heavily recompressed meme", "phash": 1},
+        {"image_id": "highq", "bytes": encode_jpeg(px, quality=90),
+         "w": 64, "h": 64, "fmt": "jpeg",
+         "caption": "pristine press photo here", "phash": 2},
+        {"image_id": "pngrow", "bytes": encode_png(px),
+         "w": 64, "h": 64, "fmt": "png",
+         "caption": "lossless diagram with text", "phash": 3},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    q = jpeg_quality_meta(df)
+    got_q = {r["image_id"]: (r["jpeg_quality"], r["jpeg_quality_exact"])
+             for r in q.collect()}
+    assert got_q == {"lowq": (30, True), "highq": (90, True),
+                     "pngrow": (None, None)}
+    dec = {r["image_id"]: r.asDict()
+           for r in image_caption_filter(
+               df, min_jpeg_quality=50, quality=q).collect()}
+    twin_rows = [dict(r, jpeg_quality=got_q[r["image_id"]][0]) for r in rows]
+    want = {r["image_id"]: r
+            for r in py_image_caption_filter(twin_rows, min_jpeg_quality=50)}
+    for iid, w in want.items():
+        for k in w:
+            assert dec[iid][k] == w[k], (iid, k)
+    assert dec["lowq"]["low_quality"] and not dec["lowq"]["keep"]
+    assert dec["highq"]["keep"] and dec["pngrow"]["keep"]
+    # threshold set without the quality table is a usage error, not a
+    # silent bytes read
+    import pytest
+
+    with pytest.raises(ValueError):
+        image_caption_filter(df, min_jpeg_quality=50)

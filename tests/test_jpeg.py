@@ -225,3 +225,33 @@ def test_property_roundtrip_any_shape(w, h, seed):
     out = jpegfn.decode_jpeg(jpegfn.encode_jpeg(px))
     assert out.shape == (h, w, 3)
     assert psnr(px, out) >= 40.0
+
+
+def test_estimate_jpeg_quality():
+    """The IJG quality inversion is exact for our own encoder at every
+    quality, across baseline/progressive/subsampled framing; custom
+    tables fall back to nearest-by-L1 with exact=False; non-JPEG bytes
+    report (None, False)."""
+    import numpy as np
+
+    from scrapy_spark.functions.jpegfn import (
+        encode_jpeg,
+        estimate_jpeg_quality,
+    )
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+    for q in (1, 5, 30, 50, 75, 90, 99, 100):
+        assert estimate_jpeg_quality(encode_jpeg(img, quality=q)) == (q, True)
+    assert estimate_jpeg_quality(
+        encode_jpeg(img, quality=85, progressive=True)
+    ) == (85, True)
+    assert estimate_jpeg_quality(
+        encode_jpeg(img, quality=60, subsampling="420")
+    ) == (60, True)
+    assert estimate_jpeg_quality(b"\x89PNG\r\n\x1a\n") == (None, False)
+    # perturb one luma DQT coefficient: nearest quality, inexact
+    b = bytearray(encode_jpeg(img, quality=80))
+    i = b.index(b"\xff\xdb")
+    b[i + 5] += 1
+    assert estimate_jpeg_quality(bytes(b)) == (80, False)
