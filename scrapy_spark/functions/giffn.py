@@ -1,9 +1,13 @@
 """GIF87a codec from scratch — numpy + stdlib only.
 
-Closes the gif-decode stub with a real implementation: single-image
-GIF87a/89a with a global or local color table, 4-pass interlacing
-(encode + decode) and full LZW compression/decompression (variable code
-width, clear/EOI codes, code table growth to 12 bits).
+Closes the gif-decode stub with a real implementation: GIF87a/89a with a
+global or local color table, 4-pass interlacing (encode + decode), full
+LZW compression/decompression (variable code width, clear/EOI codes,
+code table growth to 12 bits), and GIF89a ANIMATION on both sides —
+encode_gif_animation (full-frame, per-frame local palettes + delays) and
+decode_gif_frames (composited frames: disposal methods 0-3, transparency,
+sub-rectangle frames). decode_gif keeps the single-still contract (first
+frame) for the image pipeline.
 
 GIF is inherently palettized: images with <= 256 distinct colors
 round-trip PIXEL-EXACT (the common case for real-web GIFs — logos, line
@@ -309,3 +313,162 @@ def decode_gif(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("no image data in GIF")
+
+
+# --- animation (GIF89a multi-frame) ----------------------------------------
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delays_cs: list[int] | int = 10
+) -> bytes:
+    """List of uint8 RGB (h, w, 3) frames -> GIF89a animation bytes.
+
+    Simplest valid form: every frame is a full-logical-screen image with
+    its own LOCAL color table, preceded by a Graphic Control Extension
+    carrying its delay (centiseconds) and disposal 1 (leave in place) —
+    so frames with <= 256 distinct colors round-trip pixel-exact through
+    :func:`decode_gif_frames` (richer frames reproduce their quantized
+    pixels exactly, the still-image contract). A NETSCAPE2.0 loop block
+    requests infinite looping, the common web default."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * len(frames)
+    if len(delays_cs) != len(frames):
+        raise ValueError("one delay per frame")
+    norm = []
+    for px in frames:
+        px = np.asarray(px)
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=-1)
+        if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("frames must be uint8 RGB (h, w, 3) or (h, w)")
+        norm.append(px)
+    h, w = norm[0].shape[:2]
+    if any(px.shape[:2] != (h, w) for px in norm):
+        raise ValueError("all frames must share one size")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for px, delay in zip(norm, delays_cs):
+        out += b"\x21\xf9" + struct.pack(
+            "<BBHBB", 4, 0x04, delay, 0, 0  # disposal 1, no transparency
+        )
+        pal, idx = _build_palette(px)
+        bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+        lct = np.zeros((1 << bits, 3), dtype=np.uint8)
+        lct[: len(pal)] = pal
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | (bits - 1)
+        )
+        out += lct.tobytes()
+        min_code_size = max(2, bits)
+        out += bytes([min_code_size])
+        lzw = _lzw_encode(idx, min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """GIF bytes -> (composited RGB frames, per-frame delays in
+    centiseconds). Full GIF89a animation semantics per spec section 23:
+
+    - Graphic Control Extension: delay, transparency index (transparent
+      pixels keep the underlying canvas), disposal method;
+    - disposal 0/1: leave the frame in place for the next one;
+      disposal 2: restore the frame's rect to the background color
+      (the logical-screen background index, black when there is no
+      global color table); disposal 3: restore the canvas the frame
+      was composited onto;
+    - sub-rectangle frames composite at (left, top), interlaced or not.
+
+    Still images (or animations with one frame) return one frame; the
+    first-frame view equals :func:`decode_gif` on single-image files."""
+    if not is_gif(data):
+        raise ValueError("not a GIF")
+    w, h, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending GCE state for the NEXT image descriptor
+    delay_cs, disposal, trans_idx = 0, 0, None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # GCE
+                packed, delay_cs, tcol = struct.unpack(
+                    "<BHB", data[pos + 1 : pos + 5]
+                )
+                disposal = (packed >> 2) & 0x7
+                trans_idx = tcol if packed & 0x01 else None
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF without a color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:
+                deinter = np.empty_like(idx)
+                deinter[_interlace_order(ih)] = idx
+                idx = deinter
+            prev = canvas.copy() if disposal == 3 else None
+            rect = canvas[iy : iy + ih, ix : ix + iw]
+            img = lct[np.clip(idx, 0, len(lct) - 1)]
+            if trans_idx is not None:
+                mask = (idx != trans_idx)[:, :, None]
+                rect[:] = np.where(mask, img, rect)
+            else:
+                rect[:] = img
+            frames.append(canvas.copy())
+            delays.append(delay_cs)
+            if disposal == 2:
+                canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay_cs, disposal, trans_idx = 0, 0, None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames, delays

@@ -249,3 +249,55 @@ def audio_neardup_pairs(
         materialize=materialize,
         max_band_freq=max_band_freq,
     ).withColumnsRenamed({"image_a": "media_a", "image_b": "media_b"})
+
+
+def sample_gif_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """(media_id, bytes) of animated GIFs -> one row per sampled
+    COMPOSITED frame, same FRAME_SCHEMA as :func:`sample_video_frames` so
+    the output feeds :func:`video_neardup_pairs` unchanged — animated
+    GIFs (the meme format) join the multimodal near-dup triad through
+    the same shared banded-hamming kernel.
+
+    Frames are composited per GIF89a semantics (disposal methods,
+    transparency, sub-rectangles — functions/giffn.decode_gif_frames)
+    BEFORE hashing: a delta-encoded re-encode of the same animation then
+    hashes frame-for-frame like its full-frame original. ts_s comes from
+    the cumulative per-frame delays. Decode stays inside the Arrow batch;
+    only narrow (media_id, frame_index, phash) rows leave the task."""
+    from ..functions.giffn import decode_gif_frames
+    from ..functions.imagefn import phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    frames, delays = decode_gif_frames(bytes(row.bytes))
+                    t_cs = 0
+                    for i, (px, d) in enumerate(zip(frames, delays)):
+                        if i % every_n == 0:
+                            out.append(
+                                {
+                                    "media_id": row.media_id,
+                                    "frame_index": i,
+                                    "ts_s": t_cs / 100.0,
+                                    "frame_phash": phash64(px),
+                                    "decode_ok": True,
+                                    "decode_error": None,
+                                }
+                            )
+                        t_cs += d
+                except Exception as exc:
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_index": None,
+                            "ts_s": None,
+                            "frame_phash": None,
+                            "decode_ok": False,
+                            "decode_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "bytes").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -109,3 +109,83 @@ def test_property_roundtrip_quantized_exact(w, h, seed):
     out = giffn.decode_gif(giffn.encode_gif(px))
     assert out.shape == (h, w, 3)
     assert np.array_equal(out, giffn.quantize_for_gif(px))
+
+
+def test_animation_roundtrip_exact():
+    """<=256-color frames round-trip pixel-exact with their delays; the
+    still decoder keeps returning the first frame."""
+    from scrapy_spark.functions.giffn import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.RandomState(1)
+    frames = [
+        (rng.randint(0, 4, (20, 24, 3)) * 80).astype(np.uint8)
+        for _ in range(4)
+    ]
+    b = encode_gif_animation(frames, [5, 10, 15, 20])
+    got, delays = decode_gif_frames(b)
+    assert delays == [5, 10, 15, 20]
+    assert len(got) == 4
+    for a, g in zip(frames, got):
+        assert np.array_equal(a, g)
+    assert np.array_equal(decode_gif(b), frames[0])
+
+
+def test_animation_disposal_and_transparency():
+    """Hand-built GIF89a (independent of our animation encoder): frame 1
+    full red; frame 2 a 2x2 sub-rect at (1,1) with one TRANSPARENT pixel
+    (keeps red underneath) and disposal 2 (restore rect to background);
+    frame 3 full-transparent sub-rect revealing the restored canvas.
+    Pins compositing, disposal-2 clearing and per-pixel transparency."""
+    import struct as st
+
+    from scrapy_spark.functions.giffn import _lzw_encode, decode_gif_frames
+
+    w = h = 4
+    out = bytearray(b"GIF89a")
+    # global color table: 0=black(bg), 1=red, 2=green, 3=blue
+    out += st.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+    def gce(disposal, delay, trans=None):
+        packed = (disposal << 2) | (1 if trans is not None else 0)
+        return b"\x21\xf9" + st.pack(
+            "<BBHBB", 4, packed, delay, trans or 0, 0
+        )
+
+    def img(ix, iy, iw, ih, indices):
+        r = b"\x2c" + st.pack("<HHHHB", ix, iy, iw, ih, 0)
+        # min code size 2 -> codes start 3 bits wide
+        data = _lzw_encode(np.array(indices, dtype=np.int64), 2)
+        r += bytes([2])
+        for i in range(0, len(data), 255):
+            c = data[i : i + 255]
+            r += bytes([len(c)]) + c
+        return r + b"\x00"
+
+    out += gce(1, 5)                       # frame 1: leave in place
+    out += img(0, 0, w, h, [1] * 16)       # all red
+    out += gce(2, 7, trans=3)              # frame 2: disposal 2, trans idx 3
+    out += img(1, 1, 2, 2, [2, 3, 3, 2])   # green/T/T/green at (1,1)
+    out += gce(0, 9)                       # frame 3
+    out += img(0, 0, 1, 1, [2])            # one green pixel top-left
+    out += b"\x3b"
+
+    frames, delays = decode_gif_frames(bytes(out))
+    assert delays == [5, 7, 9]
+    RED, GREEN, BLACK = (255, 0, 0), (0, 255, 0), (0, 0, 0)
+    f1, f2, f3 = frames
+    assert all(tuple(p) == RED for p in f1.reshape(-1, 3))
+    # frame 2: green at (1,1) and (2,2); transparent pixels keep red
+    assert tuple(f2[1, 1]) == GREEN and tuple(f2[2, 2]) == GREEN
+    assert tuple(f2[1, 2]) == RED and tuple(f2[2, 1]) == RED
+    assert tuple(f2[0, 0]) == RED
+    # frame 3: disposal 2 restored the 2x2 rect to BACKGROUND (black),
+    # rest still red, plus the new green pixel
+    assert tuple(f3[0, 0]) == GREEN
+    assert tuple(f3[1, 1]) == BLACK and tuple(f3[2, 2]) == BLACK
+    assert tuple(f3[1, 2]) == BLACK and tuple(f3[2, 1]) == BLACK
+    assert tuple(f3[0, 1]) == RED and tuple(f3[3, 3]) == RED

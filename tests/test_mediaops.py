@@ -297,3 +297,61 @@ def test_audio_neardup_pairs_from_real_wavs(spark):
     r = got[0]
     assert (r["media_a"], r["media_b"]) == ("orig", "regain")
     assert r["hamming"] == 0
+
+
+def test_gif_neardup_from_real_animations(spark):
+    """End-to-end animated-GIF near-dup: real GIF89a animations through
+    decode_gif_frames -> phash -> the SAME video_neardup_pairs kernel.
+    B re-encodes A's frames with a tiny brightness perturbation (phash
+    within the hamming radius, content-matched despite B's two extra
+    leading frames shifting every index); C is unrelated noise."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.giffn import encode_gif_animation
+    from scrapy_spark.operators.mediaops import (
+        sample_gif_frames,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    # smooth gradient frames: a tiny uniform brightness shift moves few
+    # phash bits (phash thresholds against the block median)
+    base = [
+        (np.add.outer(np.arange(32) * 4, np.arange(32) * 3) % 200 + i * 13)
+        .astype(np.uint8)
+        for i in range(4)
+    ]
+    a_frames = [np.stack([f] * 3, axis=-1) for f in base]
+    b_frames = [
+        np.stack([np.clip(f.astype(np.int16) + 2, 0, 255).astype(np.uint8)] * 3,
+                 axis=-1)
+        for f in base
+    ]
+    extra = [
+        (rng.randint(0, 4, (32, 32, 3)) * 70).astype(np.uint8) for _ in range(2)
+    ]
+    c_frames = [
+        (rng.randint(0, 4, (32, 32, 3)) * 80).astype(np.uint8) for _ in range(4)
+    ]
+    rows = pd.DataFrame(
+        {
+            "media_id": ["ga", "gb", "gc"],
+            "bytes": [
+                encode_gif_animation(a_frames),
+                encode_gif_animation(extra + b_frames),
+                encode_gif_animation(c_frames),
+            ],
+        }
+    )
+    media = spark.createDataFrame(rows)
+    frames = sample_gif_frames(media).filter("decode_ok")
+    per = {r["media_id"]: r["n"] for r in
+           frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {"ga": 4, "gb": 6, "gc": 4}
+    got = video_neardup_pairs(frames, max_hamming=3, min_shared_frames=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["media_a"], r["media_b"]) == ("ga", "gb")
+    assert r["shared_a"] >= 2 and r["shared_b"] >= 2
