@@ -5826,6 +5826,55 @@ def dedup_doc_labels(spark, sf_dir):
 QUERIES["dedup_doc_labels"] = (dedup_doc_labels, _combo_dedup_labels_sql())
 
 
+def _combo_dedup_pairs_sql() -> str:
+    return f"""
+    SELECT doc_a, doc_b,
+           CAST(coalesce(minhash_candidate, FALSE) AS BOOLEAN)
+             AS minhash_candidate,
+           CAST(coalesce(simhash_neardup, FALSE) AS BOOLEAN)
+             AS simhash_neardup,
+           simhash_hamming
+    FROM (
+      SELECT doc_a, doc_b, TRUE AS minhash_candidate
+      FROM {_sub("dedup_minhash_lsh")}
+    ) m
+    FULL OUTER JOIN (
+      SELECT doc_a, doc_b, TRUE AS simhash_neardup,
+             hamming AS simhash_hamming
+      FROM {_sub("dedup_simhash_pairs")}
+    ) s USING (doc_a, doc_b)
+    """
+
+
+@_q("dedup_pair_methods", None)
+def dedup_pair_methods(spark, sf_dir):
+    """COMBO (pairs grain): the two text near-dup PAIR generators side by
+    side — MinHash+LSH band-collision candidates FULL OUTER the
+    Manku-style banded-simhash verified pairs (hamming <= 3 via the
+    shared banded-hamming kernel). One row per (doc_a, doc_b) flagged by
+    which method surfaced it; simhash rows carry the exact hamming. The
+    disagreement surface is the point: MinHash catches shingle-level
+    overlap simhash's global fingerprint misses, simhash catches
+    small-perturbation near-dups whose shingle sets drifted."""
+    m = QUERIES["dedup_minhash_lsh"][0](spark, sf_dir).withColumn(
+        "minhash_candidate", F.lit(True)
+    )
+    s = (
+        QUERIES["dedup_simhash_pairs"][0](spark, sf_dir)
+        .withColumnRenamed("hamming", "simhash_hamming")
+        .withColumn("simhash_neardup", F.lit(True))
+    )
+    return m.join(s, ["doc_a", "doc_b"], "full").select(
+        "doc_a", "doc_b",
+        F.coalesce("minhash_candidate", F.lit(False)).alias("minhash_candidate"),
+        F.coalesce("simhash_neardup", F.lit(False)).alias("simhash_neardup"),
+        "simhash_hamming",
+    )
+
+
+QUERIES["dedup_pair_methods"] = (dedup_pair_methods, _combo_dedup_pairs_sql())
+
+
 def _combo_multimodal_sql() -> str:
     return f"""
     SELECT b.doc_id, b.n_bytes, b.digest,
@@ -5902,7 +5951,10 @@ DRIVER_QUERY_NAMES: list[str] = [
     "so3_keyword_merge_cap",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # r7 swap: dedup_minhash_lsh rides inside dedup_pair_methods (FULL
+    # OUTER with the banded-simhash verified pairs) so both pair
+    # generators stay driver-hash-checked in one 50-cap slot
+    "dedup_pair_methods",
     "dedup_minhash_components",
     "dedup_doc_labels",
     "ann_topk_methods",
