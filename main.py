@@ -346,6 +346,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     default="cover",
                     help="cover = crop to fill the bucket (default); "
                     "fit = letterbox onto a black canvas, no content loss")
+    ib.add_argument("--apply-orientation", dest="apply_orientation",
+                    action="store_true",
+                    help="honor the EXIF orientation tag on JPEGs before "
+                    "bucket choice + resize (forces decode-driven dims: "
+                    "the 90-degree family transposes the display aspect)")
     ib.add_argument("--master", default=None)
 
     ex = sub.add_parser(
@@ -854,10 +859,14 @@ def main(argv: list[str] | None = None) -> int:
                 from scrapy_spark.operators.imageops import resize_to_bucket
 
                 if full is not None:  # stored w/h drive the bucket argmin
-                    resized = resize_to_bucket(full, mode=args.resize_mode)
+                    resized = resize_to_bucket(
+                        full, mode=args.resize_mode,
+                        apply_orientation=args.apply_orientation,
+                    )
                 else:  # crawl rows: bucket from decoded dims, no meta join
                     resized = resize_to_bucket(
-                        imgs, dims_from_decode=True, mode=args.resize_mode
+                        imgs, dims_from_decode=True, mode=args.resize_mode,
+                        apply_orientation=args.apply_orientation,
                     )
                 resized.write.mode("overwrite").parquet(args.resize)
                 back = spark.read.parquet(args.resize)

@@ -805,6 +805,7 @@ def resize_to_bucket(
     ladder: tuple[tuple[int, int], ...] = ASPECT_LADDER,
     dims_from_decode: bool = False,
     mode: str = "cover",
+    apply_orientation: bool = False,
 ) -> DataFrame:
     """Bucket-resolution training prep (the step after
     :func:`aspect_bucket_assign` in the NovelAI/SDXL recipe): per image,
@@ -828,10 +829,18 @@ def resize_to_bucket(
 
     ``mode="fit"`` letterboxes instead (resize to fit, centered on a black
     canvas — the no-content-loss variant some captioning pipelines want);
-    crop_x/crop_y then report the PAD offset of the pasted image."""
+    crop_x/crop_y then report the PAD offset of the pasted image.
+
+    ``apply_orientation=True`` honors the EXIF orientation tag on JPEG
+    rows (exiffn.apply_exif_orientation) BEFORE bucket choice and resize:
+    the 90-degree family (5-8) transposes display dims, so a stored-dims
+    bucket would letterbox/crop the wrong axis. It therefore forces the
+    dims_from_decode path — the bucket comes from the ORIENTED pixels."""
     from ..functions.imagefn import encode_png
 
     assert mode in ("cover", "fit"), mode
+    if apply_orientation:
+        dims_from_decode = True
     if dims_from_decode:
         # -1 sentinel, not NULL: a None in a pandas int column silently
         # becomes float64 (CLAUDE.md gotcha)
@@ -861,6 +870,17 @@ def resize_to_bucket(
                 }
                 try:
                     px = decode_image(bytes(row.bytes), row.fmt)
+                    if apply_orientation and row.fmt == "jpeg":
+                        from ..functions.exiffn import (
+                            apply_exif_orientation,
+                            extract_jpeg_exif,
+                        )
+
+                        exif = extract_jpeg_exif(bytes(row.bytes))
+                        if exif and exif.get("orientation"):
+                            px = apply_exif_orientation(
+                                px, exif["orientation"]
+                            )
                     h, w = px.shape[:2]
                     if bw < 0:  # dims_from_decode: bucket from actual pixels
                         a = py_aspect_bucket_assign(
@@ -886,12 +906,16 @@ def resize_to_bucket(
     return src.mapInPandas(run, schema=BUCKET_RESIZE_SCHEMA)
 
 
-def py_resize_to_bucket(rows, ladder=ASPECT_LADDER, mode="cover") -> list[dict]:
+def py_resize_to_bucket(
+    rows, ladder=ASPECT_LADDER, mode="cover", apply_orientation=False
+) -> list[dict]:
     """Sequential twin of :func:`resize_to_bucket`: Fraction-exact bucket
     argmin (py_aspect_bucket_assign) + the SAME shared geometry / codec
     functions — the bytes-parity discipline (oracle and operator share the
     deterministic from-scratch encoders; what the twin independently pins
-    is the assignment and the plumbing around them)."""
+    is the assignment and the plumbing around them). apply_orientation
+    mirrors the operator: decode + EXIF-orient first, bucket from the
+    oriented dims."""
     from ..functions.imagefn import encode_png
 
     meta = [{"image_id": r["image_id"], "w": r["w"], "h": r["h"]} for r in rows]
@@ -906,7 +930,22 @@ def py_resize_to_bucket(rows, ladder=ASPECT_LADDER, mode="cover") -> list[dict]:
         }
         try:
             px = decode_image(bytes(r["bytes"]), r["fmt"])
+            if apply_orientation and r["fmt"] == "jpeg":
+                from ..functions.exiffn import (
+                    apply_exif_orientation,
+                    extract_jpeg_exif,
+                )
+
+                exif = extract_jpeg_exif(bytes(r["bytes"]))
+                if exif and exif.get("orientation"):
+                    px = apply_exif_orientation(px, exif["orientation"])
             h, w = px.shape[:2]
+            if apply_orientation:
+                a2 = py_aspect_bucket_assign(
+                    [{"image_id": "", "w": w, "h": h}], ladder
+                )[0]
+                bw, bh = a2["bucket_w"], a2["bucket_h"]
+                rec.update(bucket_w=bw, bucket_h=bh)
             sw, sh, cx, cy, outpx = _prep_pixels(px, bw, bh, mode)
             rec.update(
                 src_w=w, src_h=h, scaled_w=sw, scaled_h=sh,

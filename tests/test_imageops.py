@@ -680,3 +680,36 @@ def test_jpeg_quality_meta_and_funnel_arm(spark):
 
     with pytest.raises(ValueError):
         image_caption_filter(df, min_jpeg_quality=50)
+
+
+def test_resize_to_bucket_apply_orientation(spark):
+    """EXIF orientation 6 transposes the display aspect: a stored-portrait
+    JPEG buckets as LANDSCAPE once oriented. Operator == sequential twin
+    byte-for-byte, and the oriented bucket differs from the naive one."""
+    import numpy as np
+    import pandas as pd
+
+    from scrapy_spark.functions.exiffn import build_exif, insert_exif
+    from scrapy_spark.functions.jpegfn import encode_jpeg
+    from scrapy_spark.operators.imageops import (
+        py_resize_to_bucket,
+        resize_to_bucket,
+    )
+
+    rng = np.random.RandomState(7)
+    # stored 96h x 64w (portrait); orientation 6 displays it 64h x 96w
+    px = (rng.rand(96, 64, 3) * 255).astype(np.uint8)
+    b = insert_exif(encode_jpeg(px, quality=95), build_exif(orientation=6))
+    rows = [{"image_id": "ori6", "bytes": b, "w": 64, "h": 96, "fmt": "jpeg"}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plain = resize_to_bucket(df).collect()[0]
+    oriented = resize_to_bucket(df, apply_orientation=True).collect()[0]
+    # portrait bucket vs landscape bucket
+    assert plain["bucket_w"] < plain["bucket_h"]
+    assert oriented["bucket_w"] > oriented["bucket_h"]
+    assert (oriented["src_w"], oriented["src_h"]) == (96, 64)
+    twin = py_resize_to_bucket(rows, apply_orientation=True)[0]
+    for k in ("bucket_w", "bucket_h", "src_w", "src_h", "scaled_w",
+              "scaled_h", "crop_x", "crop_y"):
+        assert oriented[k] == twin[k], (k, oriented[k], twin[k])
+    assert bytes(oriented["resized"]) == bytes(twin["resized"])
