@@ -880,7 +880,19 @@ def main(argv: list[str] | None = None) -> int:
                 summary["resized"] = counts["total"] - counts["failed"]
                 summary["resize_failed"] = counts["failed"]
                 summary["resize_out"] = args.resize
-            if full is not None:
+            if back is not None and args.apply_orientation:
+                # oriented resize: stored dims can disagree with the
+                # buckets actually WRITTEN (orientation 5-8 transposes
+                # the display aspect) — report from the resize output so
+                # the summary matches the dataset on disk
+                assigned = back.filter(F.col("decode_error").isNull()).select(
+                    "image_id",
+                    F.col("src_w").alias("w"),
+                    F.col("src_h").alias("h"),
+                    "bucket_w",
+                    "bucket_h",
+                )
+            elif full is not None:
                 assigned = aspect_bucket_assign(
                     full.select("image_id", "w", "h")
                 )

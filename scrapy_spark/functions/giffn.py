@@ -257,6 +257,39 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def _parse_image_block(
+    data: bytes, pos: int, gct: np.ndarray | None
+) -> tuple[np.ndarray, int, int, np.ndarray, int]:
+    """Parse ONE image descriptor at ``data[pos] == 0x2C``: local color
+    table, LZW sub-block concatenation, decode, deinterlace. Returns
+    (palette-index array (ih, iw), ix, iy, color table, next pos) — the
+    single implementation behind both the still decoder (first frame) and
+    the animation compositor."""
+    ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    pos += 10
+    lct = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if lct is None:
+        raise ValueError("GIF without a color table")
+    min_code_size = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while data[pos] != 0:
+        ln = data[pos]
+        lzw += data[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
+    if iflags & 0x40:  # deinterlace: stored row k is display row order[k]
+        deinter = np.empty_like(idx)
+        deinter[_interlace_order(ih)] = idx
+        idx = deinter
+    return idx, ix, iy, lct, pos
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF87a/89a bytes -> uint8 RGB (h, w, 3). Single-image, interlaced or
     sequential, global or local color table; 89a extension blocks are
@@ -278,30 +311,8 @@ def decode_gif(data: bytes) -> np.ndarray:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-            pos += 10
-            lct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                lct = np.frombuffer(
-                    data[pos : pos + 3 * n], dtype=np.uint8
-                ).reshape(n, 3)
-                pos += 3 * n
-            if lct is None:
-                raise ValueError("GIF without a color table")
-            min_code_size = data[pos]
-            pos += 1
-            lzw = bytearray()
-            while data[pos] != 0:
-                ln = data[pos]
-                lzw += data[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
-            if iflags & 0x40:  # deinterlace: stored row k is display row order[k]
-                deinter = np.empty_like(idx)
-                deinter[_interlace_order(ih)] = idx
-                idx = deinter
+            idx, ix, iy, lct, pos = _parse_image_block(data, pos, gct)
+            ih, iw = idx.shape
             img = lct[np.clip(idx, 0, len(lct) - 1)].reshape(ih, iw, 3)
             if (iw, ih) != (w, h) or ix or iy:
                 canvas = np.zeros((h, w, 3), dtype=np.uint8)
@@ -388,8 +399,12 @@ def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
       was composited onto;
     - sub-rectangle frames composite at (left, top), interlaced or not.
 
-    Still images (or animations with one frame) return one frame; the
-    first-frame view equals :func:`decode_gif` on single-image files."""
+    Still images (or animations with one frame) return one frame. The
+    first-frame view equals :func:`decode_gif` for FULL-FRAME OPAQUE
+    single-image files (the still contract: zero-filled canvas, no
+    transparency); a sub-rect or transparent first frame composites over
+    the background color here — the animation semantics — so the two
+    views legitimately differ on such files."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     w, h, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -424,32 +439,8 @@ def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:
-            ix, iy, iw, ih, iflags = struct.unpack(
-                "<HHHHB", data[pos + 1 : pos + 10]
-            )
-            pos += 10
-            lct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                lct = np.frombuffer(
-                    data[pos : pos + 3 * n], dtype=np.uint8
-                ).reshape(n, 3)
-                pos += 3 * n
-            if lct is None:
-                raise ValueError("GIF without a color table")
-            min_code_size = data[pos]
-            pos += 1
-            lzw = bytearray()
-            while data[pos] != 0:
-                ln = data[pos]
-                lzw += data[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
-            if iflags & 0x40:
-                deinter = np.empty_like(idx)
-                deinter[_interlace_order(ih)] = idx
-                idx = deinter
+            idx, ix, iy, lct, pos = _parse_image_block(data, pos, gct)
+            ih, iw = idx.shape
             prev = canvas.copy() if disposal == 3 else None
             rect = canvas[iy : iy + ih, ix : ix + iw]
             img = lct[np.clip(idx, 0, len(lct) - 1)]

@@ -912,6 +912,16 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8"
 
 
+# all 100 IJG-scaled luma tables, row i = quality 100 - i (natural order),
+# built once: estimate_jpeg_quality runs per image row at funnel scale
+_IJG_LUMA_CANDIDATES = np.stack(
+    [
+        _quality_tables(q)[0].reshape(-1).astype(np.int64)
+        for q in range(100, 0, -1)
+    ]
+)
+
+
 def estimate_jpeg_quality(data: bytes) -> tuple[int | None, bool]:
     """Invert the libjpeg/IJG quality scaling from the file's luma DQT —
     the standard curation signal (drop re-encoded low-quality images;
@@ -968,18 +978,14 @@ def estimate_jpeg_quality(data: bytes) -> tuple[int | None, bool]:
         pos += seglen
     if tbl is None:
         return None, False
-    # DQT is zigzag order; compare in the natural domain
+    # DQT is zigzag order; compare in the natural domain against the
+    # precomputed (100, 64) candidate matrix: one vectorized L1 per call,
+    # d == 0 <=> exact table match, ties resolve to the HIGHEST quality
     nat = np.zeros(64, dtype=np.int64)
     nat[ZIGZAG] = tbl
-    best_q, best_d = None, None
-    for q in range(100, 0, -1):
-        cand = _quality_tables(q)[0].reshape(-1).astype(np.int64)
-        if np.array_equal(cand, nat):
-            return q, True
-        d = int(np.abs(cand - nat).sum())
-        if best_d is None or d < best_d:
-            best_q, best_d = q, d
-    return best_q, False
+    dists = np.abs(_IJG_LUMA_CANDIDATES - nat).sum(axis=1)
+    i = int(np.argmin(dists))  # rows ordered q=100..1; argmin takes first
+    return 100 - i, bool(dists[i] == 0)
 
 
 def _find_scan_end(data: bytes, pos: int) -> int:

@@ -953,5 +953,9 @@ def py_resize_to_bucket(
             )
         except (NotImplementedError, ValueError) as exc:
             rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+            if apply_orientation:
+                # mirror the operator's forced dims_from_decode error
+                # path: no pixels -> no bucket (twin-exact discipline)
+                rec["bucket_w"] = rec["bucket_h"] = None
         out.append(rec)
     return out
