@@ -1166,6 +1166,12 @@ _QUANT_SQL = """
 """
 
 
+# fixed embedding width of the testdata corpus — passed into the ANN
+# operators so Lloyd updates can run as single wide hash aggregations
+# (operators/ann.ivf_centroids / pq_codebook_update dims fast path)
+_EMBED_DIMS = 64
+
+
 def _spark_quantized(spark, sf_dir):
     """Embeddings quantized to integer milli-units: dot products become exact
     bigint arithmetic — order-independent, engine-portable."""
@@ -1544,6 +1550,42 @@ def _copurchase_edges(spark, sf_dir):
     )
 
 
+def _copurchase_edges_long(spark, sf_dir):
+    """The same bipartite co-purchase edge set with nodes encoded as LONGS
+    (customer c -> 2c, part p -> 2p+1) instead of 'c{c}'/'p{p}' strings.
+
+    PageRank/HITS recurrences are label-oblivious (pure sums/joins on the
+    node key, no label-dependent tie-break anywhere), so running the
+    iteration loops on 8-byte keys and mapping back to the canonical node
+    STRING at output (:func:`_node_str`) is value-identical to running them
+    on strings — while every per-iteration join/groupBy shuffles 8-byte
+    keys instead of ~8-char strings. Measured at sf0.1: the edge
+    materialize+loop dropped ~2x (OPTIMIZATION_r08.md). Any consumer that
+    TIE-BREAKS on the node id (w7's topk) must map to strings FIRST."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+        )
+    )
+
+
+def _node_str(col: str = "node"):
+    """Map a long-encoded co-purchase node id back to its canonical string
+    ('c{custkey}' for even ids, 'p{partkey}' for odd) — the exact strings
+    _copurchase_edges and the DuckDB oracles emit."""
+    return F.expr(
+        f"CASE WHEN {col} % 2 = 0"
+        f" THEN concat('c', CAST({col} div 2 AS STRING))"
+        f" ELSE concat('p', CAST(({col} - 1) div 2 AS STRING)) END"
+    )
+
+
 def _pagerank_sql(iters: int = 5, scale: int = 1_000_000, d: int = 85) -> str:
     """Unrolled fixed-iteration fixed-point PageRank as chained CTEs — the
     DuckDB twin of operators/linkgraph.pagerank_exact (all-integer
@@ -1636,10 +1678,16 @@ def pagerank_copurchase(spark, sf_dir):
     Uses the FIXED-POINT variant (linkgraph.pagerank_exact): all-integer
     recurrence, hash-exact against the unrolled DuckDB CTE oracle. The float
     twin (linkgraph.pagerank) is verified against numpy in
-    tests/test_linkgraph.py."""
+    tests/test_linkgraph.py.
+
+    The loop runs on LONG-encoded nodes (label-oblivious recurrence, see
+    _copurchase_edges_long) and maps back to the canonical node strings at
+    output — value-identical, ~2x less per-iteration shuffle weight."""
     from .operators.linkgraph import pagerank_exact
 
-    return pagerank_exact(_copurchase_edges(spark, sf_dir), iterations=5)
+    return pagerank_exact(
+        _copurchase_edges_long(spark, sf_dir), iterations=5
+    ).select(_node_str().alias("node"), "rank")
 
 
 @_q(
@@ -2509,10 +2557,15 @@ def sessionize_events(spark, sf_dir):
 def w7_top_by_rank(spark, sf_dir):
     """Top-k by computed metric (W7, link_graph.py:366-397): the two-phase
     top-k over the fixed-point PageRank result — W7 as a driver-checked
-    composition rather than only a unit-tested operator."""
+    composition rather than only a unit-tested operator.
+
+    The node STRING is the tie-break key, so the long->string mapping is
+    applied BEFORE top_by (string order != numeric order)."""
     from .operators.linkgraph import pagerank_exact, top_by
 
-    ranks = pagerank_exact(_copurchase_edges(spark, sf_dir), iterations=5)
+    ranks = pagerank_exact(
+        _copurchase_edges_long(spark, sf_dir), iterations=5
+    ).select(_node_str().alias("node"), "rank")
     return top_by(ranks, "rank", 10)
 
 
@@ -2524,10 +2577,14 @@ def hits_copurchase(spark, sf_dir):
     Uses the FIXED-POINT variant (linkgraph.hits_exact): scores re-quantize
     to integer millis after each L2 normalization so every sum is exact and
     the unrolled DuckDB CTE oracle hash-matches. The float twin
-    (linkgraph.hits) is verified against numpy in tests/test_linkgraph.py."""
+    (linkgraph.hits) is verified against numpy in tests/test_linkgraph.py.
+
+    Long-encoded node loop + output mapping, as in pagerank_copurchase."""
     from .operators.linkgraph import hits_exact
 
-    return hits_exact(_copurchase_edges(spark, sf_dir), iterations=5)
+    return hits_exact(
+        _copurchase_edges_long(spark, sf_dir), iterations=5
+    ).select(_node_str().alias("node"), "hub", "authority")
 
 
 @_q(
@@ -2790,7 +2847,7 @@ def ann_ivf_topk(spark, sf_dir):
 
     return ivf_topk(
         _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
-        n_clusters=8, iters=2,
+        n_clusters=8, iters=2, dims=_EMBED_DIMS,
     )
 
 
@@ -2840,7 +2897,8 @@ def embed_diversity_sample(spark, sf_dir):
     from scrapy_spark.operators.ann import diversity_sample
 
     return diversity_sample(
-        _spark_quantized(spark, sf_dir), pct=20, n_clusters=8, iters=2
+        _spark_quantized(spark, sf_dir), pct=20, n_clusters=8, iters=2,
+        dims=_EMBED_DIMS,
     )
 
 
@@ -3141,7 +3199,7 @@ def ann_ivf_recall(spark, sf_dir):
 
     return ivf_recall(
         _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
-        n_clusters=8, iters=2, n_probe=2,
+        n_clusters=8, iters=2, n_probe=2, dims=_EMBED_DIMS,
     )
 
 
@@ -3308,7 +3366,10 @@ def ann_ivfpq_topk(spark, sf_dir):
     twin."""
     from scrapy_spark.operators.ann import ivfpq_topk
 
-    return ivfpq_topk(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+    return ivfpq_topk(
+        _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
+        dims=_EMBED_DIMS,
+    )
 
 
 @_q("ann_ivfpq_recall", _ivfpq_recall_sql())
@@ -3318,7 +3379,10 @@ def ann_ivfpq_recall(spark, sf_dir):
     reorders within probed lists), asserted in tests/test_ann.py."""
     from scrapy_spark.operators.ann import ivfpq_recall
 
-    return ivfpq_recall(_spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3)
+    return ivfpq_recall(
+        _spark_quantized(spark, sf_dir), F.col("vec_id") < 20, 3,
+        dims=_EMBED_DIMS,
+    )
 
 
 def _mining_sql() -> str:
@@ -5234,19 +5298,27 @@ def bm25_topk(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
-    docs = d.select("doc_id", toks.alias("toks"))
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    tot = dl.agg(
+    # ONE pass over the raw text: doc length and the query-term-filtered
+    # token array come out of the same projection, and the tiny result
+    # (two small columns — qtoks is ~empty for selective vocabularies) is
+    # lineage-cut. Without the cut the three consumers below (corpus
+    # stats, tf explode, per-doc dl join) each re-scan and re-split the
+    # full text — the dominant cost (guide §2.3 "project before", §1).
+    slim = _cut(
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.filter(toks, lambda tk: tk.isin(*_BM25_TERMS)).alias("qtoks"),
+        ),
+        name="bm25-slim",
+    )
+    dl = slim.select("doc_id", "dl")
+    tot = slim.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr("sum(dl) div count(*)").cast("long").alias("avgdl"),
     )
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
-    occ = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.col("toks"), lambda tk: tk.isin(*_BM25_TERMS))
-        ).alias("tok"),
-    )
+    occ = slim.select("doc_id", F.explode("qtoks").alias("tok"))
     tf = occ.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("dfq"))
     term_score = F.expr(
@@ -5411,7 +5483,11 @@ def _bpe_spark_chain(spark, sf_dir):
         F.lit(sep),
     )
     for i in range(1, _BPE_K + 1):
-        v = _cut(v)
+        # lazy cuts: the broadcast build of m below is the first consumer
+        # and materializes the checkpoint blocks — no separate eager job
+        # per cut (was 3 eager jobs/iteration; the fixed K=8 stays far
+        # below the unbounded broadcast-loop pathology, hits_exact rule)
+        v = _cut(v, eager=False)
         syms = F.filter(F.split("s", sep), lambda x: x != F.lit(""))
         pairs_arr = F.transform(
             F.sequence(F.lit(1), F.size(syms) - 1),
@@ -5425,18 +5501,20 @@ def _bpe_spark_chain(spark, sf_dir):
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        p = _cut(p)
-        mx = p.agg(F.max("cnt").alias("mx"))
-        m = (
-            p.crossJoin(F.broadcast(mx))
-            .filter(F.col("cnt") == F.col("mx"))
-            .agg(
-                F.min("pair").alias("pair"),
-                F.max("cnt").cast("long").alias("cnt"),
-            )
-            .select(F.lit(i).cast("long").alias("rank"), "pair", "cnt")
+        # argmax with the (cnt desc, pair asc) tie-break as ONE scalar
+        # aggregate: min over struct(-cnt, pair) is the identical total
+        # order (bigint negation exact), replacing the previous
+        # cut + max-broadcast + filter + second aggregate
+        m = p.agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("pair").alias("pr"))
+            ).alias("_b")
+        ).select(
+            F.lit(i).cast("long").alias("rank"),
+            F.col("_b.pr").alias("pair"),
+            (-F.col("_b.nc")).cast("long").alias("cnt"),
         )
-        m = _cut(m)
+        m = _cut(m, eager=False)
         merges.append(m)
         v = v.crossJoin(F.broadcast(m)).select(
             "word", "freq", F.replace("s", find, repl).alias("s")
@@ -6013,8 +6091,10 @@ def page_importance(spark, sf_dir):
     degrees, plus degree centrality (in+out)/(2(n-1)) — one joined result
     per node, the reference's importance_scores table as a DataFrame.
     Local-sweep query (driver list is capped at 50; members are all
-    driver-verified)."""
-    edges = _cut(_copurchase_edges(spark, sf_dir), name="q-edges")
+    driver-verified). Long-encoded node ids through the loops AND the
+    joins (joins on 8-byte keys); the canonical node string is produced
+    once at output — an injective map, so join results are unchanged."""
+    edges = _cut(_copurchase_edges_long(spark, sf_dir), name="q-edges")
     from scrapy_spark.operators.linkgraph import (
         degree_stats,
         hits_exact,
@@ -6039,7 +6119,8 @@ def page_importance(spark, sf_dir):
         .join(deg, "node")
         .crossJoin(F.broadcast(n))
         .select(
-            "node", "pagerank_score", "hub_score", "authority_score",
+            _node_str().alias("node"),
+            "pagerank_score", "hub_score", "authority_score",
             "inlink_count", "outlink_count",
             F.round(
                 (F.col("inlink_count") + F.col("outlink_count"))

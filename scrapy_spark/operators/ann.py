@@ -132,6 +132,21 @@ def ivf_assign(
         _dot("s", "s").alias("nb"),
     )
     cos = _cosine()
+    if n_probe == 1:
+        # argmin as ONE hash aggregation instead of a window: min over
+        # struct(-cos, cid) is the identical total order (max cos, tie cid
+        # asc; float negation is exact), and partial map-side aggregation
+        # shuffles one row per vector instead of n_clusters rows + a sort.
+        # q is constant within the (vec_id) group, so first() is
+        # value-deterministic.
+        best = (
+            pairs.select(
+                "vec_id", "q", F.struct((-cos).alias("nc"), "cid").alias("_b")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("_b").alias("_b"), F.first("q").alias("q"))
+        )
+        return best.select("vec_id", "q", F.col("_b.cid").alias("cid"))
     w = Window.partitionBy("vec_id").orderBy(cos.desc(), F.col("cid").asc())
     return (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -140,9 +155,19 @@ def ivf_assign(
     )
 
 
-def ivf_centroids(assigned: DataFrame) -> DataFrame:
+def ivf_centroids(assigned: DataFrame, dims: int | None = None) -> DataFrame:
     """Lloyd update with exact arithmetic: elementwise bigint sums of the
-    assigned vectors (posexplode -> groupBy(cid, dim) -> rebuild ordered)."""
+    assigned vectors. With ``dims`` known (the callers' fixed embedding
+    width), the update is ONE hash aggregation of ``dims`` per-element sums
+    — no 64x posexplode and one shuffle instead of two; identical bigint
+    values. ``dims=None`` keeps the width-agnostic two-step shape
+    (posexplode -> groupBy(cid, dim) -> rebuild ordered)."""
+    if dims is not None:
+        return assigned.groupBy("cid").agg(
+            F.array(
+                *[F.sum(F.col("q").getItem(d)) for d in range(dims)]
+            ).alias("s")
+        )
     sums = (
         assigned.select("cid", F.posexplode("q").alias("dim", "val"))
         .groupBy("cid", "dim")
@@ -155,7 +180,10 @@ def ivf_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def ivf_train(vecs: DataFrame, n_clusters: int = 8, iters: int = 2) -> DataFrame:
+def ivf_train(
+    vecs: DataFrame, n_clusters: int = 8, iters: int = 2,
+    dims: int | None = None,
+) -> DataFrame:
     """Fixed-iteration integer-Lloyd training: seeds are the lowest
     vec_ids, assignments use 6dp-rounded cosine with centroid-id
     tie-breaks, updates are exact integer sums — deterministic and
@@ -166,7 +194,7 @@ def ivf_train(vecs: DataFrame, n_clusters: int = 8, iters: int = 2) -> DataFrame
         F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
     )
     for _ in range(iters):
-        cent = ivf_centroids(ivf_assign(vecs, cent))
+        cent = ivf_centroids(ivf_assign(vecs, cent), dims=dims)
     return _cut(cent, name="ivf-centroids")
 
 
@@ -177,6 +205,7 @@ def ivf_topk(
     n_clusters: int = 8,
     iters: int = 2,
     n_probe: int = 1,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF ANN (the second scale path next to sign-LSH): fixed-iteration
     integer-Lloyd clustering, then neighbors searched only inside the
@@ -184,7 +213,7 @@ def ivf_topk(
     lowest vec_ids, assignments use rounded cosine with id tie-breaks,
     centroid updates are exact integer sums — hash-identical to the
     unrolled DuckDB CTE oracle."""
-    cent = ivf_train(vecs, n_clusters=n_clusters, iters=iters)
+    cent = ivf_train(vecs, n_clusters=n_clusters, iters=iters, dims=dims)
     assigned = ivf_assign(vecs, cent)
     # queries probe their n_probe nearest lists; candidates stay in their
     # single home list, so each (query, neighbor) pair matches at most once
@@ -210,13 +239,14 @@ def ivf_recall(
     n_clusters: int = 8,
     iters: int = 2,
     n_probe: int = 1,
+    dims: int | None = None,
 ) -> DataFrame:
     """Recall of the IVF variant vs the brute-force baseline — evidences the
     n_probe knob's recall/cost trade (more probed lists -> monotonically
     non-decreasing recall; asserted in tests/test_ann.py)."""
     return _recall_vs_exact(
         brute_force_topk(vecs, query_pred, k),
-        ivf_topk(vecs, query_pred, k, n_clusters, iters, n_probe),
+        ivf_topk(vecs, query_pred, k, n_clusters, iters, n_probe, dims=dims),
     )
 
 
@@ -226,6 +256,7 @@ def diversity_sample(
     n_clusters: int | None = None,
     target_cluster_size: int = 1024,
     iters: int = 2,
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-family diversity sampling (Abbas et al. 2023): cluster the
     embedding corpus with the integer-Lloyd trainer, then keep ceil(pct%)
@@ -251,7 +282,7 @@ def diversity_sample(
     if n_clusters is None:
         n = vecs.count()
         n_clusters = max(2, -(-n // target_cluster_size))
-    cent = ivf_train(vecs, n_clusters=n_clusters, iters=iters)
+    cent = ivf_train(vecs, n_clusters=n_clusters, iters=iters, dims=dims)
     a = ivf_assign(vecs, cent).withColumn(
         "_dk", F.md5(F.concat(F.lit("divs:"), F.col("vec_id").cast("string")))
     )
@@ -312,25 +343,47 @@ def pq_subvectors(vecs: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
 
 def pq_assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Nearest code per (vec_id, m) by exact squared-L2 (tie: cid asc).
-    Codebooks are (m, cid, c) — n_sub x n_codes rows, always broadcast."""
+    Codebooks are (m, cid, c) — n_sub x n_codes rows, always broadcast.
+
+    The argmin runs as ONE hash aggregation (min over struct(d2, cid) — the
+    identical total order on exact bigints) instead of a row_number window:
+    partial map-side aggregation shuffles one row per (vec_id, m) instead
+    of n_codes rows plus a sort. sq is constant within the group, so
+    first() is value-deterministic."""
     pairs = subvecs.join(F.broadcast(codebooks), "m").select(
-        "vec_id", "m", "sq", "cid", _l2("sq", "c").alias("d2")
+        "vec_id",
+        "m",
+        "sq",
+        F.struct(_l2("sq", "c").alias("d2"), F.col("cid")).alias("_b"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
+    best = pairs.groupBy("vec_id", "m").agg(
+        F.min("_b").alias("_b"), F.first("sq").alias("sq")
     )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "sq", "cid")
-    )
+    return best.select("vec_id", "m", "sq", F.col("_b.cid").alias("cid"))
 
 
-def pq_codebook_update(assigned: DataFrame) -> DataFrame:
+def pq_codebook_update(
+    assigned: DataFrame, sub_dim: int | None = None
+) -> DataFrame:
     """Lloyd update: element-wise integer MEAN (sum div count — truncating,
     matching DuckDB's //) of each code's members. Unlike the IVF coarse
     centroids (direction-only sums under cosine), PQ reconstructs absolute
-    positions, so the mean's scale matters."""
+    positions, so the mean's scale matters.
+
+    With ``sub_dim`` known (every production caller — the subspace width is
+    a design constant), the update is ONE hash aggregation of sub_dim
+    element means — no posexplode and one shuffle instead of two; identical
+    integer values. ``sub_dim=None`` keeps the width-agnostic two-step
+    shape."""
+    if sub_dim is not None:
+        return assigned.groupBy("m", "cid").agg(
+            F.array(
+                *[
+                    F.expr(f"sum(sq[{d}]) div count(*)")
+                    for d in range(sub_dim)
+                ]
+            ).alias("c")
+        )
     sums = (
         assigned.select("m", "cid", F.posexplode("sq").alias("dim", "val"))
         .groupBy("m", "cid", "dim")
@@ -343,14 +396,16 @@ def pq_codebook_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebooks(subvecs: DataFrame, n_codes: int, iters: int) -> DataFrame:
+def pq_codebooks(
+    subvecs: DataFrame, n_codes: int, iters: int, sub_dim: int | None = None
+) -> DataFrame:
     """Fixed-iteration integer-Lloyd codebooks per subspace; seeds are the
     sub-vectors of the lowest n_codes vec_ids (deterministic, like IVF)."""
     cb = subvecs.filter(F.col("vec_id") < n_codes).select(
         "m", F.col("vec_id").cast("int").alias("cid"), F.col("sq").alias("c")
     )
     for _ in range(iters):
-        cb = pq_codebook_update(pq_assign(subvecs, cb))
+        cb = pq_codebook_update(pq_assign(subvecs, cb), sub_dim=sub_dim)
     return cb
 
 
@@ -372,7 +427,8 @@ def pq_topk(
     # trained codebooks feed TWO consumers (corpus encoding + query LUT):
     # cut the Lloyd lineage once (plans/materialize) instead of recomputing
     # the full 2-iteration training per consumer
-    cb = _cut(pq_codebooks(sv, n_codes, iters), name="pq-codebooks")
+    cb = _cut(pq_codebooks(sv, n_codes, iters, sub_dim=sub_dim),
+              name="pq-codebooks")
     codes = pq_assign(sv, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "cid"
     )
@@ -445,6 +501,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     pq_iters: int = 2,
     shortlist: int = 30,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the classic sublinear + memory-compressed composition. The
     coarse quantizer (integer-Lloyd posting lists, ivf_assign) restricts
@@ -462,7 +519,7 @@ def ivfpq_topk(
         F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("s")
     )
     for _ in range(coarse_iters):
-        cent = ivf_centroids(ivf_assign(vecs, cent))
+        cent = ivf_centroids(ivf_assign(vecs, cent), dims=dims)
     cent = _cut(cent, name="ivfpq-centroids")  # 2 consumers: home + probes
     home = ivf_assign(vecs, cent).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("lid")
@@ -472,7 +529,8 @@ def ivfpq_topk(
     )
     sv = pq_subvectors(vecs, n_sub, sub_dim)
     # 2 consumers (encoding + LUT) — same cut as pq_topk
-    cb = _cut(pq_codebooks(sv, n_codes, pq_iters), name="ivfpq-codebooks")
+    cb = _cut(pq_codebooks(sv, n_codes, pq_iters, sub_dim=sub_dim),
+              name="ivfpq-codebooks")
     codes = pq_assign(sv, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "cid"
     )

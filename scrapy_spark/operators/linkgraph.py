@@ -460,22 +460,33 @@ def pagerank_exact(
     if bucketed_table is not None:
         bg: _BucketedGraph | None = _BucketedGraph(spark, bucketed_table, None)
         e = bg.src_edges()
-        nodes = nodes_of(e).cache()
-        n = nodes.count()
+        nodes = nodes_of(e)
+        n = None
         out_deg = e.select("src", "out_deg").distinct()
     else:
         edges = _materialize_edges(edges, materialize)
-        nodes = nodes_of(edges).cache()
-        n = nodes.count()
+        nodes = nodes_of(edges)
+        n = None
         out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
         e = edges.join(out_deg, "src")
+    # dangling-ness is a STATIC node property — computed once as a flag on
+    # the node table (one left join) instead of a per-iteration semi-join
+    # against a separate dangling set; n and n_dangling come from ONE count
+    # job over the same cached table (previously two jobs + an anti-join)
+    nodes = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("_ho")),
+        "node",
+        "left",
+    ).select("node", F.col("_ho").isNull().alias("dang")).cache()
+    counts = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),
+    ).first()
+    n, n_dangling = counts["n"], counts["nd"]
+    if bucketed_table is None:
         bg = _bucketize(spark, e, n, None, buckets=buckets)
         e = bg.src_edges() if bg is not None else e.cache()
-    dangling = nodes.join(
-        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).cache()
     t = 100 - damping_pct
-    n_dangling = dangling.count()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     try:
         for it in range(1, iterations + 1):
@@ -497,20 +508,20 @@ def pagerank_exact(
                 dmass = ranks.sparkSession.range(1).select(
                     F.lit(int(scale) * n_dangling).cast("long").alias("_dmass")
                 )
-            elif bg is not None:
-                contribs = bucketed_contribs(spark, bg.src_table, ranks)
-                dmass = ranks.join(dangling, "node", "left_semi").agg(
-                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
-                )
             else:
-                contribs = (
-                    e.join(_rank_side(ranks, n), e.src == ranks.node)
-                    .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
-                    .groupBy("node")
-                    .agg(F.sum("c").alias("contrib"))
-                )
-                dmass = ranks.join(dangling, "node", "left_semi").agg(
-                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dmass")
+                if bg is not None:
+                    contribs = bucketed_contribs(spark, bg.src_table, ranks)
+                else:
+                    contribs = (
+                        e.join(_rank_side(ranks, n), e.src == ranks.node)
+                        .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+                        .groupBy("node")
+                        .agg(F.sum("c").alias("contrib"))
+                    )
+                dmass = ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("dang"), F.col("r"))), F.lit(0)
+                    ).cast("long").alias("_dmass")
                 )
             ranks = (
                 nodes.join(contribs, "node", "left")
@@ -518,6 +529,7 @@ def pagerank_exact(
                 .crossJoin(F.broadcast(dmass))
                 .select(
                     "node",
+                    "dang",
                     F.expr(
                         f"({t} * CAST({scale} AS BIGINT)"
                         f" + {damping_pct} * (_dmass div {n})"
@@ -548,7 +560,6 @@ def pagerank_exact(
     nodes.unpersist()
     if bg is None:
         e.unpersist()
-    dangling.unpersist()
     return out
 
 
