@@ -31,9 +31,20 @@ from ..functions.urls import DENY_EXTENSIONS, canonicalize, clean_seed_url
 from .topk import topk_total_order
 
 # Arrow-vectorized canonicalization (one Python invocation per ~10k-row batch;
-# DataType objects, not DDL strings, so import needs no active session)
-canonicalize_udf = F.pandas_udf(lambda s: s.map(canonicalize), T.StringType())
-clean_seed_udf = F.pandas_udf(lambda s: s.map(clean_seed_url), T.StringType())
+# DataType objects, not DDL strings, so import needs no active session).
+# asNondeterministic: the optimizer otherwise pushes the downstream
+# null/domain/deny filters below the projection and re-evaluates the UDF
+# once per pushed copy — measured FOUR ArrowEvalPython nodes for the one
+# canonicalize call in canonicalize_candidates (every candidate URL
+# canonicalized 4x per generation). Marking it non-deterministic pins a
+# single evaluation (optimization guide §4.4); both functions are in fact
+# pure, so task retries still reproduce identical values.
+canonicalize_udf = F.pandas_udf(
+    lambda s: s.map(canonicalize), T.StringType()
+).asNondeterministic()
+clean_seed_udf = F.pandas_udf(
+    lambda s: s.map(clean_seed_url), T.StringType()
+).asNondeterministic()
 
 _DENY_RLIKE = r"(?i)\.(" + "|".join(DENY_EXTENSIONS) + r")$"
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..plans.oracle import MAX_ATTEMPTS, VALID_CONTENT_TYPES
 
 
-def schema_valid_expr() -> Column:
+def schema_valid_expr(has_bytes: Column | None = None) -> Column:
     """Row-level invariants of a fetch-result row (all JVM-side):
 
     - url present, http(s), and url_hash is exactly xxhash64(url)
@@ -27,6 +27,12 @@ def schema_valid_expr() -> Column:
     - is_valid consistent with (status, content_type)
     - payload bytes present iff an image or PDF document was actually served
     - attempt within the retry policy, rank_in_host a positive rank
+
+    ``has_bytes``: a precomputed boolean column standing in for
+    ``bytes IS NOT NULL``. The crawl loop passes the flag it computed in
+    its single bytes-touching projection so the lineage/gate aggregation
+    never re-reads (and re-decompresses) the payload column; None keeps
+    the self-contained form for direct callers.
     """
     sc = F.col("status_code")
     ct = F.coalesce(F.col("content_type"), F.lit(""))
@@ -34,13 +40,14 @@ def schema_valid_expr() -> Column:
     served_image = (sc == 200) & (
         ct.startswith("image/") | (ct == "application/pdf")
     )
+    hb = has_bytes if has_bytes is not None else F.col("bytes").isNotNull()
     return (
         F.col("url").isNotNull()
         & F.col("url").startswith("http")
         & (F.col("url_hash") == F.xxhash64(F.col("url")))
         & ((sc >= 100) & (sc <= 599))
         & (F.col("is_valid") == recomputed_valid)
-        & (F.col("bytes").isNotNull() == served_image)
+        & (hb == served_image)
         & ((F.col("attempt") >= 1) & (F.col("attempt") <= MAX_ATTEMPTS))
         & (F.col("rank_in_host") >= 1)
     )

@@ -482,6 +482,19 @@ class CrawlJob:
             return GenStats(gen, 0, time.time() - t0)
 
         staged_read = self.catalog.read_files(spark, staged["fetch_results"])
+        # ONE bytes-free scan per generation: every rollup below (seen set,
+        # lineage+schema gate, learned-filter deltas, next-gen candidates,
+        # control-loop deltas) previously re-read the staged parquet files —
+        # and the gate's bytes-IS-NOT-NULL invariant decompressed every
+        # image payload again inside the lineage job. The cached projection
+        # reads the files once, reduces the payload column to the
+        # _has_bytes flag the gate needs, and stays a few MB (bytes
+        # discipline: payloads themselves never enter the block cache).
+        slim = staged_read.select(
+            *[c for c in RESULT_COLS if c != "bytes"],
+            F.col("bytes").isNotNull().alias("_has_bytes"),
+        ).cache()
+        slim.count()  # materialize once before the concurrent consumers
         # transient error classes with attempts left re-enqueue instead of
         # entering the seen set (error taxonomy + per-type retry policy,
         # retry_strategies.py:17-101; validator.py:444-462). error_type was
@@ -496,26 +509,21 @@ class CrawlJob:
         # re-enqueue and revalidation finality consistent by construction.
         transient = ~F.col("is_final")
 
-        staged["url_seen"] = self.catalog.stage(
-            staged_read.filter(
-                ~transient & (F.col("source_type") != "revalidate")
-            ).select(
-                "url_hash",
-                "url",
-                "host",
-                F.lit(gen).alias("generation"),
-                F.pmod(F.col("url_hash"), F.lit(dedup_ops.N_SHARDS)).alias("shard"),
-            ),
-            "url_seen",
-            gen,
-            coalesce=4,
+        seen_rows = slim.filter(
+            ~transient & (F.col("source_type") != "revalidate")
+        ).select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(gen).alias("generation"),
+            F.pmod(F.col("url_hash"), F.lit(dedup_ops.N_SHARDS)).alias("shard"),
         )
         # per-partition lineage: (generation, host_shard=host, stage counts);
         # staged as a DataFrame write — NEVER collected. At the 10^10 design
         # point host cardinality is millions; a per-generation driver
         # materialization here would be on the hot path.
         lineage_df = (
-            staged_read.groupBy("host")
+            slim.groupBy("host")
             .agg(
                 F.count("*").alias("scheduled"),
                 F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("fetched"),
@@ -523,19 +531,94 @@ class CrawlJob:
                 F.sum(
                     F.when(F.col("content_type").startswith("image/"), 1).otherwise(0)
                 ).alias("images"),
-                # interstage schema gate, folded into this job (free):
+                # interstage schema gate, folded into this job (free); the
+                # bytes invariant reads the precomputed flag, not the column
                 F.sum(
-                    F.when(validation_ops.schema_valid_expr(), 1).otherwise(0)
+                    F.when(
+                        validation_ops.schema_valid_expr(F.col("_has_bytes")), 1
+                    ).otherwise(0)
                 ).alias("schema_valid"),
             )
             .withColumn("generation", F.lit(gen))
         )
-        staged["lineage"] = self.catalog.stage(lineage_df, "lineage", gen, coalesce=4)
+        retries = slim.filter(transient).select(
+            F.col("url").alias("raw_url"),
+            "source_url",
+            "source_type",
+            "anchor",
+            "depth",
+            (F.col("attempt") + 1).alias("attempt"),
+        )
+        nxt = (
+            extract_candidates(slim, params.heuristic_mining)
+            .unionByName(retries)
+            .withColumn("generation", F.lit(gen + 1))
+        )
+        # The rollup writes are independent tiny jobs over the cached slim
+        # table; submit them from a small thread pool so their scheduling
+        # latencies overlap (guide §2.6) instead of serializing ~6 job
+        # launches per generation. Each stage() writes its own uuid-named
+        # temp dir, so concurrent staging is safe; failures surface at
+        # .result() below and nothing commits without every table staged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {
+                "url_seen": pool.submit(
+                    self.catalog.stage, seen_rows, "url_seen", gen, 4
+                ),
+                "lineage": pool.submit(
+                    self.catalog.stage, lineage_df, "lineage", gen, 4
+                ),
+                "candidates": pool.submit(
+                    self.catalog.stage, nxt, "candidates", gen, 16
+                ),
+            }
+            if params.learned_filters:
+                from ..operators.frontier import stat_deltas
+
+                sec_delta, pat_delta = stat_deltas(slim)
+                futs["section_stats"] = pool.submit(
+                    self.catalog.stage, sec_delta, "section_stats", gen, 1
+                )
+                futs["pattern_stats"] = pool.submit(
+                    self.catalog.stage, pat_delta, "pattern_stats", gen, 1
+                )
+            if params.rate_control:
+                futs["host_budget"] = pool.submit(
+                    self._rc_stage_update, slim, gen
+                )
+            if params.adaptive_fetch:
+                # per-host rollup delta (last <= WINDOW success latencies /
+                # error types) — the learned-config derivation reads ONLY
+                # these deltas, never raw fetch history
+                futs["adaptive_stats"] = pool.submit(
+                    self.catalog.stage,
+                    adaptive_ops.stats_delta(slim).withColumn(
+                        "generation", F.lit(gen)
+                    ),
+                    "adaptive_stats",
+                    gen,
+                    1,
+                )
+            if params.pagination_guess:
+                futs["pagination_stats"] = pool.submit(
+                    self.catalog.stage,
+                    pagination_ops.pagination_stats_delta(slim).withColumn(
+                        "generation", F.lit(gen)
+                    ),
+                    "pagination_stats",
+                    gen,
+                    1,
+                )
+            for key, f in futs.items():
+                staged[key] = f.result()
 
         # interstage validation gate (interstage_validation.py:46-49;
         # pipeline.py:191,222): per-generation schema pass rate, enforced
         # BEFORE commit — the atomic snapshot means a failing generation
-        # leaves no partial state
+        # leaves no partial state (concurrently staged files above stay
+        # uncommitted orphans, invisible to every manifest reader)
         # scalar from the staged lineage footers/column (pyarrow, no Spark job,
         # no driver-side row materialization)
         n_schema_valid = self.catalog.staged_column_sum(
@@ -561,6 +644,7 @@ class CrawlJob:
             # stage_failed (alerts.py:163-171): the generation's transaction
             # is being abandoned, so the record goes to the file channel —
             # nothing staged here will ever commit
+            slim.unpersist()
             msg = (
                 f"interstage validation gate failed at generation {gen}: "
                 f"{n_schema_valid}/{n_sel} rows schema-valid "
@@ -573,34 +657,8 @@ class CrawlJob:
                 )
             raise ValidationGateError(msg)
 
-        if params.learned_filters:
-            from ..operators.frontier import stat_deltas
-
-            sec_delta, pat_delta = stat_deltas(staged_read)
-            staged["section_stats"] = self.catalog.stage(
-                sec_delta, "section_stats", gen, coalesce=1
-            )
-            staged["pattern_stats"] = self.catalog.stage(
-                pat_delta, "pattern_stats", gen, coalesce=1
-            )
-
-        retries = staged_read.filter(transient).select(
-            F.col("url").alias("raw_url"),
-            "source_url",
-            "source_type",
-            "anchor",
-            "depth",
-            (F.col("attempt") + 1).alias("attempt"),
-        )
-        nxt = (
-            extract_candidates(staged_read, params.heuristic_mining)
-            .unionByName(retries)
-            .withColumn("generation", F.lit(gen + 1))
-        )
-        staged["candidates"] = self.catalog.stage(nxt, "candidates", gen, coalesce=16)
-
         if self.use_bloom:
-            newly_seen = staged_read.filter(
+            newly_seen = slim.filter(
                 ~transient & (F.col("source_type") != "revalidate")
             )
             if self.use_bloom == "cuckoo":
@@ -611,32 +669,6 @@ class CrawlJob:
                 staged["bloom"] = dedup_ops.stage_bloom_delta(
                     spark, self.catalog, newly_seen, gen
                 )
-
-        if params.rate_control:
-            staged["host_budget"] = self._rc_stage_update(staged_read, gen)
-
-        if params.adaptive_fetch:
-            # per-host rollup delta (last <= WINDOW success latencies /
-            # error types) — the learned-config derivation reads ONLY these
-            # deltas, never raw fetch history (learned-filter discipline)
-            staged["adaptive_stats"] = self.catalog.stage(
-                adaptive_ops.stats_delta(staged_read).withColumn(
-                    "generation", F.lit(gen)
-                ),
-                "adaptive_stats",
-                gen,
-                coalesce=1,
-            )
-
-        if params.pagination_guess:
-            staged["pagination_stats"] = self.catalog.stage(
-                pagination_ops.pagination_stats_delta(staged_read).withColumn(
-                    "generation", F.lit(gen)
-                ),
-                "pagination_stats",
-                gen,
-                coalesce=1,
-            )
 
         # alert records (alerts.py:37-181 AlertManager), committed ATOMICALLY
         # with the generation: generation_complete, schema-degradation
@@ -692,6 +724,7 @@ class CrawlJob:
         self.catalog.commit(
             gen, staged, stats={"generation": gen, "scheduled": n_sel}
         )
+        slim.unpersist()
 
         # adaptive_stats retention (round-6 verdict #2): on a fixed,
         # generation-keyed cadence (deterministic under resume — a resumed

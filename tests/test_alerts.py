@@ -79,7 +79,9 @@ def test_validation_gate_stage_failed(spark, tmp_path, monkeypatch):
     is abandoned), and nothing is committed."""
     from scrapy_spark.operators import validation as validation_ops
 
-    monkeypatch.setattr(validation_ops, "schema_valid_expr", lambda: F.lit(False))
+    monkeypatch.setattr(
+        validation_ops, "schema_valid_expr", lambda *a, **k: F.lit(False)
+    )
     wd = str(tmp_path / "wd")
     job = CrawlJob(
         spark, CFG, CrawlParams(max_generations=2, per_host_budget=8), wd,
