@@ -73,15 +73,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table is too small to split that wide on its own.
 
     A parquet file under Spark's 4 MB open-cost floor scans as ~size/4MB
-    tasks — ONE for this corpus — so every tokenizer explode, regex
-    family and shingle build serialized on a single core while the rest
-    idled (measured 2x on academic_classification at local[32]). The
-    round-robin repartition is value-neutral here: every registered query
-    is order-insensitive or totally ordered, and Spark's
-    sort-before-repartition keeps the row->partition assignment
-    deterministic under task retry. The widening is a no-op once the
-    table reaches cores x 4 MB — at production scale the scan is already
-    wide, so this cannot fire there."""
+    tasks — ONE for this corpus — so scan-stage projection CPU serializes
+    on a single core while the rest idle. Use this ONLY where the heavy
+    work is in the scan-stage projection itself (the academic regex
+    families: A/B-measured 2.06s -> 0.91s warm at local[32]); queries
+    whose heavy work happens after their own shuffle (explode + groupBy
+    shapes) measurably LOSE the extra exchange cost and keep plain
+    load(). The round-robin repartition is value-neutral (every
+    registered query is order-insensitive or totally ordered;
+    sort-before-repartition keeps row placement deterministic under
+    retry) and a no-op once the table reaches cores x 4 MB — at
+    production scale the scan is already wide, so this cannot fire
+    there."""
     df = load(spark, sf_dir, "documents")
     try:
         size = _path_bytes(f"{sf_dir}/documents.parquet")
@@ -137,7 +140,7 @@ def a1_group_counts(spark, sf_dir):
 )
 def a2_dedup_stats(spark, sf_dir):
     """Dedup checked/new/duplicate-rate stats (A2, url_deduplication.py:176-189)."""
-    return _docs(spark, sf_dir).agg(
+    return load(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_unique"),
         F.round(
@@ -193,7 +196,7 @@ def a5_source_breakdown(spark, sf_dir):
     """Discovery-source breakdown with share-of-total (A5,
     discovery_spider.py:519-522,901-905). The global window runs over the
     already-aggregated result (<= #distinct sources rows)."""
-    g = _docs(spark, sf_dir).groupBy("source").agg(
+    g = load(spark, sf_dir, "documents").groupBy("source").agg(
         F.count("*").alias("n")
     )
     total = F.sum("n").over(Window.partitionBy())
@@ -242,7 +245,7 @@ def freshness_staleness(spark, sf_dir):
 )
 def a6_section_stats(spark, sf_dir):
     """Per-section running aggregates (A6, adaptive_depth.py:35-63)."""
-    return _docs(spark, sf_dir).groupBy("source").agg(
+    return load(spark, sf_dir, "documents").groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.max("n_chars").alias("max_chars"),
@@ -263,7 +266,7 @@ def a6_section_stats(spark, sf_dir):
 )
 def a7_source_success_rate(spark, sf_dir):
     """Pattern/source success rates (A7, feedback.py:18-38)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     ok = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
     return d.groupBy("source").agg(
         F.count("*").alias("n"),
@@ -310,7 +313,7 @@ def a14_hourly_success_rate(spark, sf_dir):
 )
 def a14_top_keywords(spark, sf_dir):
     """Top-keywords unnest+count template (A14, datalake_schema.py:206-214)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
@@ -654,7 +657,7 @@ def j2_importance_join(spark, sf_dir):
 def j7_robots_prefix_filter(spark, sf_dir):
     """robots.txt prefix-disallow enforcement (J7) as a broadcast-join+
     exists(startswith) filter."""
-    d = _docs(spark, sf_dir).withColumn(
+    d = load(spark, sf_dir, "documents").withColumn(
         "path",
         F.concat(F.lit("/docs/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")),
     )
@@ -694,7 +697,7 @@ def so1_union_distinct(spark, sf_dir):
 )
 def so3_keyword_merge_cap(spark, sf_dir):
     """Keyword-merge with cap 15 (SO3, enrichment_spider.py:350-353)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -720,7 +723,7 @@ def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy, first-writer (min doc_id) wins — the
     documents-table twin of the URL seen-set kernel (D1)."""
     return (
-        _docs(spark, sf_dir)
+        load(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -756,7 +759,7 @@ _SHINGLES_SQL = _ngram_sql(3, alias="shingle")
 
 def _spark_shingles(spark, sf_dir):
     """Distinct word-3-gram shingles per doc — all JVM-side array functions."""
-    d = _docs(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     d = d.filter(F.size("toks") >= 3)
     sh = d.select(
         "doc_id",
@@ -1008,7 +1011,7 @@ def dedup_simhash(spark, sf_dir):
     partition before the shuffle. The per-NIBBLE explode below keeps that
     combiner at a quarter of the per-bit variant's shuffle rows by summing
     the nibble's four bit votes side by side (2.7s -> 0.6s warm)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1116,7 +1119,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     form is exact in both."""
     from .operators.imageops import banded_hamming_pairs
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1329,7 +1332,7 @@ _STOPWORDS = "('the','a','and','of','to','in','is','it','on','for')"
 )
 def text_quality_score(spark, sf_dir):
     """Quality scoring: length + stopword-ratio blend (training-data filter)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     stops = F.filter(
         F.split(F.lower(F.col("text")), " "),
@@ -1454,7 +1457,7 @@ def corpus_stats(spark, sf_dir):
     domain-latency integer-index rule). Percentile pick is the integer
     compare 100*cum >= q*n. The three 1-row joins are bounded broadcast
     builds."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     t = d.select(
         F.size(toks).alias("tok"), "n_chars", "lang"
@@ -1498,7 +1501,7 @@ def corpus_stats(spark, sf_dir):
 )
 def text_token_count(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex segmentation."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda w: w != F.lit(""))).alias(
@@ -1523,7 +1526,7 @@ def text_token_count(spark, sf_dir):
 def text_langid(spark, sf_dir):
     """Language-ID heuristic (stopword density); deterministic n-gram-free
     variant suited to the synthetic corpus."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     n_stop = F.size(
         F.filter(
             F.split(F.lower(F.col("text")), " "),
@@ -1550,7 +1553,7 @@ def multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: treat text-as-bytes the way image/audio
     payloads flow (BinaryType column + typed metadata). Real decode UDFs live
     in scrapy_spark.functions.imagefn (PNG) / are stubbed for absent codecs."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     b = F.encode("text", "utf-8")
     return d.select(
         "doc_id",
@@ -1748,7 +1751,7 @@ def doc_fingerprint(spark, sf_dir):
     SF) — the UDF remains the general-input path."""
     from .functions.textfn import fingerprint_udf
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
 
 
@@ -1816,7 +1819,7 @@ def text_repetition(spark, sf_dir):
     doubles (same operand order both engines, 6dp round). Documents with
     fewer than 2 words keep their row (NULL top_bigram, 0.0 fractions, and
     a zero-char guard) so the per-doc combo grain never shrinks."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.split(F.col("text"), " ").alias("w"),
@@ -1916,7 +1919,7 @@ def text_pii(spark, sf_dir):
     cross-check. Pure column expressions; no UDF, no shuffle."""
     from .functions.textfn import PII_PATTERNS as P
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
 
     def n(kind):
         return F.size(
@@ -2000,7 +2003,7 @@ def text_decontaminate(spark, sf_dir):
             ),
         )
     )
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = load(spark, sf_dir, "documents").select("doc_id")
     return d.join(hits, "doc_id", "left").select(
         "doc_id",
         (F.col("doc_id") % 20 == 0).cast("long").alias("is_eval"),
@@ -2065,7 +2068,7 @@ def text_boilerplate(spark, sf_dir):
     threshold (a tiny fraction of the universe). The distinct-gram table is
     consumed twice (frequency + join back), so it takes a lineage cut.
     All-docs grain (short docs carry zero stats)."""
-    base = _docs(spark, sf_dir).select(
+    base = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
     g5 = (
@@ -2091,7 +2094,7 @@ def text_boilerplate(spark, sf_dir):
             ),
         )
     )
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = load(spark, sf_dir, "documents").select("doc_id")
     return d.join(stats, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_5grams"), F.lit(0)).cast("long").alias("n_5grams"),
@@ -2154,7 +2157,7 @@ def sample_mixture(spark, sf_dir):
         F.floor(F.sqrt(F.col("n_source_docs").cast("double"))).cast("long"),
     )
     return (
-        _docs(spark, sf_dir)
+        load(spark, sf_dir, "documents")
         .select("doc_id", "source")
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .withColumn("n_source_docs", F.count("*").over(wc).cast("long"))
@@ -2217,7 +2220,7 @@ def pack_sequences(spark, sf_dir):
     the grouped two-phase rank of operators/topk.grouped_total_rank; at
     catalog source cardinalities the window is the cheaper form)."""
     toks = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
-    d = _docs(spark, sf_dir).select(
+    d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", toks.cast("long").alias("n_tokens")
     )
     w = (
@@ -2276,7 +2279,7 @@ def hygiene_funnel(spark, sf_dir):
     in n_docs AND lands in n_low_quality (the lowest quality conceivable)
     instead of silently vanishing. The thresholds compare member-rounded
     doubles, identical in both engines."""
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = load(spark, sf_dir, "documents").select("doc_id")
     c = QUERIES["text_decontaminate"][0](spark, sf_dir).select(
         "doc_id", "is_eval", "is_contaminated"
     )
@@ -2501,7 +2504,7 @@ def f7_bad_pattern_filter(spark, sf_dir):
     """Learned low-quality URL-pattern filter (F7, discovery_spider.py:549-552,
     feedback.py:143-179): template the path (digits → {num}) and drop
     patterns on the broadcast deny-list."""
-    d = _docs(spark, sf_dir).withColumn(
+    d = load(spark, sf_dir, "documents").withColumn(
         "pattern",
         F.regexp_replace(
             F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string")),
@@ -2533,7 +2536,7 @@ def f8_throttled_source_filter(spark, sf_dir):
     """Throttled-source filter (F8, discovery_spider.py:145-151): drop
     candidates whose discovery source underperforms over enough samples —
     anti-join against the previous generation's aggregate."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     rates = d.groupBy("source").agg(
         F.count("*").alias("n"),
         (
@@ -3161,7 +3164,7 @@ def dedup_duplicate_spans(spark, sf_dir):
     island) identically in Spark and DuckDB three-valued logic."""
     from scrapy_spark.operators.neardup import duplicate_spans
 
-    d = _docs(spark, sf_dir).withColumn("w", F.split("text", " "))
+    d = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
     d = d.filter(F.size("w") >= _SPAN_K)
     grams = d.select(
         "doc_id",
@@ -3210,7 +3213,7 @@ def leakage_safe_split(spark, sf_dir):
     shuffle beyond the component fixpoint it reuses. All-docs grain
     (text_analysis combo member)."""
     comp = QUERIES["dedup_minhash_components"][0](spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     gk = F.coalesce(F.col("component_id"), F.col("doc_id"))
     return docs.join(comp, "doc_id", "left").select(
         "doc_id",
@@ -3562,7 +3565,7 @@ def keyword_expansion(spark, sf_dir):
     verdict finding #5); WordNet synsets are naturally bounded, so the cap
     models the real relation's cardinality. The row_number window partitions
     by keyword (20 bounded partitions), never a global sort."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -3604,7 +3607,7 @@ def a14_dept_content(spark, sf_dir):
     per-department page counts, mean word counts, and a readability proxy
     (mean chars per word — the reference's readability_score column recast
     deterministically)."""
-    d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+    d = load(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     words = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
     return d.groupBy(F.col("source").alias("department")).agg(
         F.count("*").alias("page_count"),
@@ -3670,7 +3673,7 @@ def pdf_meta(spark, sf_dir):
 
     from .functions import pdffn
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
         "doc_id", "text"
     )
 
@@ -3825,7 +3828,7 @@ def content_classification(spark, sf_dir):
     here they run over a deterministic fetch-row analog of `documents`."""
     from scrapy_spark.functions import classify
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     st = (
         F.when(F.col("doc_id") % 20 == 0, 404)
         .when(F.col("doc_id") % 20 == 1, 301)
@@ -3961,7 +3964,7 @@ def content_recency(spark, sf_dir):
     subset, same portability contract as functions/mining.py)."""
     from scrapy_spark.functions import analysis
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     r = d.select("doc_id", _enriched_text_spark(d).alias("t"))
     cols = analysis.recency_cols(F.col("t"), as_of=_as_of())
     return r.select("doc_id", *cols.values())
@@ -3989,6 +3992,10 @@ def academic_classification(spark, sf_dir):
     arithmetic; DuckDB twin generated from the same pattern constants."""
     from scrapy_spark.functions import analysis
 
+    # _docs: the academic regex families are scan-stage projection CPU, the
+    # one shape where widening the sub-4MB single-file scan measurably wins
+    # (A/B: 2.06s -> 0.91s warm; explode-then-shuffle queries instead LOSE
+    # the exchange cost, so they keep the plain load)
     d = _docs(spark, sf_dir)
     r = d.select(
         "doc_id",
@@ -4224,7 +4231,7 @@ def text_langid_ngram(spark, sf_dir):
     minimum evidence threshold. Pure JVM array ops (transform over a
     position sequence → filter/array_contains), no UDFs; the stopword
     variant (text_langid) stays as the cheap short-text fallback."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     t = F.lower(F.col("text"))
     bg = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
@@ -4728,7 +4735,7 @@ def nlp_text_stats(spark, sf_dir):
     over the NLP-enriched document text."""
     from scrapy_spark.functions import nlpfn
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
     cols = nlpfn.text_stats_cols(F.col("t"))
     return r.select("doc_id", *cols.values())
@@ -4759,7 +4766,7 @@ def qa_generation(spark, sf_dir):
     slots into the same all-docs-grain projection. Pure column
     expressions — the model-call seam would be an Arrow-batched pandas UDF
     in the same position."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     has = F.length("text") > 0
     return d.select(
         "doc_id",
@@ -4794,7 +4801,7 @@ def nlp_keywords_simple(spark, sf_dir):
     never a global sort)."""
     from scrapy_spark.functions import nlpfn
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
     cand = nlpfn.keyword_candidates(r, F.col("t"), "doc_id")
     w = Window.partitionBy("doc_id").orderBy(
@@ -4825,7 +4832,7 @@ def nlp_entities(spark, sf_dir):
     occurrence, first-occurrence output order)."""
     from scrapy_spark.functions import nlpfn
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     r = d.select("doc_id", _nlp_text_spark(d).alias("t"))
     return nlpfn.entity_rows(r, F.col("t"), "doc_id")
 
@@ -4900,7 +4907,7 @@ def text_hashed_classifier(spark, sf_dir):
     Integer weights + integer sum keep the driver hash exact; ALL-DOCS
     grain (empty docs score 0/keep) per the combo discipline. Codepoint ==
     UTF-8 byte on this corpus (ASCII, same caveat as doc_fingerprint)."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     warr = F.array(*[F.lit(w).cast("long") for w in _CLS_WEIGHTS])
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
 
@@ -5037,7 +5044,7 @@ def dsir_select(spark, sf_dir):
     BROADCAST into pass 2 — so the scoring join never shuffles the token
     stream; the only wide exchange is the per-doc score groupBy. ALL-DOCS
     grain (empty docs: score 0, not selected) per the combo discipline."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     occ = d.select(
         "doc_id",
@@ -5158,7 +5165,7 @@ def lm_perplexity_buckets(spark, sf_dir):
     vocab << occurrences) -> per-doc agg. Linear; the real CCNet swaps in
     a KenLM 5-gram — the pipeline shape (train counts, join-score, bucket
     by corpus quantile) is exactly this."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     occ = d.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda w: w != F.lit(""))).alias(
@@ -5326,7 +5333,7 @@ def bm25_topk(spark, sf_dir):
     hot query never funnels its whole posting list through one task."""
     from scrapy_spark.operators.topk import grouped_total_rank
 
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     # ONE pass over the raw text: doc length and the query-term-filtered
     # token array come out of the same projection, and the tiny result
@@ -5483,7 +5490,7 @@ def _bpe_spark_chain(spark, sf_dir):
     import functools
 
     sep = _BPE_SEP
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     words = d.select(
         F.explode(
             F.filter(
@@ -5613,7 +5620,7 @@ def bpe_token_count(spark, sf_dir):
     this is the post-merge count). Join tokens to the trained vocab's
     symbol count and sum per doc; all-docs grain (combo member)."""
     sep = _BPE_SEP
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     vfinal, _ = _bpe_spark_chain(spark, sf_dir)
     vocab = vfinal.select(
         "word",
@@ -5727,7 +5734,7 @@ def nb_langid_confusion(spark, sf_dir):
     so the fitted model here collapses to the prior — the confusion matrix
     is still the exact NB decision, and actual class learning is pinned on
     vocabulary-split constructed corpora in tests/test_data_selection.py."""
-    d = _docs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     occ = d.select(
         "doc_id", "lang",
         F.explode(
