@@ -228,6 +228,7 @@ def fetch_frontier(
     """
     from . import adaptive as adaptive_mod
 
+    synthetic_resolver = resolver_factory is None
     if resolver_factory is None:
         resolver_factory = lambda: synth_resolver(cfg)  # noqa: E731
 
@@ -365,7 +366,23 @@ def fetch_frontier(
             yield pd.DataFrame(out_rows)
 
     if fetch_partitions is None:
-        fetch_partitions = selected.sparkSession.sparkContext.defaultParallelism * 4
+        # latency-bound fetches (politeness pacing, simulated RTT, or any
+        # real-network resolver) keep the stage 4x wider than the core
+        # count so sleeps/IO overlap; the pure-compute synthetic path with
+        # no sleeping gains nothing from over-splitting and pays ~4x the
+        # Arrow/Python task overhead, so it runs at core width
+        mult = (
+            4
+            if (
+                politeness_delay_s > 0
+                or fetch_latency_s > 0
+                or not synthetic_resolver
+            )
+            else 1
+        )
+        fetch_partitions = (
+            selected.sparkSession.sparkContext.defaultParallelism * mult
+        )
     if politeness_delay_s > 0:
         # per-host pacing needs host-grouped partitions: salted hash layout
         # (hot hosts split across salt_buckets tasks, SURVEY §4)
