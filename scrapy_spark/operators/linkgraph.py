@@ -552,10 +552,13 @@ def pagerank_exact(
                 bg.close()
             except Exception:
                 pass
-    mx = ranks.agg(F.max("r")).collect()[0][0]
-    out = ranks.select(
+    # max-normalization via a broadcast 1-row cross-join instead of a
+    # driver collect: one job fewer, identical values (max over exact
+    # bigints; the per-row double division sees the same operands)
+    mx = ranks.agg(F.max("r").cast("double").alias("_mx"))
+    out = ranks.crossJoin(F.broadcast(mx)).select(
         "node",
-        F.round(F.col("r").cast("double") / F.lit(float(mx)), 6).alias("rank"),
+        F.round(F.col("r").cast("double") / F.col("_mx"), 6).alias("rank"),
     )
     nodes.unpersist()
     if bg is None:
