@@ -844,6 +844,16 @@ def main(argv: list[str] | None = None) -> int:
             if (args.workdir is None) == (args.images is None):
                 print("pass exactly one of --workdir / --images", file=sys.stderr)
                 return 2
+            if args.apply_orientation and not args.resize:
+                # the orientation arm lives on the decode-driven resize
+                # path; without --resize the stats would silently come from
+                # unoriented stored/decoded dims, contradicting the flag
+                print(
+                    "--apply-orientation requires --resize (bucket stats "
+                    "without a resize pass use unoriented dims)",
+                    file=sys.stderr,
+                )
+                return 2
             full = None  # parquet input with trusted w/h columns
             imgs = None  # crawl rows (bytes, no dims)
             if args.images:

@@ -352,6 +352,22 @@ def test_aspect_bucket_assign_on_synth_images(spark):
     assert got == want and len(got) == len(pdf)
 
 
+def test_imagebuckets_orientation_requires_resize(spark, tmp_path, capsys):
+    """--apply-orientation without --resize must refuse (rc 2), not
+    silently compute stats from unoriented dims (r7 ADVICE item)."""
+    from main import main as cli_main
+    from scrapy_spark.sources import synth
+    from scrapy_spark.sources.synth import SynthConfig
+
+    pdf = synth.build_images(SynthConfig(seed=21, n_hosts=4, n_pages=50,
+                                         n_images=10)).drop(columns=["bytes"])
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    rc = cli_main(["imagebuckets", "--images", path, "--apply-orientation"])
+    assert rc == 2
+    assert "--apply-orientation requires --resize" in capsys.readouterr().err
+
+
 def test_imagebuckets_cli(spark, tmp_path, capsys):
     """CLI lock: occupancy summary over a synth corpus equals the twin's
     aggregate; counts cover every image."""
