@@ -5741,6 +5741,18 @@ def nb_langid_confusion(spark, sf_dir):
             F.filter(F.split("text", " "), lambda w: w != F.lit(""))
         ).alias("tok"),
     )
+    # collapse the occurrence stream to (doc, lang, tok, freq) ONCE and cut
+    # it: token totals, vocabulary, per-class counts AND the per-doc scoring
+    # previously each re-scanned and re-exploded the raw text (4 passes),
+    # and the scoring stream carried every occurrence x every class. A
+    # token's cost is constant within a doc, so sum-over-occurrences ==
+    # freq * cost summed over distinct (doc, tok) — exact bigint identity.
+    tf = _cut(
+        occ.groupBy("doc_id", "lang", "tok").agg(
+            F.count("*").cast("long").alias("f")
+        ),
+        name="nb-tf",
+    )
 
     def ilog2(expr_str):
         return (F.length(F.conv(F.expr(expr_str), 10, 2)) - 1).cast("long")
@@ -5751,10 +5763,10 @@ def nb_langid_confusion(spark, sf_dir):
         )
     )
     nd = cls.agg(F.sum("n_docs_l").cast("long").alias("n_all"))
-    tl = occ.groupBy(F.col("lang").alias("cls")).agg(
-        F.count("*").cast("long").alias("t_lang")
+    tl = tf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("f").cast("long").alias("t_lang")
     )
-    vv = occ.agg(F.countDistinct("tok").cast("long").alias("v"))
+    vv = tf.agg(F.countDistinct("tok").cast("long").alias("v"))
     pri = _cut(
         cls.join(tl, "cls", "left")
         .crossJoin(F.broadcast(nd))
@@ -5765,16 +5777,16 @@ def nb_langid_confusion(spark, sf_dir):
             (F.coalesce("t_lang", F.lit(0)) + F.col("v")).alias("denom"),
         )
     )
-    ct = occ.groupBy(F.col("lang").alias("cls"), "tok").agg(
-        F.count("*").cast("long").alias("cnt")
+    ct = tf.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.sum("f").cast("long").alias("cnt")
     )
     sc = (
-        occ.crossJoin(F.broadcast(pri))
+        tf.crossJoin(F.broadcast(pri))
         .join(ct, ["cls", "tok"], "left")
         .groupBy("doc_id", "cls", "prior_cost")
         .agg(
             F.sum(
-                ilog2("denom div (coalesce(cnt, 0) + 1)")
+                F.col("f") * ilog2("denom div (coalesce(cnt, 0) + 1)")
             ).cast("long").alias("tok_cost")
         )
         .select(
