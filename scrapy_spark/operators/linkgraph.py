@@ -491,7 +491,11 @@ def pagerank_exact(
     try:
         for it in range(1, iterations + 1):
             _probe(plan_probe, ranks)
-            ranks = _cut(ranks, name="prx-ranks")
+            if it > 1:
+                # iteration 1 is fully specialized below (contribs off the
+                # edge table, dmass a constant) and never reads the initial
+                # rank table — cutting it would materialize it for nothing
+                ranks = _cut(ranks, name="prx-ranks")
             if it == 1:
                 # first iteration: every rank is exactly `scale`, so the
                 # rank-side join is algebraically a constant — contribs and
@@ -646,7 +650,10 @@ def hits_exact(
     auth = None
     try:
         for it in range(1, iterations + 1):
-            hubs = _cut(hubs, name="hitsx-hubs")
+            if it > 1:
+                # iteration 1's araw is specialized (in_degree * scale) and
+                # never reads the initial dense hub table — skip its cut
+                hubs = _cut(hubs, name="hitsx-hubs")
             if it == 1:
                 # uniform initial hubs: araw is exactly in_degree * scale —
                 # same values, no rank-side join on the first pass
